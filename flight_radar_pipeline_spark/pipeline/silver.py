@@ -1,0 +1,58 @@
+"""Bronze → silver: schema enforcement, dedup, time normalization.
+
+Reference behavior (``/root/reference/src/transform.py:156-194``):
+explicit 10-column schema, ``dropDuplicates(["id"])``, then
+``from_unixtime(time, 'yyyy-MM-dd HH:mm:ss')`` under session TZ
+Europe/Paris rewriting ``time`` int→string.
+
+Two deliberate divergences, both documented in SURVEY.md §2.3/§7:
+
+- **Deterministic dedup.** ``dropDuplicates`` keeps an arbitrary row per
+  key (whichever the hash-agg sees first) — output varies with partition
+  layout. We rank rows per key by an explicit tiebreak and keep rank 1, so
+  results are identical at 1 partition or 10,000.
+- **Timestamps stay timestamps.** The formatted string is produced at the
+  same point for parity, but from a typed column, so downstream range
+  filters/partition pruning still work on a real timestamp at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key, deterministically.
+
+    ``order_by`` decides the winner (first row wins); defaults to the
+    remaining columns ascending so any partitioning yields the same output.
+    Implemented as a window ``row_number`` — one shuffle on the key, same
+    cost class as ``dropDuplicates`` but reproducible.
+    """
+    if order_by is None:
+        order_by = [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def build_silver(
+    flights_raw: DataFrame,
+    time_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Silver flights: dedup on ``id``, unix-seconds → formatted time string.
+
+    Input must match ``schemas.FLIGHTS_RAW`` (``time`` as int unix seconds).
+    """
+    deduped = dedup_by_key(flights_raw, ["id"], order_by=[F.col("time").desc_nulls_last()])
+    return deduped.withColumn("time", F.from_unixtime(F.col("time"), time_format))
