@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``flight_radar_pipeline_spark.plans.battery`` (one
+QuerySpec per operator from SURVEY.md §2, DataFrame builder + DuckDB oracle
+side by side).
 """
 
 from __future__ import annotations
@@ -14,25 +17,47 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> None:
+    """Engine conf on the driver-provided session: UTC so naive-timestamp
+    presentation agrees with DuckDB; nanos escape hatch for events.parquet;
+    AQE for runtime re-planning."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — defaults still correct
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (pricing_summary: scan→filter→hash-agg) at sf0.001."""
+    from flight_radar_pipeline_spark.plans.battery import REGISTRY
+
+    _configure(spark)
+    return REGISTRY["pricing_summary"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from flight_radar_pipeline_spark.plans.battery import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(spec):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _configure(spark)
+            return spec.build(spark, sf_dir)
+
+        run.__name__ = spec.name
+        return run
+
+    return {name: wrap(spec) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flight_radar_pipeline_spark.plans.battery import REGISTRY
+
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

@@ -62,6 +62,10 @@ def get_spark_session(
         # local test default; AQE coalesces down, cluster deploys override up
         "spark.sql.shuffle.partitions": str(shuffle_partitions or default_parallelism()),
         "spark.sql.parquet.filterPushdown": "true",
+        # the synthetic events table carries parquet TIMESTAMP(NANOS),
+        # which Spark rejects unless read as int64 (sources/readers.py
+        # converts back to a timestamp)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.ui.enabled": "false",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     }

@@ -1,0 +1,52 @@
+"""Batch readers.
+
+Replaces the reference's inference-everywhere reads (SURVEY.md §2.1 S6-S7:
+``spark.read.option("header","true").csv(path)`` with no schema erases every
+type on the CSV round-trip) with schema-carrying readers, plus the loader
+for the synthetic test tables.
+
+Scale note: these return single lazy scans — filters and projections applied
+by callers reach the parquet reader as PushedFilters/ReadSchema, so a
+100 TB table is read column- and row-group-pruned, never materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from flight_radar_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = True) -> DataFrame:
+    """CSV scan with a mandatory schema — the reference's silent
+    string-typing of cached dimensions (``/root/reference/src/main.py:53``)
+    is not reproducible through this API."""
+    return spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic test table, normalizing physical quirks.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in the session
+    factory) it arrives as int64 nanos, converted here to a real timestamp
+    (integer division — a double division would lose precision above 2^53).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
