@@ -33,16 +33,26 @@ def _configure(spark: SparkSession) -> None:
             pass  # non-runtime conf on this build — defaults still correct
 
 
+def _registry():
+    from flight_radar_pipeline_spark.plans import (  # noqa: F401
+        battery,
+        battery_ext,
+        battery_text,
+    )
+
+    return battery.REGISTRY
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (pricing_summary: scan→filter→hash-agg) at sf0.001."""
-    from flight_radar_pipeline_spark.plans.battery import REGISTRY
+    REGISTRY = _registry()
 
     _configure(spark)
     return REGISTRY["pricing_summary"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from flight_radar_pipeline_spark.plans.battery import REGISTRY
+    REGISTRY = _registry()
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from flight_radar_pipeline_spark.plans.battery import REGISTRY
+    REGISTRY = _registry()
 
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None

@@ -1,0 +1,57 @@
+"""Benchmark runner: every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query's full plan is forced with the noop sink (distributed execution,
+no driver collect), timed wall-clock, and reported as one JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from flight_radar_pipeline_spark.session import get_spark_session
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark_session(app_name="frp-spark-bench", timezone="UTC")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record, don't abort the run
+            timings[name] = -1.0
+            print(f"# bench error {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "battery_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if all(v >= 0 for v in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,107 @@
+"""Text-analysis column expressions for large-scale corpus processing.
+
+All pure Column expressions (JVM-side, codegen'd) — the operations an LLM
+training-data pipeline runs over billions of documents: tokenization
+counts, quality scoring, language heuristics, content fingerprinting.
+Nothing here touches Python per row; at 100 TB these run at scan speed.
+
+Each function has a deliberately SQL-portable definition so the DuckDB
+oracle can state the same computation independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(_col(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_col(text))
+
+
+def avg_token_len(text: Column | str, decimals: int = 4) -> Column:
+    """Mean token length = non-space chars / token count."""
+    t = _col(text)
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    return F.round(nonspace.cast("double") / token_count(t), decimals)
+
+
+def punct_ratio(text: Column | str, decimals: int = 4) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    t = _col(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    return F.round(punct.cast("double") / F.greatest(F.length(t), F.lit(1)), decimals)
+
+
+def occurrence_count(text: Column | str, needle: str) -> Column:
+    """Occurrences of a literal substring, via the length-delta trick —
+    identical semantics in any SQL engine (no regex dialect involved)."""
+    t = _col(text)
+    return (F.length(t) - F.length(F.replace(t, F.lit(needle), F.lit("")))) / len(needle)
+
+
+# Tiny per-language stopword marker sets (public common function words).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def stopword_hits(text: Column | str, words: tuple[str, ...]) -> Column:
+    """Total occurrences of ``words`` as whole tokens (space-padded match)."""
+    padded = F.concat(F.lit(" "), F.trim(_col(text)), F.lit(" "))
+    total = F.lit(0).cast("double")
+    for wrd in words:
+        total = total + occurrence_count(padded, f" {wrd} ")
+    return total
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword-marker hit rate; 'und'
+    when nothing matches. The same CASE cascade is stated in the oracle."""
+    t = _col(text)
+    scores = {lang: stopword_hits(t, words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: de < en < es < fr alphabetical
+    for lang in sorted(scores, reverse=True):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("und")).otherwise(out)
+
+
+def quality_score(text: Column | str, decimals: int = 4) -> Column:
+    """Composite document quality in [0,1]: length band + reasonable mean
+    token length + low punctuation density (the standard cheap pre-filter
+    stack for corpus cleaning)."""
+    t = _col(text)
+    n_tok = token_count(t).cast("double")
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.3)
+    atl = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / F.greatest(
+        n_tok, F.lit(1.0)
+    )
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.4)
+    pr = punct_ratio(t, 10)
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(0.5)
+    return F.round((len_ok + atl_ok + punct_ok) / 3.0, decimals)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the exact-dedup key."""
+    canon = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.md5(canon)

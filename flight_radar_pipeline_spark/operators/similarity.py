@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs them:
+
+- **Brute-force top-k** — exact cosine against every corpus vector.
+  Correctness baseline and perfectly adequate when the query set is small:
+  queries broadcast, corpus scanned once, per-query top-k via window.
+- **LSH-bucketed ANN** — random-hyperplane signatures (deterministic,
+  hash-derived planes), candidates restricted to matching buckets. The
+  scale path: the corpus side is signed in one scan, bucket join replaces
+  the cross product.
+
+All vector math is native (``zip_with``/``aggregate`` over array<double>),
+verified bit-exact against DuckDB's list functions — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double
+    (element-wise cast) with left-to-right summation — the association
+    order DuckDB's ``list_cosine_similarity`` also uses, so results match
+    bit-for-bit."""
+    ad, bd = a.cast("array<double>"), b.cast("array<double>")
+    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def topk_neighbors_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector →
+    (query_id, neighbor_id, cosine), excluding self-matches.
+
+    Scale: broadcast the query set (small by construction), single corpus
+    scan, per-query top-k via window over (rounded cosine, id) — the
+    rounding makes ranking deterministic across engines at equal scores.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), decimals),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _plane_component(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
+    the value of the first hex nibble of md5(plane || '-' || dim), centered.
+    Portable to SQL (same md5 + CASE nibble mapping)."""
+    h = F.md5(F.concat(plane.cast("string"), F.lit("-"), dim.cast("string")))
+    first = F.substring(h, 1, 1)
+    nib = F.lit(None).cast("int")
+    expr = F.when(first == "0", 0)
+    for i, ch in enumerate("123456789abcdef", start=1):
+        expr = expr.when(first == ch, i)
+    return expr.otherwise(nib).cast("double") - 7.5
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH signature per vector → (id, signature string of 0/1).
+
+    Vector × plane dots are computed relationally: posexplode the vector,
+    join the (tiny, broadcast) plane-component table on dimension, aggregate
+    per (vector, plane). One shuffle keyed on the vector id.
+    """
+    spark = df.sparkSession
+    dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    n_dims = dims.first().d
+    planes = spark.range(num_planes).select(
+        F.col("id").alias("plane"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_dims - 1))).alias("dim"),
+    )
+    planes = planes.withColumn(
+        "comp", _plane_component(F.col("plane"), F.col("dim"))
+    )
+    comps = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("comp")).alias("dot"))
+        .withColumn("bit", (F.col("dot") > 0).cast("int").cast("string"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("signature")
+    )
+
+
+def topk_neighbors_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """ANN: per query, exact top-k among corpus vectors sharing its
+    hyperplane signature bucket → (query_id, neighbor_id, cosine).
+
+    Recall is governed by num_planes (fewer planes → bigger buckets →
+    higher recall, more work). The bucket equi-join is the scale win: the
+    cross product never materializes.
+    """
+    sig_c = hyperplane_signatures(corpus, num_planes, id_col, vec_col)
+    sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(sig_c.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).join(sig_q.withColumnRenamed(id_col, "query_id"), "query_id")
+    scored = (
+        c.join(F.broadcast(q), "signature")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__cvec")), decimals),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,168 @@
+"""Extended battery: streaming parity, session windows, percentiles,
+multimodal plumbing, approximate aggregates.
+
+Registered into the shared REGISTRY on import (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
+from flight_radar_pipeline_spark.plans.battery import REGISTRY, register
+from flight_radar_pipeline_spark.sources.readers import load_table
+from flight_radar_pipeline_spark.streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_stream_to_memory,
+)
+
+
+@register(
+    "hourly_event_counts_stream",
+    # identical oracle to the batch `hourly_event_counts` — the whole point:
+    # the incremental plan must produce exactly the batch answer.
+    """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour_start,
+           event_type,
+           count(*) as event_count,
+           round(sum(value), 2) as value_sum
+    from events
+    group by 1, 2
+    order by hour_start, event_type
+    """,
+)
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming run of the hourly tumbling-window aggregation:
+    file source → watermarked window agg → availableNow → memory sink.
+    Checked against the same SQL oracle as the batch variant (SURVEY §2.8 —
+    the reference has no streaming; this is the north-star surface)."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = hourly_counts_stream(events)
+    return run_stream_to_memory(result).orderBy("hour_start", "event_type")
+
+
+@register(
+    "user_sessions",
+    """
+    with e as (
+        select user_id, ts,
+               case when ts - lag(ts) over (partition by user_id order by ts, event_id)
+                         > interval 30 minutes
+                    then 1 else 0 end as brk
+        from events
+    ), s as (
+        select user_id, ts,
+               sum(brk) over (
+                   partition by user_id order by ts
+                   rows between unbounded preceding and current row
+               ) as session_id
+        from e
+    )
+    select user_id, session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+           count(*) as n_events
+    from s
+    group by user_id, session_id
+    order by user_id, session_id
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap via native
+    ``session_window`` (same operator streams with state at scale). The
+    oracle restates it as lag+cumulative-sum — the classic SQL formulation —
+    pinning Spark's boundary semantics (gap-equal events merge)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("first_ts")
+    return (
+        sessions.withColumn("session_id", F.row_number().over(w) - 1)
+        .select(
+            "user_id",
+            "session_id",
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "event_value_percentiles",
+    """
+    select event_type,
+           round(quantile_cont(value, 0.5), 4) as p50,
+           round(quantile_cont(value, 0.9), 4) as p90,
+           round(quantile_cont(value, 0.99), 4) as p99
+    from events
+    group by event_type
+    order by event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, verified bit-compatible). At 100 TB swap in
+    ``approx_percentile`` with a documented error bound — kept exact here
+    because the oracle gate demands it."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    select doc_id,
+           octet_length(encode(text)) as byte_len,
+           md5(text) as checksum,
+           lower(hex(encode(substr(text, 1, 4)))) as head_hex
+    from documents
+    order by doc_id
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach opaque payload + metadata, extract
+    deterministic features through Arrow-batched ``mapInPandas`` (the real
+    media-decode plumbing with the codec stubbed — multimodal/binary.py).
+    Oracle restates the byte-level semantics in SQL. (head_hex comparison
+    assumes ASCII text, true of the synthetic corpus.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = attach_payload(docs)
+    return decode_features(with_payload).orderBy("doc_id")
+
+
+@register(
+    "approx_distinct_users",
+    None,  # approximate by construction — rows-only check, by design
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user counts per event type
+    (``approx_count_distinct``, 1% rsd) next to the exact count — the
+    sketch path a 100 TB pipeline actually uses. No SQL oracle: the HLL
+    estimate is engine-specific; the exact column is covered by other
+    queries."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

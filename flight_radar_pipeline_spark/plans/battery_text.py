@@ -1,0 +1,379 @@
+"""Training-data-pipeline battery: text analysis, dedup families,
+similarity search, multimodal plumbing — over documents/embeddings.
+
+Every query pairs the Spark operator (operators/, functions/text) with a
+DuckDB oracle stating the SAME deterministic computation independently in
+SQL. Hash-derived pseudo-randomness (md5) makes even MinHash-LSH and
+hyperplane-LSH exactly reproducible cross-engine.
+
+Registered into the same REGISTRY as the relational battery on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators import dedup as D
+from flight_radar_pipeline_spark.operators import similarity as S
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# SQL fragment: map a single lowercase hex char expression to its 0-15 value
+# (mirrors operators.dedup._nibble_value / similarity._plane_component).
+def _nibble_case(expr: str) -> str:
+    whens = " ".join(
+        f"WHEN '{c}' THEN {v}" for v, c in enumerate("0123456789abcdef")
+    )
+    return f"(CASE {expr} {whens} END)"
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STATS_ORACLE = r"""
+    select doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) as token_count,
+           length(text) as char_count,
+           round(length(regexp_replace(text, '\s', '', 'g'))
+                 / len(regexp_split_to_array(trim(text), '\s+')), 4) as avg_token_len,
+           round((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+                 / greatest(length(text), 1), 4) as punct_ratio,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fingerprint
+    from documents
+    order by doc_id
+"""
+
+
+@register("doc_text_stats", _STATS_ORACLE)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus statistics (token/char counts, mean token length,
+    punctuation density, content fingerprint) — all codegen'd column exprs,
+    scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("token_count"),
+        T.char_count("text").alias("char_count"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        T.punct_ratio("text").alias("punct_ratio"),
+        T.fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def _occ_sql(needle: str) -> str:
+    pad = f"(' ' || trim(text) || ' ')"
+    return (
+        f"((length({pad}) - length(replace({pad}, ' {needle} ', ''))) / {len(needle) + 2}.0)"
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(w) for w in T.LANG_MARKERS[lang])
+
+
+_LANG_ORACLE = f"""
+    with s as (
+        select doc_id, lang,
+               {_lang_score_sql('en')} as s_en,
+               {_lang_score_sql('es')} as s_es,
+               {_lang_score_sql('fr')} as s_fr,
+               {_lang_score_sql('de')} as s_de
+        from documents
+    ), p as (
+        select doc_id, lang,
+               greatest(s_en, s_es, s_fr, s_de) as best,
+               case when greatest(s_en, s_es, s_fr, s_de) <= 0 then 'und'
+                    when s_de = greatest(s_en, s_es, s_fr, s_de) then 'de'
+                    when s_en = greatest(s_en, s_es, s_fr, s_de) then 'en'
+                    when s_es = greatest(s_en, s_es, s_fr, s_de) then 'es'
+                    when s_fr = greatest(s_en, s_es, s_fr, s_de) then 'fr'
+                    else 'und' end as lang_pred
+        from s
+    )
+    select lang, lang_pred, count(*) as n
+    from p group by lang, lang_pred
+    order by lang, lang_pred
+"""
+
+
+@register("doc_lang_id", _LANG_ORACLE)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker hit rates, deterministic tie
+    priority) → confusion counts vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "doc_exact_dedup",
+    r"""
+    with corpus as (
+        select doc_id, text from documents
+        union all
+        select doc_id + 100000 as doc_id, text from documents
+    ), fp as (
+        select doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+        from corpus
+    )
+    select min(doc_id) as doc_id, count(*) as dup_count
+    from fp group by fp
+    order by doc_id
+    """,
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on content fingerprint) over a corpus with
+    constructed duplicates (the table unioned with itself under shifted
+    ids); winner = min id. SURVEY §2.3 P6 generalized to content identity."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = D.dedup_exact(corpus, "text", "doc_id", keep="min")
+    return out.select("doc_id", "dup_count").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+_K, _NH, _NB = 8, 16, 4  # shingle chars, hashes, bands (4 rows/band)
+_THRESH = 0.35
+
+_MINHASH_ORACLE = f"""
+    with sh as (
+        select doc_id, unnest(list_distinct(
+            [substr(text, i, {_K}) for i in range(1, greatest(length(text) - {_K - 1}, 1) + 1)]
+        )) as shingle
+        from documents
+    ), mh as (
+        select doc_id, seed, min(md5(seed::varchar || ':' || shingle)) as mh
+        from sh cross join (select unnest(range(0, {_NH})) as seed)
+        group by doc_id, seed
+    ), sig as (
+        select doc_id, list(mh order by seed) as minhashes from mh group by doc_id
+    ), bands as (
+        select doc_id, b,
+               md5(array_to_string(minhashes[b * {_NH // _NB} + 1 : (b + 1) * {_NH // _NB}], '|')) as band_key
+        from sig cross join (select unnest(range(0, {_NB})) as b)
+    ), cand as (
+        select distinct l.doc_id as id_a, r.doc_id as id_b
+        from bands l join bands r
+          on l.b = r.b and l.band_key = r.band_key and l.doc_id < r.doc_id
+    ), sizes as (
+        select doc_id, count(*) as sz from sh group by doc_id
+    ), inter as (
+        select c.id_a, c.id_b, count(*) as inter_sz
+        from cand c
+        join sh a on a.doc_id = c.id_a
+        join sh b on b.doc_id = c.id_b and b.shingle = a.shingle
+        group by c.id_a, c.id_b
+    )
+    select i.id_a, i.id_b,
+           round(inter_sz / (sa.sz + sb.sz - inter_sz), 4) as jaccard
+    from inter i
+    join sizes sa on sa.doc_id = i.id_a
+    join sizes sb on sb.doc_id = i.id_b
+    where inter_sz / (sa.sz + sb.sz - inter_sz) >= {_THRESH}
+    order by id_a, id_b
+"""
+
+
+@register("minhash_near_dup_pairs", _MINHASH_ORACLE)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (shingle → 16 minhashes → 4 bands
+    → bucket-joined candidates → exact Jaccard verify on candidates only).
+    Deterministic md5 hash family ⇒ exact SQL oracle for the whole pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.near_dup_pairs(
+        docs, "text", "doc_id",
+        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = rf"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as token
+        from documents where doc_id < 100
+    ), tc as (
+        select doc_id, token, count(*) as w, md5(token) as h
+        from tok group by doc_id, token
+    ), nib as (
+        select doc_id, w, np, {_nibble_case("substr(h, np + 1, 1)")} as nib
+        from tc cross join (select unnest(range(0, 16)) as np)
+    ), bits as (
+        select doc_id, w, np, bp, (nib >> (3 - bp)) % 2 as bit
+        from nib cross join (select unnest(range(0, 4)) as bp)
+    ), votes as (
+        select doc_id, np, bp, sum(w * (bit * 2 - 1)) as vote
+        from bits group by doc_id, np, bp
+    ), nv as (
+        select doc_id, np,
+               sum((case when vote > 0 then 1 else 0 end) * (1 << (3 - bp))) as nv
+        from votes group by doc_id, np
+    )
+    select doc_id,
+           string_agg(substr('0123456789abcdef', (nv + 1)::bigint, 1), '' order by np) as simhash
+    from nv group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_simhash", _SIMHASH_ORACLE)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (token votes from md5 bit patterns,
+    majority per bit) — fully relational, no UDF, exact SQL oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return D.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# n-gram profile
+# --------------------------------------------------------------------------
+
+@register(
+    "top_bigrams_per_lang",
+    r"""
+    with t as (
+        select lang, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), bg as (
+        select lang, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) as bigram
+        from t
+    ), c as (
+        select lang, bigram, count(*) as cnt from bg group by lang, bigram
+    ), r as (
+        select *, row_number() over (partition by lang order by cnt desc, bigram) as rnk
+        from c
+    )
+    select lang, bigram, cnt, rnk from r where rnk <= 3
+    order by lang, rnk
+    """,
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency profile: top-3 bigrams per language label.
+    Bigrams built array-natively (no explode-then-self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.get(F.col("toks"), i - 1), F.lit(" "), F.get(F.col("toks"), i)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("lang", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+    with q as (
+        select vec_id as query_id, embedding::DOUBLE[] as qv
+        from embeddings where vec_id < 10
+    ), c as (
+        select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings
+    ), scored as (
+        select query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) as cosine
+        from q cross join c
+        where query_id != neighbor_id
+    ), r as (
+        select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+        ) as rn from scored
+    )
+    select query_id, neighbor_id, cosine from r where rn <= 5
+    order by query_id, neighbor_id
+"""
+
+
+@register("embedding_topk_bruteforce", _TOPK_ORACLE)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast query
+    side, one corpus scan, window top-k. Vector math bit-identical to
+    DuckDB's list_cosine_similarity (double, left-to-right sum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_neighbors_bruteforce(emb, queries, k=5).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+_PLANES = 6
+
+_LSH_ANN_ORACLE = f"""
+    with comps as (
+        select vec_id,
+               unnest(embedding::DOUBLE[]) as x,
+               unnest(range(0, len(embedding))) as dim
+        from embeddings
+    ), planes as (
+        select plane, dim,
+               {_nibble_case("substr(md5(plane::varchar || '-' || dim::varchar), 1, 1)")}::double - 7.5 as comp
+        from (select unnest(range(0, {_PLANES})) as plane)
+        cross join (select unnest(range(0, 64)) as dim)
+    ), dots as (
+        select c.vec_id, p.plane, sum(c.x * p.comp) as dot
+        from comps c join planes p on c.dim = p.dim
+        group by c.vec_id, p.plane
+    ), sig as (
+        select vec_id,
+               string_agg(case when dot > 0 then '1' else '0' end, '' order by plane) as signature
+        from dots group by vec_id
+    ), q as (
+        select e.vec_id as query_id, e.embedding::DOUBLE[] as qv, s.signature
+        from embeddings e join sig s using (vec_id) where e.vec_id < 10
+    ), c as (
+        select e.vec_id as neighbor_id, e.embedding::DOUBLE[] as cv, s.signature
+        from embeddings e join sig s using (vec_id)
+    ), scored as (
+        select query_id, neighbor_id,
+               round(list_cosine_similarity(qv, cv), 6) as cosine
+        from q join c using (signature)
+        where query_id != neighbor_id
+    ), r as (
+        select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+        ) as rn from scored
+    )
+    select query_id, neighbor_id, cosine from r where rn <= 5
+    order by query_id, neighbor_id
+"""
+
+
+@register("embedding_topk_lsh", _LSH_ANN_ORACLE)
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH: 6 deterministic (hash-derived) hyperplanes bucket
+    the corpus; exact top-5 within the query's bucket. The scale path — the
+    cross product never materializes; bucket equi-join instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_neighbors_lsh(emb, queries, k=5, num_planes=_PLANES).orderBy(
+        "query_id", "neighbor_id"
+    )
