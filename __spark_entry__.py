@@ -36,6 +36,7 @@ def _configure(spark: SparkSession) -> None:
 def _registry():
     from flight_radar_pipeline_spark.plans import (  # noqa: F401
         battery,
+        battery_corpus,
         battery_ext,
         battery_text,
     )

@@ -100,6 +100,63 @@ def quality_score(text: Column | str, decimals: int = 4) -> Column:
     return F.round((len_ok + atl_ok + punct_ok) / 3.0, decimals)
 
 
+# GPT-2-style pre-tokenizer shape: letter runs, single digits, single
+# non-alphanumeric marks. Kept to the regex subset RE2, Java, and DuckDB
+# all parse identically.
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPE_ISH_RE) -> Column:
+    """BPE-ish tokenization (array<string>) — the splitter a real BPE
+    tokenizer applies before merges; counting these approximates trained
+    token counts far better than whitespace words."""
+    return F.regexp_extract_all(_col(text), F.lit(pattern), 0)
+
+
+def regex_token_count(text: Column | str, pattern: str = BPE_ISH_RE) -> Column:
+    return F.size(regex_tokens(text, pattern))
+
+
+def rolling_fingerprint(
+    text: Column | str,
+    window: int = 16,
+    keep: int = 4,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> Column:
+    """Winnowing-style document fingerprint: polynomial rolling hash
+    (``h = h*base + chr mod m``) of every ``window``-char window of the
+    canonicalized text; the fingerprint is the ``keep`` smallest distinct
+    window hashes joined ``-``. Robust to local edits (only windows
+    overlapping the edit change, and min-selection usually survives) —
+    the classic plagiarism/near-copy fingerprint, here as a pure nested
+    array expression: no UDF, runs at scan speed, exact SQL oracle.
+
+    Texts shorter than ``window`` hash as a single window.
+    """
+    canon = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    wins = F.when(
+        F.length(canon) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.length(canon) - (window - 1)),
+            lambda i: F.substr(canon, i, F.lit(window)),
+        ),
+    ).otherwise(F.array(canon))
+    hashes = F.transform(
+        wins,
+        lambda w: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.ascii(F.substr(w, i, F.lit(1))).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * base + c) % mod,
+        ),
+    )
+    top = F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+    return F.concat_ws("-", F.transform(top, lambda h: h.cast("string")))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
     text — the exact-dedup key."""

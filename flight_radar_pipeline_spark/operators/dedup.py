@@ -84,27 +84,26 @@ def minhash_signatures(
 
     Hash family h_s(x) = md5(s || ':' || x) for seed s — deterministic and
     engine-portable; the signature entry for seed s is the lexicographic min
-    over the document's shingles. One shuffle keyed on (id, seed) with
-    partial min upstream, then one keyed on id to assemble the signature.
+    over the document's shingles.
+
+    Scale: all ``num_hashes`` hashes are computed as columns of the SAME
+    (id, shingle) row and reduced by ``num_hashes`` parallel ``min``
+    aggregates in one doc-keyed pass — no seed explosion (×16 row blowup),
+    no (id, seed) shuffle, full map-side partial aggregation. One shuffle,
+    keyed on the doc id.
     """
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    long_form = (
-        shingle_df.select(F.col(id_col), F.col("shingle"), seeds)
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+        ).alias(f"__mh{s}")
+        for s in range(num_hashes)
+    ]
+    return (
+        shingle_df.groupBy(id_col)
+        .agg(*mins)
         .select(
             id_col,
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    return (
-        long_form.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s["mh"],
-            ).alias("minhashes")
+            F.array(*[F.col(f"__mh{s}") for s in range(num_hashes)]).alias("minhashes"),
         )
     )
 
@@ -170,28 +169,91 @@ def near_dup_pairs(
     candidates only → (id_a, id_b, jaccard) above threshold.
 
     This is the canonical corpus near-dedup at scale: the only all-pairs
-    work happens inside LSH buckets, and the expensive exact Jaccard join
-    touches candidates alone.
+    work happens inside LSH buckets, and the exact-Jaccard verify touches
+    candidate pairs alone — each doc's (distinct) shingle set is collected
+    once and the intersection is ``array_intersect`` per pair, so the
+    verify cost is O(candidates × set size), never a corpus-wide
+    shingle-level join.
     """
     sh = shingles(df, text_col, id_col, k).cache()
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a_sh = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("__b_id"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        cands.join(a_sh, "id_a")
-        .join(
-            b_sh,
-            (F.col("id_b") == F.col("__b_id")) & (F.col("shingle") == F.col("shingle_b")),
+    sets_df = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("sh_set"))
+    a_sets = sets_df.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("__set_a")
+    )
+    b_sets = sets_df.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("__set_b")
+    )
+    return (
+        cands.join(a_sets, "id_a")
+        .join(b_sets, "id_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("__set_a", "__set_b")))
+        .withColumn("sz_a", F.size("__set_a"))
+        .withColumn("sz_b", F.size("__set_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_sz") / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")),
+                4,
+            ),
         )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted index)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup via inverted-index join →
+    (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+
+    No sketching: candidate pairs are docs sharing ≥1 n-gram (the inverted
+    index), and the intersection size falls out of the same gram-keyed
+    join — recall is exactly 1.0 at the threshold, unlike MinHash-LSH.
+    Scale: cost follows gram document-frequency, not n²; on a real corpus
+    add a df-cap filter on grams (drop grams in > maxdf docs) — the
+    standard rare-gram restriction — before the self-join.
+
+    Docs with fewer than ``n`` tokens produce no grams (and thus no pairs),
+    identically on the SQL-oracle side.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col(id_col).alias("id_a"), "gram")
+    b = g.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        a.join(b, (a["gram"] == b["gram"]) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+        )
         .withColumn(
             "jaccard",
             F.round(

@@ -128,6 +128,160 @@ def hyperplane_signatures(
     )
 
 
+def multitable_signatures(
+    df: DataFrame,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-table sign-LSH signatures → (id, table, signature).
+
+    ``num_tables`` independent hash tables of ``planes_per_table`` planes
+    each (plane p belongs to table p div planes_per_table). Multiple short
+    tables trade precision for recall: a pair colliding in ANY table
+    becomes a candidate — the cosine analogue of MinHash banding.
+    """
+    spark = df.sparkSession
+    n_dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first().d
+    total = num_tables * planes_per_table
+    planes = spark.range(total).select(
+        F.col("id").alias("plane"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_dims - 1))).alias("dim"),
+    )
+    planes = planes.withColumn("comp", _plane_component(F.col("plane"), F.col("dim")))
+    comps = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "dim")
+        .groupBy(id_col, "plane")
+        .agg(F.sum(F.col("x") * F.col("comp")).alias("dot"))
+        .withColumn("table", F.expr(f"int(plane div {planes_per_table})"))
+        .withColumn("bit", (F.col("dot") > 0).cast("int").cast("string"))
+    )
+    return dots.groupBy(id_col, "table").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
+                lambda s: s["bit"],
+            ),
+        ).alias("signature")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine),
+    id_a < id_b, cosine ≥ threshold, candidates from multi-table sign-LSH.
+
+    The dedup-shaped use of similarity search: pairs colliding in any of
+    the LSH tables are verified with the exact cosine; the corpus-wide
+    cross product never materializes. Recall rises with ``num_tables``
+    (union of candidates) — the knob a 100 TB embedding-dedup job tunes.
+    """
+    sigs = multitable_signatures(df, num_tables, planes_per_table, id_col, vec_col)
+    left = sigs.select(F.col(id_col).alias("id_a"), "table", "signature")
+    right = sigs.select(F.col(id_col).alias("id_b"), "table", "signature")
+    cands = (
+        left.join(right, ["table", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), decimals),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def topk_neighbors_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-style ANN → (query_id, neighbor_id, cosine): the corpus is
+    partitioned into ``num_centroids`` cells by nearest centroid; each
+    query probes its ``nprobe`` nearest cells and ranks exactly within
+    them.
+
+    The coarse quantizer here is deterministic (the first
+    ``num_centroids`` corpus vectors by id) so the whole operator has an
+    exact SQL oracle; a production build swaps in k-means centroids — the
+    cell-assignment, probe, and in-cell search plans are unchanged. Scale:
+    centroids broadcast twice (tiny), assignment is one corpus scan + a
+    window, and search shuffles only probed cells — corpus never
+    self-joins. Assignment/probe similarities are rounded before ranking
+    so cell choices are engine-portable.
+    """
+    cents = corpus.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("sim"), F.asc("cent_id")
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__nvec"), F.col("__cent")), decimals)
+        )
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", F.col("cent_id").alias("cell"), "__nvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__qvec"), F.col("__cent")), decimals)
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "__qvec")
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__qvec"), F.col("__nvec")), decimals),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def topk_neighbors_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,289 @@
+"""Corpus-pipeline battery, part 2: quality scoring, BPE-ish token
+counting, rolling-hash fingerprints, exact n-gram Jaccard dedup,
+embedding-cosine near-dup, IVF ANN.
+
+Completes the training-data-pipeline operator families the engine covers
+(SURVEY.md §7 M6; the dedup/similarity/text batteries live in
+battery_text.py). Same contract: every Spark plan is paired with a DuckDB
+oracle stating the identical deterministic computation in SQL — doubles
+are rounded in-plan on both sides, every ranking has a total order, all
+pseudo-randomness is md5-derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators import dedup as D
+from flight_radar_pipeline_spark.operators import similarity as S
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery_text import _nibble_case
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# quality scoring
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = r"""
+    with s as (
+        select doc_id,
+               cast(len(regexp_split_to_array(trim(text), '\s+')) as double) as ntok,
+               cast(length(regexp_replace(text, '\s', '', 'g')) as double) as nonspace,
+               round((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+                     / greatest(length(text), 1), 10) as pr
+        from documents
+    )
+    select doc_id,
+           round(((case when ntok >= 10 and ntok <= 100000 then 1.0 else 0.3 end)::double
+                + (case when nonspace / greatest(ntok, 1.0) >= 2.0
+                         and nonspace / greatest(ntok, 1.0) <= 12.0 then 1.0 else 0.4 end)::double
+                + (case when pr <= 0.2 then 1.0 else 0.5 end)::double) / 3.0, 4) as quality
+    from s
+    order by doc_id
+"""
+
+
+@register("doc_quality_score", _QUALITY_ORACLE)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-cleaning quality score in [0,1] (length band +
+    mean-token-length band + punctuation density) — the standard cheap
+    pre-filter before expensive model-based scoring; pure column exprs,
+    scan-speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.quality_score("text").alias("quality")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting
+# --------------------------------------------------------------------------
+
+_TOKCLASS_ORACLE = r"""
+    select doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) as n_bpe_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+')) as n_word_tokens,
+           len(regexp_extract_all(text, '[0-9]')) as n_digit_tokens,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) as n_other_tokens
+    from documents
+    order by doc_id
+"""
+
+
+@register("doc_token_classes", _TOKCLASS_ORACLE)
+def doc_token_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex: letter
+    runs / single digits / single marks) plus per-class counts — the
+    token-budget estimator a training-data pipeline runs over every
+    document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.regex_token_count("text").alias("n_bpe_tokens"),
+        T.regex_token_count("text", r"[A-Za-z]+").alias("n_word_tokens"),
+        T.regex_token_count("text", r"[0-9]").alias("n_digit_tokens"),
+        T.regex_token_count("text", r"[^A-Za-z0-9\s]").alias("n_other_tokens"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# rolling-hash fingerprint (winnowing-style)
+# --------------------------------------------------------------------------
+
+_WIN, _KEEP, _BASE, _MOD = 16, 4, 31, 1_000_000_007
+
+# doc_id < 200: the oracle side hashes every window of every doc in SQL
+# lists, which is O(len·window) per row — bounded for the gate; the Spark
+# operator itself is unrestricted.
+_ROLLFP_ORACLE = rf"""
+    with c as (
+        select doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') as canon
+        from documents where doc_id < 200
+    ), w as (
+        select doc_id, unnest(
+            case when length(canon) >= {_WIN}
+                 then [substr(canon, i, {_WIN}) for i in range(1, length(canon) - {_WIN - 1} + 1)]
+                 else [canon] end) as win
+        from c
+    ), h as (
+        select doc_id,
+               list_reduce([ascii(substr(win, i, 1))::bigint for i in range(1, length(win) + 1)],
+                           (a, b) -> (a * {_BASE} + b) % {_MOD}) as hv
+        from w
+    )
+    select doc_id,
+           array_to_string(list_sort(list_distinct(list(hv)))[1:{_KEEP}], '-') as rolling_fp
+    from h group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_rolling_fingerprint", _ROLLFP_ORACLE)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints (min-k of polynomial
+    window hashes) — edit-robust near-copy detection keys, computed as
+    nested array exprs entirely JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint("text", _WIN, _KEEP, _BASE, _MOD).alias("rolling_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup
+# --------------------------------------------------------------------------
+
+_N, _JT = 3, 0.4
+
+_NGRAM_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks from documents
+    ), g as (
+        select doc_id, unnest(list_distinct(
+            case when len(toks) >= {_N}
+                 then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - {_N - 2})]
+                 else [] end)) as gram
+        from t
+    ), sizes as (
+        select doc_id, count(*) as sz from g group by doc_id
+    ), inter as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter_sz
+        from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+        group by 1, 2
+    )
+    select id_a, id_b,
+           round(inter_sz / (sa.sz + sb.sz - inter_sz), 4) as jaccard
+    from inter
+    join sizes sa on sa.doc_id = id_a
+    join sizes sb on sb.doc_id = id_b
+    where inter_sz / (sa.sz + sb.sz - inter_sz) >= {_JT}
+    order by id_a, id_b
+"""
+
+
+@register("ngram_jaccard_pairs", _NGRAM_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup via inverted-index join — the
+    recall-1.0 complement to MinHash-LSH (which sketches the same
+    similarity). Cost follows gram document-frequency, never n²."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=_N, jaccard_threshold=_JT
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup (multi-table sign-LSH)
+# --------------------------------------------------------------------------
+
+_NT, _PPT, _CT = 4, 4, 0.35
+
+_COS_DUP_ORACLE = f"""
+    with comps as (
+        select vec_id, unnest(embedding::DOUBLE[]) as x,
+               unnest(range(0, len(embedding))) as dim
+        from embeddings
+    ), planes as (
+        select plane, dim,
+               {_nibble_case("substr(md5(plane::varchar || '-' || dim::varchar), 1, 1)")}::double - 7.5 as comp
+        from (select unnest(range(0, {_NT * _PPT})) as plane)
+        cross join (select unnest(range(0, 64)) as dim)
+    ), dots as (
+        select c.vec_id, p.plane, sum(c.x * p.comp) as dot
+        from comps c join planes p on c.dim = p.dim
+        group by c.vec_id, p.plane
+    ), sig as (
+        select vec_id, plane // {_PPT} as tbl,
+               string_agg(case when dot > 0 then '1' else '0' end, '' order by plane) as signature
+        from dots group by vec_id, plane // {_PPT}
+    ), cand as (
+        select distinct l.vec_id as id_a, r.vec_id as id_b
+        from sig l join sig r
+          on l.tbl = r.tbl and l.signature = r.signature and l.vec_id < r.vec_id
+    ), v as (
+        select vec_id, embedding::DOUBLE[] as v from embeddings
+    )
+    select id_a, id_b, round(list_cosine_similarity(a.v, b.v), 6) as cosine
+    from cand join v a on a.vec_id = id_a join v b on b.vec_id = id_b
+    where round(list_cosine_similarity(a.v, b.v), 6) >= {_CT}
+    order by id_a, id_b
+"""
+
+
+@register("embedding_near_dup_pairs", _COS_DUP_ORACLE)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: 4 independent sign-LSH
+    tables of 4 planes generate candidates (union over tables — the
+    cosine analogue of MinHash banding), exact cosine verifies. The
+    corpus cross product never materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(
+        emb, threshold=_CT, num_tables=_NT, planes_per_table=_PPT
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# IVF ANN
+# --------------------------------------------------------------------------
+
+_NC, _NPROBE, _KNN = 16, 2, 5
+
+_IVF_ORACLE = f"""
+    with cents as (
+        select vec_id as cent_id, embedding::DOUBLE[] as cv
+        from embeddings where vec_id < {_NC}
+    ), c as (
+        select vec_id as neighbor_id, embedding::DOUBLE[] as nv from embeddings
+    ), assign as (
+        select neighbor_id, nv, cent_id as cell from (
+            select c.neighbor_id, c.nv, cents.cent_id,
+                   row_number() over (
+                       partition by c.neighbor_id
+                       order by round(list_cosine_similarity(c.nv, cents.cv), 6) desc,
+                                cents.cent_id
+                   ) as rn
+            from c cross join cents
+        ) where rn = 1
+    ), q as (
+        select vec_id as query_id, embedding::DOUBLE[] as qv
+        from embeddings where vec_id < 10
+    ), probes as (
+        select query_id, qv, cent_id as cell from (
+            select q.query_id, q.qv, cents.cent_id,
+                   row_number() over (
+                       partition by q.query_id
+                       order by round(list_cosine_similarity(q.qv, cents.cv), 6) desc,
+                                cents.cent_id
+                   ) as rn
+            from q cross join cents
+        ) where rn <= {_NPROBE}
+    ), scored as (
+        select query_id, neighbor_id,
+               round(list_cosine_similarity(qv, nv), 6) as cosine
+        from probes join assign using (cell)
+        where query_id != neighbor_id
+    ), r as (
+        select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+        ) as rn from scored
+    )
+    select query_id, neighbor_id, cosine from r where rn <= {_KNN}
+    order by query_id, neighbor_id
+"""
+
+
+@register("embedding_topk_ivf", _IVF_ORACLE)
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 16 deterministic coarse centroids partition the corpus
+    into cells; 10 queries probe their 2 nearest cells and rank exactly
+    within them. Centroids broadcast, assignment is one scan + window,
+    search touches probed cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_neighbors_ivf(
+        emb, queries, k=_KNN, num_centroids=_NC, nprobe=_NPROBE
+    ).orderBy("query_id", "neighbor_id")

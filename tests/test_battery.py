@@ -1,0 +1,26 @@
+"""Driver-battery oracle parity at sf0.001 — local mirror of the t2 gate.
+
+Every REGISTRY query with an oracle runs on the smallest synthetic tables
+and must hash-match its DuckDB SQL; queries without an oracle must at
+least build and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from oracle import compare
+
+QUERIES = entry.queries()
+ORACLES = entry.oracle_sql()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_battery_query(name, spark, duck):
+    df = QUERIES[name](spark, SF_DIR)
+    if name in ORACLES:
+        compare(df, ORACLES[name], duck)
+    else:
+        assert df.count() >= 0 and len(df.schema.fields) > 0
