@@ -38,6 +38,7 @@ def _registry():
         battery,
         battery_corpus,
         battery_ext,
+        battery_temporal,
         battery_text,
     )
 

@@ -1,0 +1,122 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and pure range join.
+
+Both are implemented as compositions of existing DataFrame ops (SURVEY.md
+§2 "custom operators" rule: composition first, Pandas UDF only when
+semantics force it — here they don't):
+
+- ``asof_join`` — pandas ``merge_asof`` semantics, distributed: tag both
+  sides, union, ONE shuffle on the key, in-partition sort, then a
+  ``last(ignorenulls)`` carry-forward window. No range cross product, no
+  per-key collect.
+- ``range_join_bucketed`` — inequality-only (no equi key) interval
+  containment as an equi-join on coarse time buckets. Spark's planner
+  falls back to BroadcastNestedLoopJoin for pure theta joins; bucketing
+  restores hash-join scaling — shuffle volume follows bucket occupancy,
+  not |events| × |intervals|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` (backward, inclusive) within the same ``on``
+    key; left rows with no prior right row keep nulls (left-outer).
+
+    Right side contract: value columns must not collide with left column
+    names (alias before calling), and (on, right_ts) must be unique —
+    dedupe first, or the winner among equal timestamps is unspecified.
+    Null-timestamp right rows never match; null-timestamp left rows match
+    nothing.
+
+    Scale: one shuffle keyed on ``on``; within each key partition the
+    union is sorted once and scanned once (the window frame is
+    unbounded-preceding ``last``, which Spark evaluates without
+    re-scanning the frame per row). Hot keys are a data problem, not a
+    plan problem — salt upstream if one key dominates.
+
+    ``tolerance_seconds`` masks matches older than the given gap
+    (pandas ``merge_asof(tolerance=...)``).
+    """
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    collide = set(rcols) & set(left.columns)
+    if collide:
+        raise ValueError(f"right value columns collide with left: {sorted(collide)}")
+
+    l = left.withColumn("__ats", F.col(left_ts)).withColumn("__side", F.lit(1))
+    r = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(F.col(on), F.col(right_ts).alias("__ats"), *rcols)
+        .withColumn("__side", F.lit(0))
+        .withColumn("__rts", F.col("__ats"))
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc_nulls_first("__ats"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols]
+    matched_ts = F.last("__rts", ignorenulls=True).over(w).alias("__mts")
+    out = (
+        u.select(*left.columns, F.col("__side"), matched_ts, *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+    if tolerance_seconds is not None:
+        ok = (
+            F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col("__mts"))
+        ) <= tolerance_seconds
+        out = out.select(
+            *left.columns,
+            F.col("__mts"),
+            *[F.when(ok, F.col(c)).alias(c) for c in rcols],
+        )
+    return out.drop("__mts")
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner containment join: event × interval pairs with
+    ``start <= ts < end`` and NO equi key — distributed as an equi-join
+    on coarse time buckets.
+
+    Each interval explodes to every ``bucket_seconds`` bucket it covers
+    (flooring only widens coverage — never misses an event); each event
+    maps to exactly one bucket, so pairs are produced at most once and
+    need no dedup. Pick ``bucket_seconds`` near the typical interval
+    length: shorter → more interval replicas; longer → more
+    false-candidate events per bucket.
+    """
+    b = int(bucket_seconds)
+    ev = events.withColumn("__bucket", F.expr(f"unix_timestamp({ts_col}) div {b}"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_timestamp({start_col}) div {b}"),
+                F.expr(f"unix_timestamp({end_col}) div {b}"),
+            )
+        ),
+    )
+    return (
+        ev.join(iv, "__bucket")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bucket")
+    )
