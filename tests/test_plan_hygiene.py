@@ -1,0 +1,49 @@
+"""Scale-posture guards over every registry plan (SURVEY.md §4):
+
+- no ``BatchEvalPython`` anywhere — row-at-a-time Python UDFs break
+  WholeStageCodegen and serialize every row through a Python worker; the
+  only sanctioned Python is Arrow-batched (``MapInPandas`` nodes in the
+  multimodal plumbing);
+- column pruning reaches the parquet scan on representative queries — a
+  scan reading all columns for a narrow projection would multiply IO 10×
+  at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+QUERIES = entry.queries()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_row_at_a_time_python(name, spark):
+    plan = _plan(QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use native exprs or "
+        "Arrow-batched pandas"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,table,cols",
+    [
+        ("pricing_summary", "lineitem", 7),   # 7 of 16 lineitem columns
+        ("doc_quality_score", "documents", 2),  # doc_id + text of 5
+        ("hourly_event_counts", "events", 3),   # ts, event_type, value of 6
+    ],
+)
+def test_column_pruning_reaches_scan(name, table, cols, spark):
+    plan = _plan(QUERIES[name](spark, SF_DIR))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and table in l]
+    assert scans, f"{name}: no parquet scan of {table} found"
+    head = scans[0].split("]")[0]
+    n = head.count(",") + 1
+    assert n <= cols, f"{name}: scan reads {n} columns of {table}, expected <= {cols}"
