@@ -1,0 +1,21 @@
+"""CLI smoke: every reference command runs against a gold snapshot and
+prints JSON rows (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flight_radar_pipeline_spark import cli
+
+
+@pytest.mark.parametrize("command", sorted(cli.COMMANDS))
+def test_cli_command(command, spark, flight_tables, capsys, monkeypatch):
+    # reuse the test session instead of booting a second JVM; keep it alive
+    monkeypatch.setattr(cli, "get_spark_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    rc = cli.main([command, "--gold", flight_tables["flights_gold"]])
+    assert rc == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(out) >= 1 and isinstance(out[0], dict)
