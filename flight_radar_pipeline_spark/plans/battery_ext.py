@@ -16,7 +16,57 @@ from flight_radar_pipeline_spark.streaming.events import (
     hourly_counts_stream,
     read_events_stream,
     run_stream_to_memory,
+    sessionize_stream,
 )
+
+
+@register(
+    "closed_sessions_stream",
+    # the stateful operator emits every session except each user's trailing
+    # open one — restated here as lag+cumsum sessionization minus the last
+    # session per user.
+    """
+    with d as (
+        select user_id, ts,
+               lag(ts) over (partition by user_id order by ts) as prev
+        from events
+    ), m as (
+        select user_id, ts,
+               case when prev is null or ts - prev > interval 30 minute
+                    then 1 else 0 end as new_s
+        from d
+    ), s as (
+        select user_id, ts,
+               sum(new_s) over (
+                   partition by user_id order by ts
+                   rows unbounded preceding
+               ) as sid
+        from m
+    ), agg as (
+        select user_id, sid,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') as session_end,
+               count(*) as n_events
+        from s group by user_id, sid
+    ), last as (
+        select user_id, max(sid) as last_sid from agg group by user_id
+    )
+    select a.user_id, a.session_start, a.session_end, a.n_events
+    from agg a join last l
+      on a.user_id = l.user_id and a.sid < l.last_sid
+    order by a.user_id, a.session_start
+    """,
+)
+def closed_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: ``applyInPandasWithState``
+    sessionizer that emits closed sessions and holds each user's open
+    session in bounded (3×int64) state. Vectorized numpy inside the
+    Arrow-batched group function — no Python row loop."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    closed = sessionize_stream(events, gap_minutes=30)
+    return run_stream_to_memory(closed, output_mode="append").orderBy(
+        "user_id", "session_start"
+    )
 
 
 @register(

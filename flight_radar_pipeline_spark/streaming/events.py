@@ -77,6 +77,108 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", StringType(), True),
+        StructField("session_end", StringType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+SESSION_STATE = StructType(
+    [
+        StructField("start", LongType(), True),  # session start, epoch micros
+        StructField("last", LongType(), True),   # last event seen
+        StructField("n", LongType(), True),      # events so far
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-user sessionization that EMITS closed sessions and KEEPS the open
+    one in state.
+
+    Semantics match native ``session_window`` boundaries (events exactly
+    ``gap`` apart merge; strictly greater starts a new session), so the
+    emitted set is exactly "every session except each user's trailing open
+    one" — which is what makes the operator oracle-checkable in SQL.
+
+    The per-group function is vectorized numpy (diff → boundary mask →
+    cumulative group ids), not a Python row loop; batches arrive via
+    Arrow. State per key is three int64s — bounded regardless of stream
+    length. Ordering contract: within one microbatch rows are sorted here;
+    across microbatches events must arrive in event-time order per key
+    (true for a replayed file drop; a production feed adds a watermark +
+    timeout to close straggler sessions).
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def close_sessions(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        parts = [pdf["ts"] for pdf in pdf_iter]
+        if not parts:
+            return
+        ts = pd.concat(parts).sort_values()
+        mic = (ts.astype("int64") // 1000).to_numpy()
+        if mic.size == 0:
+            return
+        if state.exists:
+            p_start, p_last, p_n = state.get
+        else:
+            p_start = p_last = p_n = None
+
+        starts = np.empty(mic.size, dtype=bool)
+        starts[0] = True
+        starts[1:] = (mic[1:] - mic[:-1]) > gap_us
+        first_idx = np.flatnonzero(starts)
+        g_start = mic[first_idx].copy()
+        g_end = mic[np.r_[first_idx[1:] - 1, mic.size - 1]]
+        g_n = np.diff(np.r_[first_idx, mic.size])
+
+        closed: list[tuple[int, int, int]] = []
+        if p_last is not None and mic[0] - p_last <= gap_us:
+            g_start[0] = p_start
+            g_n[0] += p_n
+        elif p_last is not None:
+            closed.append((p_start, p_last, p_n))
+        closed.extend(
+            (int(g_start[i]), int(g_end[i]), int(g_n[i]))
+            for i in range(len(g_start) - 1)
+        )
+        state.update((int(g_start[-1]), int(g_end[-1]), int(g_n[-1])))
+        if closed:
+            fmt = "%Y-%m-%d %H:%M:%S"
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(closed), key[0], dtype=np.int64),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="us").strftime(fmt) for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="us").strftime(fmt) for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            close_sessions,
+            SESSION_OUT,
+            SESSION_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame,
     output_mode: str = "complete",
