@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
+from flight_radar_pipeline_spark.operators.skew import salted_join
 from flight_radar_pipeline_spark.plans.battery import REGISTRY, register
 from flight_radar_pipeline_spark.sources.readers import load_table
 from flight_radar_pipeline_spark.streaming.events import (
@@ -91,6 +92,39 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     result = hourly_counts_stream(events)
     return run_stream_to_memory(result).orderBy("hour_start", "event_type")
+
+
+@register(
+    "segment_revenue_salted_join",
+    # the salt is physical strategy only — the oracle is the plain join
+    """
+    select c_mktsegment,
+           count(*) as n_orders,
+           round(sum(o_totalprice), 2) as revenue
+    from orders join customer on o_custkey = c_custkey
+    group by c_mktsegment
+    order by c_mktsegment
+    """,
+)
+def segment_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join (operators/skew.py): deterministic row-hash
+    salt on the fact side, 8× replicated dimension, join on (key, salt) —
+    identical logical result to the plain join, verified by the plain-SQL
+    oracle. The strategy for a hot customer key when the dimension is too
+    big to broadcast and AQE skew handling can't see the skew."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_join(orders, customer, on=[("o_custkey", "c_custkey")], buckets=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 @register(

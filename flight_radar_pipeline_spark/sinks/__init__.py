@@ -3,6 +3,7 @@
 from flight_radar_pipeline_spark.sinks.writers import (
     latest_snapshot,
     with_date_parts,
+    write_bucketed_table,
     write_partitioned,
     write_single_csv,
 )
@@ -10,6 +11,7 @@ from flight_radar_pipeline_spark.sinks.writers import (
 __all__ = [
     "latest_snapshot",
     "with_date_parts",
+    "write_bucketed_table",
     "write_partitioned",
     "write_single_csv",
 ]

@@ -72,6 +72,27 @@ def write_single_csv(df: DataFrame, path: str, max_rows: int = 1_000_000) -> Non
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+) -> None:
+    """Bucketed + sorted ``saveAsTable``: co-locates join keys at write
+    time, so equi-joins between tables bucketed the same way on the same
+    column plan as Exchange-free sort-merge joins — the shuffle is paid
+    once at write, not on every query. The canonical layout for a fact
+    table joined repeatedly on one key at 100 TB (pick ``num_buckets`` ≈
+    cluster cores × small factor; both sides must match)."""
+    (
+        df.write.bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def latest_snapshot(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read only the most recent (year, month, day) partition (S8
     equivalent). The max() pass touches partition metadata only (partition
