@@ -6,6 +6,7 @@ Registered into the shared REGISTRY on import (see __spark_entry__).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,6 +93,81 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     result = hourly_counts_stream(events)
     return run_stream_to_memory(result).orderBy("hour_start", "event_type")
+
+
+@register(
+    "order_status_cube",
+    """
+    select coalesce(o_orderstatus, 'ALL') as status,
+           coalesce(o_orderpriority, 'ALL') as priority,
+           count(*) as n_orders,
+           count(distinct o_custkey) as n_customers,
+           round(sum(o_totalprice), 2) as revenue
+    from orders
+    group by cube (o_orderstatus, o_orderpriority)
+    order by status, priority
+    """,
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with a distinct aggregation — the two
+    §2.5 'not present in reference' items in one plan. Spark expands the
+    cube into grouping sets with partial aggregation per set; the distinct
+    count triggers the expand-then-agg rewrite."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "n_customers",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register(
+    "priority_weighted_price",
+    # grouped weighted mean stated directly in SQL
+    """
+    select o_orderpriority,
+           round(sum(o_totalprice * (7 - o_orderkey % 7)) / sum(7 - o_orderkey % 7), 2)
+               as weighted_avg_price
+    from orders
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def priority_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDAF (grouped-agg ``pandas_udf``) — the sanctioned
+    Python path when an aggregate has no built-in: Arrow ships whole column
+    batches, numpy reduces them; no per-row Python. Here a weighted mean
+    with deterministic synthetic weights; the oracle states the same
+    arithmetic in SQL. (Use built-ins when they exist — this demonstrates
+    the UDAF surface, and the rounding absorbs partial-sum order.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
+        return float((price * weight).sum() / weight.sum())
+
+    orders = load_table(spark, sf_dir, "orders")
+    weighted = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        (7 - F.col("o_orderkey") % 7).cast("double").alias("w"),
+    )
+    return (
+        weighted.groupBy("o_orderpriority")
+        .agg(F.round(weighted_mean("o_totalprice", "w"), 2).alias("weighted_avg_price"))
+        .orderBy("o_orderpriority")
+    )
 
 
 @register(

@@ -57,8 +57,16 @@ def test_salted_rejects_bad_args(skewed):
 
 
 def test_cobucketed_join_has_no_exchange(spark, tmp_path):
-    spark.sql("drop table if exists bk_fact")
-    spark.sql("drop table if exists bk_dim")
+    import shutil
+
+    for t in ("bk_fact", "bk_dim"):
+        spark.sql(f"drop table if exists {t}")
+        # the ephemeral metastore forgets tables between sessions but the
+        # warehouse directory persists — clear it or saveAsTable refuses
+        shutil.rmtree(
+            f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/{t}",
+            ignore_errors=True,
+        )
     fact = spark.range(2000).select(
         (F.col("id") % 100).alias("k"), F.col("id").alias("v")
     )
