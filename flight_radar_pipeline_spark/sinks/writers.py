@@ -72,6 +72,15 @@ def write_single_csv(df: DataFrame, path: str, max_rows: int = 1_000_000) -> Non
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
 
 
+def write_if_absent(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Idempotent dimension write (SURVEY §2.1 S9): the reference probes the
+    bucket for a ``_SUCCESS`` marker driver-side before deciding to extract
+    (``/root/reference/src/main.py:42-45``); Spark's ``mode("ignore")`` is
+    the same skip-if-output-exists semantics enforced at the committer, with
+    no listing race."""
+    df.write.mode("ignore").format(fmt).save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

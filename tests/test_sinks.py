@@ -58,3 +58,14 @@ def test_write_single_csv_guards_large_input(spark, dated_df, tmp_path):
     assert back.count() == 5
     with pytest.raises(ValueError, match="small dimensions"):
         write_single_csv(dated_df, str(tmp_path / "nope"), max_rows=3)
+
+
+def test_write_if_absent_is_idempotent(spark, dated_df, tmp_path):
+    from flight_radar_pipeline_spark.sinks import write_if_absent
+
+    path = str(tmp_path / "dim_once")
+    write_if_absent(dated_df, path)
+    first = spark.read.parquet(path).count()
+    # second write is a no-op (mode ignore), not an append or overwrite
+    write_if_absent(dated_df.limit(1), path)
+    assert spark.read.parquet(path).count() == first == 5
