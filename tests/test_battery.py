@@ -24,3 +24,27 @@ def test_battery_query(name, spark, duck):
         compare(df, ORACLES[name], duck)
     else:
         assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+# order-sensitive shapes (top-k windows, sorted collects, as-of carry,
+# LSH candidate generation): identical output under different shuffle
+# widths or the determinism claim is hollow
+@pytest.mark.parametrize(
+    "name",
+    [
+        "top3_parts_per_brand",
+        "latest_order_per_customer",
+        "click_view_attribution",
+        "minhash_near_dup_pairs",
+    ],
+)
+def test_battery_partition_determinism(name, spark):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        many = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert one == many
