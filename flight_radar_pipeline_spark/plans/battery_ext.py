@@ -96,6 +96,50 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customers_without_orders",
+    """
+    select c_custkey, c_name from customer c
+    where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+    order by c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (left_anti) — NOT EXISTS as one broadcast hash anti join;
+    no subquery re-scan per row."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "nations_with_customers",
+    """
+    select n_nationkey, n_name from nation n
+    where exists (select 1 from customer c where c.c_nationkey = n.n_nationkey)
+    order by n_nationkey
+    """,
+)
+def nations_with_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (left_semi) — EXISTS without materializing the right side
+    into the output; the probe side short-circuits on first match."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(
+            customer, nation["n_nationkey"] == customer["c_nationkey"], "left_semi"
+        )
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
     "order_status_cube",
     """
     select coalesce(o_orderstatus, 'ALL') as status,

@@ -81,3 +81,11 @@ def test_gold_distance_matches_oracle_f32(gold, duck):
         from flights_gold
     """
     compare(got, sql, duck, float_rtol=1e-6)
+
+
+def test_observed_counts_single_pass(spark):
+    from flight_radar_pipeline_spark.pipeline.metrics import observed_counts
+
+    df, obs = observed_counts(spark.range(123).select("id"), "silver_rows")
+    df.write.format("noop").mode("overwrite").save()
+    assert obs.get["rows"] == 123
