@@ -96,6 +96,75 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_event_type_pivot",
+    # pivot = conditional aggregation; stated as CASE sums so the oracle
+    # is engine-agnostic
+    """
+    select user_id,
+           sum(case when event_type = 'click'    then 1 else 0 end) as click,
+           sum(case when event_type = 'error'    then 1 else 0 end) as error,
+           sum(case when event_type = 'purchase' then 1 else 0 end) as purchase,
+           sum(case when event_type = 'signup'   then 1 else 0 end) as signup,
+           sum(case when event_type = 'view'     then 1 else 0 end) as view
+    from events
+    group by user_id
+    order by user_id
+    """,
+)
+def user_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (open-ended pivot would need a
+    driver-side distinct pass — always pin the columns at scale). One hash
+    aggregate; each cell is a conditional count."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .orderBy("user_id")
+    )
+    return out.select(
+        "user_id", *[F.col(k).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "customer_7d_order_sum",
+    """
+    select o_custkey, o_orderkey,
+           round(sum(o_totalprice) over (
+               partition by o_custkey order by o_orderdate
+               range between interval 7 day preceding and current row
+           ), 2) as sum_7d
+    from orders
+    order by o_custkey, o_orderkey
+    """,
+)
+def customer_7d_order_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per customer, rolling 7-day
+    order-value sum. Spark range frames need a numeric ordering column, so
+    the timestamp becomes epoch seconds and the frame is ±seconds — the
+    idiomatic translation of an interval frame."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("sum_7d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
     "customers_without_orders",
     """
     select c_custkey, c_name from customer c
