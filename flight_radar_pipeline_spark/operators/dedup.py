@@ -75,31 +75,60 @@ def shingles(
     return df.select(F.col(id_col), F.explode(arr).alias("shingle"))
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per shingle
+# (the base integer H comes from its first 7 hex nibbles, < 2^28), then each
+# seed s maps H through h_s = (a_s·H + b_s) mod P — two multiplies instead
+# of an md5 per (shingle, seed). Constants are fixed odd mixers reduced mod
+# P; products stay < 2^59, no int64 overflow.
+MINHASH_P = 2_147_483_647
+_MIX_A, _MIX_B = 0x9E3779B1, 0x85EBCA6B
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((_MIX_A * (s + 1)) % MINHASH_P, (_MIX_B * (s + 1)) % MINHASH_P)
+        for s in range(num_hashes)
+    ]
+
+
+def _hex_prefix_long(m: Column, n: int = 7) -> Column:
+    """First ``n`` hex nibbles of a hex-string column as a bigint (CASE
+    cascade per nibble — portable to any SQL dialect)."""
+    out = F.lit(0).cast("bigint")
+    for i in range(n):
+        out = out * 16 + _nibble_value(F.substr(m, F.lit(i + 1), F.lit(1))).cast(
+            "bigint"
+        )
+    return out
+
+
 def minhash_signatures(
     shingle_df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document → (id, minhashes array<string>).
+    """MinHash signature per document → (id, minhashes array<bigint>).
 
-    Hash family h_s(x) = md5(s || ':' || x) for seed s — deterministic and
-    engine-portable; the signature entry for seed s is the lexicographic min
-    over the document's shingles.
+    Deterministic and engine-portable: md5 hashes each shingle ONCE to a
+    28-bit integer; the ``num_hashes`` family members are universal hashes
+    (a_s·H + b_s) mod 2^31-1 — pure codegen'd integer arithmetic, stated
+    identically in the SQL oracle.
 
-    Scale: all ``num_hashes`` hashes are computed as columns of the SAME
-    (id, shingle) row and reduced by ``num_hashes`` parallel ``min``
-    aggregates in one doc-keyed pass — no seed explosion (×16 row blowup),
-    no (id, seed) shuffle, full map-side partial aggregation. One shuffle,
-    keyed on the doc id.
+    Scale: all hashes are expressions over the SAME (id, shingle) row,
+    reduced by ``num_hashes`` parallel ``min`` aggregates in one doc-keyed
+    pass — no seed explosion, one md5 per shingle instead of one per
+    (shingle, seed), full map-side partial aggregation, long-typed agg
+    buffers instead of strings. One shuffle, keyed on the doc id.
     """
+    base = shingle_df.select(
+        F.col(id_col), _hex_prefix_long(F.md5(F.col("shingle"))).alias("__H")
+    )
     mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
-        ).alias(f"__mh{s}")
-        for s in range(num_hashes)
+        F.min((F.lit(a) * F.col("__H") + F.lit(b)) % MINHASH_P).alias(f"__mh{s}")
+        for s, (a, b) in enumerate(minhash_constants(num_hashes))
     ]
     return (
-        shingle_df.groupBy(id_col)
+        base.groupBy(id_col)
         .agg(*mins)
         .select(
             id_col,
@@ -129,7 +158,12 @@ def lsh_candidate_pairs(
                 F.md5(
                     F.concat_ws(
                         "|",
-                        F.slice(F.col("minhashes"), b * rows_per_band + 1, rows_per_band),
+                        F.transform(
+                            F.slice(
+                                F.col("minhashes"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
                     )
                 ).alias("band_key"),
             ),

@@ -147,15 +147,39 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K, _NH, _NB = 8, 16, 4  # shingle chars, hashes, bands (4 rows/band)
 _THRESH = 0.35
 
+
+def _hex_prefix_sql(expr: str, n: int = 7) -> str:
+    """First n hex nibbles of a hex-string SQL expression as a bigint —
+    mirrors operators.dedup._hex_prefix_long."""
+    out = "0"
+    for i in range(n):
+        out = f"({out} * 16 + {_nibble_case(f'substr({expr}, {i + 1}, 1)')})"
+    return out
+
+
+def _minhash_seed_values() -> str:
+    from flight_radar_pipeline_spark.operators.dedup import minhash_constants
+
+    return ", ".join(
+        f"({s}, {a}, {b})" for s, (a, b) in enumerate(minhash_constants(_NH))
+    )
+
+
 _MINHASH_ORACLE = f"""
     with sh as (
         select doc_id, unnest(list_distinct(
             [substr(text, i, {_K}) for i in range(1, greatest(length(text) - {_K - 1}, 1) + 1)]
         )) as shingle
         from documents
+    ), hashed as (
+        select doc_id, shingle,
+               {_hex_prefix_sql("md5(shingle)")}::bigint as H
+        from sh
+    ), seeds(seed, a, b) as (
+        values {_minhash_seed_values()}
     ), mh as (
-        select doc_id, seed, min(md5(seed::varchar || ':' || shingle)) as mh
-        from sh cross join (select unnest(range(0, {_NH})) as seed)
+        select doc_id, seed, min((a * H + b) % 2147483647) as mh
+        from hashed cross join seeds
         group by doc_id, seed
     ), sig as (
         select doc_id, list(mh order by seed) as minhashes from mh group by doc_id
