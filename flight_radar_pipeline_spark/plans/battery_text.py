@@ -223,6 +223,48 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# near-dup clusters (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+# the pair graph is the minhash oracle's output; components via recursive
+# CTE: reach(u,v) = v reachable from u over undirected edges, cluster id =
+# min reachable node (incl. self)
+_CLUSTERS_ORACLE = f"""
+    with recursive pairs as (
+        {_MINHASH_ORACLE.replace("order by id_a, id_b", "")}
+    ), und as (
+        select id_a as u, id_b as v from pairs
+        union
+        select id_b as u, id_a as v from pairs
+    ), reach(u, v) as (
+        select u, u from und
+        union
+        select r.u, e.v from reach r join und e on r.v = e.u
+    )
+    select u as doc_id, min(v) as cluster_id
+    from reach group by u
+    order by doc_id
+"""
+
+
+@register("near_dup_clusters", _CLUSTERS_ORACLE)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: driver-coordinated label
+    propagation (operators/graph.py), the iterative-algorithm class on
+    DataFrames. cluster_id = min doc id of the component, i.e. the row a
+    dedup keep-min policy retains. Oracle: recursive-CTE transitive
+    closure over the same pair graph."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.near_dup_pairs(
+        docs, "text", "doc_id",
+        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
+    )
+    from flight_radar_pipeline_spark.operators.graph import connected_components
+
+    return connected_components(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

@@ -78,3 +78,14 @@ def test_range_join_bucket_boundaries(spark):
         for r in range_join_bucketed(events, iv, bucket_seconds=3600).collect()
     )
     assert got == [1, 2]
+
+
+def test_connected_components_known_graph(spark):
+    from flight_radar_pipeline_spark.operators.graph import connected_components
+
+    # two components: {1,2,3,9} (chain 1-2, 2-3, 3-9) and {5,6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
