@@ -100,6 +100,17 @@ def quality_score(text: Column | str, decimals: int = 4) -> Column:
     return F.round((len_ok + atl_ok + punct_ok) / 3.0, decimals)
 
 
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the key — the
+    reproducible-sampling primitive. ``df.sample()`` depends on partition
+    layout and seed plumbing; hash-bucketing gives the same subset on any
+    engine, any partitioning, any run — what a training-data pipeline
+    needs so a 1% sample is stable across reprocessing. Buckets come from
+    the first 12 hex chars (48 bits) of md5, mod ``buckets``."""
+    h = F.substring(F.md5(_col(key).cast("string")), 1, 12)
+    return F.conv(h, 16, 10).cast("bigint") % buckets
+
+
 # GPT-2-style pre-tokenizer shape: letter runs, single digits, single
 # non-alphanumeric marks. Kept to the regex subset RE2, Java, and DuckDB
 # all parse identically.

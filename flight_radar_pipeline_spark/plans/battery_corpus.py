@@ -134,6 +134,31 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# deterministic sampling
+# --------------------------------------------------------------------------
+
+@register(
+    "doc_deterministic_sample",
+    """
+    select doc_id, lang from documents
+    where ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint % 10 = 0
+    order by doc_id
+    """,
+)
+def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via md5 hash-bucketing — unlike
+    ``df.sample()`` (partition-layout- and seed-plumbing-dependent), the
+    same rows are selected on any engine, any partitioning, any rerun;
+    the property a training corpus sample must have to be auditable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(T.hash_bucket("doc_id", 10) == 0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard near-dup
 # --------------------------------------------------------------------------
 
