@@ -15,11 +15,42 @@ from flight_radar_pipeline_spark.operators.skew import salted_join
 from flight_radar_pipeline_spark.plans.battery import REGISTRY, register
 from flight_radar_pipeline_spark.sources.readers import load_table
 from flight_radar_pipeline_spark.streaming.events import (
+    click_view_pairs_stream,
     hourly_counts_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
 )
+
+
+@register(
+    "click_view_pairs_stream",
+    """
+    select c.event_id as click_id, v.event_id as view_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') as click_ts
+    from events c join events v
+      on c.event_type = 'click' and v.event_type = 'view'
+     and c.user_id = v.user_id
+     and v.ts <= c.ts and v.ts >= c.ts - interval 30 minute
+    order by click_id, view_id
+    """,
+)
+def click_view_pairs_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: all
+    (click, view) pairs of a user within a 30-minute lookback. Inner join
+    ⇒ the emitted set equals the batch join, which the oracle states
+    directly."""
+    clicks = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    views = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    out = click_view_pairs_stream(clicks, views)
+    return run_stream_to_memory(out, output_mode="append").orderBy(
+        "click_id", "view_id"
+    )
 
 
 @register(

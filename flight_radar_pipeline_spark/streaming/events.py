@@ -77,6 +77,48 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def click_view_pairs_stream(
+    clicks: DataFrame,
+    views: DataFrame,
+    lookback_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (click, view) pair of the same user
+    where the view happened within ``lookback_minutes`` at-or-before the
+    click.
+
+    The two watermarks + the time-range predicate bound the join state:
+    Spark keeps only ``watermark + lookback`` of each side's history per
+    user, evicting as event time advances — without the range condition a
+    stream-stream join would buffer both streams forever. Inner join makes
+    the emitted set batch-equivalent (every match emits exactly once
+    regardless of microbatching), which is what the SQL oracle checks.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    lb = f"INTERVAL {int(lookback_minutes)} MINUTES"
+    return c.join(
+        v,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr(lb)),
+        "inner",
+    ).select(
+        "click_id",
+        "view_id",
+        F.col("c_user").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 SESSION_OUT = StructType(
     [
         StructField("user_id", LongType(), True),
