@@ -379,3 +379,75 @@ def simhash(
             ).alias("simhash")
         )
     )
+
+
+def _hex_to_long(col: Column, start: int, length: int) -> Column:
+    """Hex substring → bigint via base conversion (≤ 15 nibbles)."""
+    return F.conv(F.substring(col, start, length), 16, 10).cast("bigint")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance →
+    (id_a, id_b, hamming ≤ max_hamming), id_a < id_b.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into
+    ``max_hamming + 1`` nibble blocks — any pair within distance k must
+    agree EXACTLY on at least one block, so candidates come from a
+    block-key equi-join (never n²). Verify is exact: xor + popcount over
+    the fingerprint halves (two 32-bit loads keep the parse inside
+    signed-int64, and xor/bit_count are bitwise-identical either way).
+    The fingerprint → blocking → verify chain is the classic
+    Charikar/Manku-Jain-Sarma web-dedup design, here as three DataFrame
+    stages.
+    """
+    sigs = simhash(df, text_col, id_col, num_bits)
+    nibbles = num_bits // 4
+    n_blocks = max_hamming + 1
+    block_nibs = nibbles // n_blocks
+    blocks = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda b: F.struct(
+                b.alias("blk"),
+                F.substring("simhash", b * block_nibs + 1, block_nibs).alias("bval"),
+            ),
+        )
+    ).alias("bk")
+    banded = sigs.select(F.col(id_col), F.col("simhash"), blocks).select(
+        id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.bval").alias("bval")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a"), "blk", "bval"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b"), "blk", "bval"
+    )
+    cands = (
+        left.join(right, ["blk", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(
+            _hex_to_long(F.col("__sig_a"), 1, 8).bitwiseXOR(
+                _hex_to_long(F.col("__sig_b"), 1, 8)
+            )
+        )
+        + F.bit_count(
+            _hex_to_long(F.col("__sig_a"), 9, 8).bitwiseXOR(
+                _hex_to_long(F.col("__sig_b"), 9, 8)
+            )
+        )
+    )
+    return (
+        cands.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -268,10 +268,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # --------------------------------------------------------------------------
 
-_SIMHASH_ORACLE = rf"""
-    with tok as (
+def _simhash_cte(where_clause: str = "") -> str:
+    """CTE chain ending in ``sim(doc_id, simhash)`` — shared by the
+    fingerprint and hamming-pairs oracles."""
+    return rf"""tok as (
         select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as token
-        from documents where doc_id < 100
+        from documents {where_clause}
     ), tc as (
         select doc_id, token, count(*) as w, md5(token) as h
         from tok group by doc_id, token
@@ -288,11 +290,40 @@ _SIMHASH_ORACLE = rf"""
         select doc_id, np,
                sum((case when vote > 0 then 1 else 0 end) * (1 << (3 - bp))) as nv
         from votes group by doc_id, np
-    )
-    select doc_id,
-           string_agg(substr('0123456789abcdef', (nv + 1)::bigint, 1), '' order by np) as simhash
-    from nv group by doc_id
+    ), sim as (
+        select doc_id,
+               string_agg(substr('0123456789abcdef', (nv + 1)::bigint, 1), '' order by np) as simhash
+        from nv group by doc_id
+    )"""
+
+
+_SIMHASH_ORACLE = f"""
+    with {_simhash_cte("where doc_id < 100")}
+    select doc_id, simhash from sim
     order by doc_id
+"""
+
+_HAM = (
+    "(bit_count(xor(('0x' || substr(sig_a, 1, 8))::bigint,"
+    " ('0x' || substr(sig_b, 1, 8))::bigint))"
+    " + bit_count(xor(('0x' || substr(sig_a, 9, 8))::bigint,"
+    " ('0x' || substr(sig_b, 9, 8))::bigint)))"
+)
+
+_SIMHASH_PAIRS_ORACLE = f"""
+    with {_simhash_cte()}, blocks as (
+        select doc_id, simhash, b as blk, substr(simhash, b * 4 + 1, 4) as bval
+        from sim cross join (select unnest(range(0, 4)) as b)
+    ), cand as (
+        select distinct l.doc_id as id_a, r.doc_id as id_b,
+                        l.simhash as sig_a, r.simhash as sig_b
+        from blocks l join blocks r
+          on l.blk = r.blk and l.bval = r.bval and l.doc_id < r.doc_id
+    )
+    select id_a, id_b, {_HAM}::bigint as hamming
+    from cand
+    where {_HAM} <= 3
+    order by id_a, id_b
 """
 
 
@@ -302,6 +333,18 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority per bit) — fully relational, no UDF, exact SQL oracle."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return D.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register("simhash_near_dup_pairs", _SIMHASH_PAIRS_ORACLE)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup (the Charikar/web-dedup design):
+    pigeonhole nibble blocks generate candidates by equi-join, exact
+    xor+popcount verifies distance ≤ 3. Completes the fingerprint → pairs
+    path for the SimHash family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash_near_dup_pairs(
+        docs, "text", "doc_id", max_hamming=3
+    ).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
