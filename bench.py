@@ -25,6 +25,12 @@ def main() -> int:
     spark = get_spark_session(app_name="frp-spark-bench", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen warmup so the first query's timing is query cost, not
+    # session startup
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in queries.items():

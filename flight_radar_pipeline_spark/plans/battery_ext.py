@@ -127,6 +127,53 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hourly_timeline_dense",
+    """
+    with bounds as (
+        select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+        from events
+    ), hours as (
+        select unnest(generate_series(lo, hi, interval 1 hour)) as hour_start
+        from bounds
+    ), counts as (
+        select date_trunc('hour', ts) as hour_start, count(*) as n
+        from events group by 1
+    )
+    select strftime(h.hour_start, '%Y-%m-%d %H:%M:%S') as hour_start,
+           coalesce(n, 0) as n_events
+    from hours h left join counts c on h.hour_start = c.hour_start
+    order by hour_start
+    """,
+)
+def hourly_timeline_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly timeline (resample): generate the full hour
+    spine with ``sequence`` + explode, left-join the observed counts,
+    zero-fill misses. The spine generation is O(range) rows from a
+    1-row bound aggregate — no driver loop, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        hours.join(counts, "hour_start", "left")
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )
+
+
+@register(
     "user_event_type_pivot",
     # pivot = conditional aggregation; stated as CASE sums so the oracle
     # is engine-agnostic
