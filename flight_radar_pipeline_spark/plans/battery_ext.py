@@ -127,6 +127,42 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_price_stats",
+    """
+    select l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) as price_sd,
+           round(var_samp(l_discount), 6) as disc_var,
+           round(corr(l_extendedprice, l_quantity), 4) as price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) as price_qty_cov
+    from lineitem
+    group by l_returnflag
+    order by l_returnflag
+    """,
+)
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance, correlation,
+    covariance) — single hash aggregate, all algebraic (mergeable partial
+    states), so they scale like plain sums. Rounded in-plan: both engines
+    use numerically-stable one-pass formulas whose partial-merge order
+    differs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+                "price_qty_corr"
+            ),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+                "price_qty_cov"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "hourly_timeline_dense",
     """
     with bounds as (
