@@ -56,3 +56,20 @@ def build_silver(
     """
     deduped = dedup_by_key(flights_raw, ["id"], order_by=[F.col("time").desc_nulls_last()])
     return deduped.withColumn("time", F.from_unixtime(F.col("time"), time_format))
+
+
+def merge_snapshot(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """SCD1 upsert over plain files (no table format needed): one row per
+    key, update rows winning over current rows, deterministic. Union the
+    tagged sides and keep rank 1 per key preferring the update side —
+    one shuffle on the key, same cost class as the dedup it builds on.
+    At scale this is the rewrite-on-merge pattern; with a transactional
+    format (Delta/Iceberg) the same logical op becomes MERGE INTO."""
+    cur = current.withColumn("__src", F.lit(0))
+    upd = updates.withColumn("__src", F.lit(1))
+    merged = cur.unionByName(upd)
+    return dedup_by_key(merged, list(keys), order_by=[F.desc("__src")]).drop("__src")

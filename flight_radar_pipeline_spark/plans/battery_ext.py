@@ -127,6 +127,49 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_scd1_merge",
+    """
+    with updates as (
+        select o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000 as o_totalprice,
+               o_orderdate, o_orderpriority
+        from orders where o_orderkey % 10 = 0
+    ), merged as (
+        select * from updates
+        union all
+        select * from orders o
+        where not exists (select 1 from updates u where u.o_orderkey = o.o_orderkey)
+    )
+    select o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as o_orderdate,
+           o_orderpriority
+    from merged order by o_orderkey
+    """,
+)
+def orders_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert (pipeline.merge_snapshot): a 10% update batch (price
+    +1000, exact in doubles) merged into the orders snapshot, update rows
+    winning per key.
+    The incremental-reprocess pattern over plain parquet; oracle states
+    it as updates ∪ anti-joined current."""
+    from flight_radar_pipeline_spark.pipeline import merge_snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    merged = merge_snapshot(orders, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        "o_orderpriority",
+    ).orderBy("o_orderkey")
+
+
+@register(
     "lineitem_price_stats",
     """
     select l_returnflag,
