@@ -239,6 +239,44 @@ def near_dup_pairs(
 
 
 # --------------------------------------------------------------------------
+# edit-distance verify (on sketch candidates)
+# --------------------------------------------------------------------------
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 200,
+    max_dist: int = 40,
+) -> DataFrame:
+    """Levenshtein verification over candidate pairs →
+    (id_a, id_b, edit_dist ≤ max_dist).
+
+    Edit distance is O(len²) per pair — never run it corpus-wide; this
+    takes a candidate set from a cheap sketch (MinHash-LSH, SimHash
+    blocks) and verifies on canonicalized ``prefix_len``-char prefixes,
+    bounding per-pair cost. The classic composite: sketch to block,
+    edit distance to decide.
+    """
+    canon = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1,
+        prefix_len,
+    )
+    a = df.select(F.col(id_col).alias("id_a"), canon.alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), canon.alias("__tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("__ta", "__tb").cast("bigint"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted index)
 # --------------------------------------------------------------------------
 

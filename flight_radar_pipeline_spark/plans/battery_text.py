@@ -223,6 +223,44 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# edit-distance verify on minhash candidates
+# --------------------------------------------------------------------------
+
+_ED_PREFIX, _ED_MAX = 200, 40
+
+_EDIT_ORACLE = rf"""
+    with pairs as (
+        {_MINHASH_ORACLE.replace("order by id_a, id_b", "")}
+    ), c as (
+        select doc_id,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, {_ED_PREFIX}) as t
+        from documents
+    )
+    select id_a, id_b, levenshtein(a.t, b.t)::bigint as edit_dist
+    from pairs
+    join c a on a.doc_id = id_a
+    join c b on b.doc_id = id_b
+    where levenshtein(a.t, b.t) <= {_ED_MAX}
+    order by id_a, id_b
+"""
+
+
+@register("edit_distance_near_dup", _EDIT_ORACLE)
+def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-block → edit-distance-verify composite: MinHash-LSH
+    candidates re-verified by Levenshtein on 200-char canonical prefixes
+    (O(len²) per pair, so candidates-only by construction)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = D.near_dup_pairs(
+        docs, "text", "doc_id",
+        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
+    )
+    return D.edit_distance_pairs(
+        docs, cands, "text", "doc_id", prefix_len=_ED_PREFIX, max_dist=_ED_MAX
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
 # near-dup clusters (connected components over the pair graph)
 # --------------------------------------------------------------------------
 
