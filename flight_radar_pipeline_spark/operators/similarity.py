@@ -198,14 +198,23 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # normalize once per vector (one corpus pass), so the per-pair verify
+    # is a single dot product instead of dot + two norms — the candidate
+    # verify is the dominant cost and this cuts its arithmetic 3×
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(_dot(vd, vd))
+    unit = df.select(
+        F.col(id_col),
+        F.transform(vd, lambda x: x / norm).alias("__unit"),
+    )
+    va = unit.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
+    vb = unit.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), decimals),
+            F.round(_dot(F.col("__va"), F.col("__vb")), decimals),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

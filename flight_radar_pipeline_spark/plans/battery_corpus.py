@@ -230,11 +230,16 @@ _COS_DUP_ORACLE = f"""
         from sig l join sig r
           on l.tbl = r.tbl and l.signature = r.signature and l.vec_id < r.vec_id
     ), v as (
-        select vec_id, embedding::DOUBLE[] as v from embeddings
+        -- normalize once per vector, dot the unit vectors per pair (same
+        -- float path as the Spark side's one-dot verify)
+        select vec_id,
+               [x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                for x in embedding::DOUBLE[]] as u
+        from embeddings
     )
-    select id_a, id_b, round(list_cosine_similarity(a.v, b.v), 6) as cosine
+    select id_a, id_b, round(list_inner_product(a.u, b.u), 6) as cosine
     from cand join v a on a.vec_id = id_a join v b on b.vec_id = id_b
-    where round(list_cosine_similarity(a.v, b.v), 6) >= {_CT}
+    where round(list_inner_product(a.u, b.u), 6) >= {_CT}
     order by id_a, id_b
 """
 
