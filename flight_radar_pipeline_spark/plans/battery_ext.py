@@ -206,6 +206,80 @@ def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_cohort_retention",
+    """
+    with firsts as (
+        select user_id, min(date_trunc('week', ts)) as cohort from events group by 1
+    ), activity as (
+        select distinct user_id, date_trunc('week', ts) as wk from events
+    )
+    select strftime(cohort, '%Y-%m-%d') as cohort_week,
+           cast(floor((epoch(wk) - epoch(cohort)) / 604800) as bigint) as week_offset,
+           count(*) as active_users
+    from activity join firsts using (user_id)
+    group by 1, 2
+    order by 1, 2
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active ISO week,
+    counted per week-offset of later activity — two aggregates + one
+    broadcastable join on the per-user cohort table."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "event_value_anomalies",
+    """
+    with stats as (
+        select user_id, avg(value) as mu, stddev_samp(value) as sd, count(*) as n
+        from events group by 1
+    )
+    select e.event_id, e.user_id, round((e.value - mu) / sd, 2) as z
+    from events e join stats using (user_id)
+    where n >= 10 and sd > 0 and abs((e.value - mu) / sd) > 3
+    order by e.event_id
+    """,
+)
+def event_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flagging (|z| > 3): per-key moment
+    aggregation broadcast back onto the stream of events — the cheap
+    statistical outlier pre-filter. One aggregate + one broadcast join,
+    no window over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "user_id")
+        .filter((F.col("n") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select("event_id", "user_id", F.round(z, 2).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+@register(
     "hourly_timeline_dense",
     """
     with bounds as (
