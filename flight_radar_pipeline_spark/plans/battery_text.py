@@ -436,6 +436,93 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT, _PMI_TOPK = 5, 15
+
+_PMI_ORACLE = rf"""
+    with t as (
+        select regexp_split_to_array(trim(text), '\s+') as toks from documents
+    ), w as (
+        select unnest(toks) as token from t
+    ), wc as (
+        select token, count(*) as c from w group by token
+    ), wt as (
+        select count(*) as n from w
+    ), bg as (
+        select unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) as bigram
+        from t
+    ), bc as (
+        select bigram, count(*) as cab from bg group by bigram
+    ), bt as (
+        select count(*) as n from bg
+    ), scored as (
+        select bigram, cab,
+               round(ln((cab / bt.n) / ((wa.c / wt.n) * (wb.c / wt.n))), 4) as pmi
+        from bc, wt, bt
+        join wc wa on wa.token = split_part(bigram, ' ', 1)
+        join wc wb on wb.token = split_part(bigram, ' ', 2)
+        where cab >= {_PMI_MIN_COUNT}
+    )
+    select bigram, cab, pmi from scored
+    order by pmi desc, bigram
+    limit {_PMI_TOPK}
+"""
+
+
+@register("top_pmi_collocations", _PMI_ORACLE)
+def top_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top word pairs by pointwise mutual information
+    ln(p(ab) / (p(a)·p(b))), min count 5 — three hash aggregates + two
+    broadcast joins against the unigram counts; totals ride along as
+    1-row broadcast cross joins, no window over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    words = toks.select(F.explode("toks").alias("token"))
+    wc = words.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    wt = words.agg(F.count(F.lit(1)).alias("wn"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.get(F.col("toks"), i - 1).alias("w1"),
+                    F.get(F.col("toks"), i).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cab"))
+    bt = bigrams.agg(F.count(F.lit(1)).alias("bn"))
+    wa = wc.select(F.col("token").alias("w1"), F.col("c").alias("ca"))
+    wb = wc.select(F.col("token").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bc.filter(F.col("cab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(wa), "w1")
+        .join(F.broadcast(wb), "w2")
+        .crossJoin(F.broadcast(wt))
+        .crossJoin(F.broadcast(bt))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("bn"))
+                    / ((F.col("ca") / F.col("wn")) * (F.col("cb") / F.col("wn")))
+                ),
+                4,
+            ),
+        )
+        .withColumn("bigram", F.concat_ws(" ", "w1", "w2"))
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(_PMI_TOPK)
+        .select("bigram", "cab", "pmi")
+    )
+
+
+# --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
 
