@@ -50,24 +50,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the previous label through the update so convergence is a
+        # filter on the checkpointed frame, not another join + recompute
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__prev"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("__prev")).limit(1).count()
+        labels = stepped.drop("__prev")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
