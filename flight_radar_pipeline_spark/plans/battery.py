@@ -225,7 +225,7 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select p_brand,
            string_agg(p_name, ', ' order by rnk) as top_parts,
-           sum(cnt) as total_cnt
+           cast(sum(cnt) as bigint) as total_cnt
     from r where rnk <= 3
     group by p_brand
     order by p_brand

@@ -332,11 +332,11 @@ def hourly_timeline_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is engine-agnostic
     """
     select user_id,
-           sum(case when event_type = 'click'    then 1 else 0 end) as click,
-           sum(case when event_type = 'error'    then 1 else 0 end) as error,
-           sum(case when event_type = 'purchase' then 1 else 0 end) as purchase,
-           sum(case when event_type = 'signup'   then 1 else 0 end) as signup,
-           sum(case when event_type = 'view'     then 1 else 0 end) as view
+           cast(sum(case when event_type = 'click'    then 1 else 0 end) as bigint) as click,
+           cast(sum(case when event_type = 'error'    then 1 else 0 end) as bigint) as error,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as purchase,
+           cast(sum(case when event_type = 'signup'   then 1 else 0 end) as bigint) as signup,
+           cast(sum(case when event_type = 'view'     then 1 else 0 end) as bigint) as view
     from events
     group by user_id
     order by user_id
@@ -558,10 +558,10 @@ def segment_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         from events
     ), s as (
         select user_id, ts,
-               sum(brk) over (
+               cast(sum(brk) over (
                    partition by user_id order by ts
                    rows between unbounded preceding and current row
-               ) as session_id
+               ) as bigint) as session_id
         from e
     )
     select user_id, session_id,
@@ -575,8 +575,12 @@ def segment_revenue_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap via native
     ``session_window`` (same operator streams with state at scale). The
-    oracle restates it as lag+cumulative-sum — the classic SQL formulation —
-    pinning Spark's boundary semantics (gap-equal events merge)."""
+    oracle restates it as lag+cumulative-sum — the classic SQL formulation.
+    Boundary semantics (verified empirically on Spark 4.1): two events exactly
+    ``gap`` apart MERGE into one session (window merge is
+    ``next.start <= prev.end`` inclusive), so the oracle breaks on a strict
+    ``>`` — pinned by a constructed exact-gap fixture in
+    ``tests/test_session_boundary.py``."""
     ev = load_table(spark, sf_dir, "events")
     sessions = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -589,7 +593,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("first_ts")
     return (
-        sessions.withColumn("session_id", F.row_number().over(w) - 1)
+        sessions.withColumn("session_id", (F.row_number().over(w) - 1).cast("long"))
         .select(
             "user_id",
             "session_id",

@@ -1,0 +1,119 @@
+"""Pin session boundary semantics at ``diff == gap`` exactly.
+
+Verified empirically (Spark 4.1): ``F.session_window`` merges two events that
+are exactly ``gap`` apart — window merge is ``next.start <= prev.end``
+inclusive — so a new session starts only on a STRICT ``> gap`` silence.
+The ``user_sessions`` oracle (lag + cumulative sum, break on ``>``) and the
+streaming sessionizer (``streaming/events.py``, ``> gap_us`` mask) both
+encode the same rule; this test locks all three together on a constructed
+fixture that a random corpus would never exercise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pyspark.sql.functions as F
+
+GAP_MIN = 30
+
+# u1: three events, each exactly 30:00 apart  -> ONE session of 3
+# u2: two events 30:01 apart                  -> TWO sessions of 1
+# u3: two events 29:59 apart                  -> ONE session of 2
+ROWS = [
+    (1, dt.datetime(2026, 1, 1, 0, 0, 0)),
+    (1, dt.datetime(2026, 1, 1, 0, 30, 0)),
+    (1, dt.datetime(2026, 1, 1, 1, 0, 0)),
+    (2, dt.datetime(2026, 1, 1, 0, 0, 0)),
+    (2, dt.datetime(2026, 1, 1, 0, 30, 1)),
+    (3, dt.datetime(2026, 1, 1, 0, 0, 0)),
+    (3, dt.datetime(2026, 1, 1, 0, 29, 59)),
+]
+EXPECTED = {1: [3], 2: [1, 1], 3: [2]}  # user -> per-session event counts
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(ROWS, "user_id bigint, ts timestamp")
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    out = (
+        _fixture_df(spark)
+        .groupBy("user_id", F.session_window("ts", f"{GAP_MIN} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("first_ts"))
+        .orderBy("user_id", "first_ts")
+        .collect()
+    )
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append(r.n)
+    assert got == EXPECTED
+
+
+def test_oracle_formulation_matches_session_window(spark):
+    """The lag+cumsum SQL with a strict ``>`` break reproduces
+    ``session_window`` exactly on the boundary fixture (a ``>=`` break would
+    split u1 into three sessions)."""
+    con = duckdb.connect()
+    con.sql("create table ev (user_id bigint, ts timestamp)")
+    con.executemany("insert into ev values (?, ?)", ROWS)
+    got_rows = con.sql(
+        f"""
+        with e as (
+            select user_id, ts,
+                   case when ts - lag(ts) over (partition by user_id order by ts)
+                             > interval {GAP_MIN} minutes
+                        then 1 else 0 end as brk
+            from ev
+        ), s as (
+            select user_id, ts,
+                   cast(sum(brk) over (
+                       partition by user_id order by ts
+                       rows between unbounded preceding and current row
+                   ) as bigint) as session_id
+            from e
+        )
+        select user_id, session_id, count(*) as n
+        from s group by user_id, session_id
+        order by user_id, session_id
+        """
+    ).fetchall()
+    got = {}
+    for user_id, _sid, n in got_rows:
+        got.setdefault(user_id, []).append(n)
+    assert got == EXPECTED
+
+
+def test_stream_sessionizer_boundary(spark):
+    """The vectorized per-group closer uses the same strict-> rule: feed the
+    fixture plus a far-future flush event per user so every real session
+    closes, then check emitted sessions."""
+    from flight_radar_pipeline_spark.streaming.events import sessionize_stream
+
+    flush = dt.datetime(2026, 6, 1)
+    rows = ROWS + [(u, flush) for u in (1, 2, 3)]
+    src = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+
+    # Drive the stateful logic through a one-batch stream over a temp parquet.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{d}/in")
+        q = (
+            sessionize_stream(stream, gap_minutes=GAP_MIN)
+            .writeStream.format("memory")
+            .queryName("boundary_sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(
+            "select user_id, n_events from boundary_sessions order by user_id, session_start"
+        ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, []).append(r.n_events)
+    assert got == EXPECTED

@@ -1,6 +1,9 @@
 """Local mirror of the driver's t2 gate: run every battery query on Spark
 and its oracle on DuckDB over the same sf dir, compare canonicalized
-results exactly. Usage: python tools/check_battery.py [sf_dir]"""
+results exactly.
+
+Usage: python tools/check_battery.py [sf_dir] [comma,separated,query,names]
+(the optional second arg restricts the run to those queries)."""
 
 from __future__ import annotations
 
@@ -35,6 +38,9 @@ def main() -> int:
         con.sql(f"create view {t} as select * from parquet_scan('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if len(sys.argv) > 2:
+        only = set(sys.argv[2].split(","))
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -61,6 +67,13 @@ def main() -> int:
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
+                # Mirror the driver's strict value-hash: a bigint column vs a
+                # float64 one (DuckDB HUGEINT sums land as float64 in pandas)
+                # must FAIL even though 3 == 3.0 elementwise.
+                gk, wk = g.dtype.kind, w.dtype.kind
+                if {gk, wk} <= {"i", "u", "f"} and ("f" in (gk, wk)) != (gk == wk == "f"):
+                    status, detail = "FAIL", f"col {c} dtype kind spark={g.dtype} duck={w.dtype}"
+                    break
                 try:
                     eq = (g.isna() & w.isna()) | (g == w)
                 except Exception:
