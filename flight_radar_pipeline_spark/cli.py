@@ -1,7 +1,11 @@
-"""Analytics CLI over a gold snapshot (SURVEY.md §3.2).
+"""CLI: the reference's analytics commands + the end-to-end pipeline run.
 
-Mirrors the reference's Typer commands (`/root/reference/src/answers.py:
-134-174`) with stdlib argparse (no extra deps). Differences by design:
+Mirrors the reference's Typer surface with stdlib argparse (no extra deps):
+the six query commands (`/root/reference/src/answers.py:134-174`) and a
+``run-pipeline`` subcommand equivalent to its Prefect ``pipeline_flow``
+(`/root/reference/src/main.py:105-152`) — extract → bronze → silver → gold
+→ partitioned write — driven from local files instead of a live API/object
+store, so it runs offline. Differences by design:
 
 - queries come from the registry (``plans.queries.QUERIES``) and take an
   explicit DataFrame — no module-global bound at import time
@@ -16,6 +20,9 @@ Usage::
 
     python -m flight_radar_pipeline_spark.cli airline-with-most-flights \
         --gold /path/to/gold.parquet
+    python -m flight_radar_pipeline_spark.cli run-pipeline \
+        --base /data/frp --raw-flights /drops/flights.parquet \
+        --airlines-csv airlines.csv --airports-csv airports.csv
 """
 
 from __future__ import annotations
@@ -39,32 +46,95 @@ COMMANDS = {
 }
 
 
-def main(argv: list[str] | None = None) -> int:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="flight-analytics", description=__doc__.splitlines()[0]
     )
-    parser.add_argument("command", choices=sorted(COMMANDS))
-    parser.add_argument("--gold", required=True, help="gold parquet path")
-    parser.add_argument(
-        "--latest",
-        action="store_true",
-        help="treat --gold as a date-partitioned table and read only the "
-        "most recent (year, month, day) partition",
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name in sorted(COMMANDS):
+        q = sub.add_parser(name, help=f"run the {COMMANDS[name]} query")
+        q.add_argument("--gold", required=True, help="gold parquet path")
+        q.add_argument(
+            "--latest",
+            action="store_true",
+            help="treat --gold as a date-partitioned table and read only the "
+            "most recent (year, month, day) partition",
+        )
+        q.add_argument("--master", default="local[*]")
+
+    p = sub.add_parser(
+        "run-pipeline",
+        help="run the full medallion pipeline (bronze → silver → gold) from local files",
     )
-    parser.add_argument("--master", default="local[*]")
-    args = parser.parse_args(argv)
+    p.add_argument("--base", required=True, help="output base directory")
+    p.add_argument(
+        "--raw-flights",
+        required=True,
+        help="parquet path of raw flight rows (schemas.FLIGHTS_RAW)",
+    )
+    p.add_argument("--airlines-csv", help="airlines dimension CSV (schemas.AIRLINES)")
+    p.add_argument(
+        "--airports-csv",
+        help="airports dimension CSV (schemas.AIRPORTS minus continent; "
+        "continent is derived)",
+    )
+    p.add_argument("--master", default="local[*]")
+    return parser
+
+
+def _run_pipeline_cmd(spark, args) -> None:
+    from flight_radar_pipeline_spark import schemas
+    from flight_radar_pipeline_spark.functions.continents import with_continent
+    from flight_radar_pipeline_spark.pipeline.runner import run_pipeline
+    from flight_radar_pipeline_spark.sinks.writers import write_if_absent
+    from flight_radar_pipeline_spark.sources.readers import read_csv, read_parquet
+
+    # dims: seed from CSVs if given (idempotent — no-op when already landed)
+    if args.airlines_csv:
+        write_if_absent(
+            read_csv(spark, args.airlines_csv, schemas.AIRLINES),
+            f"{args.base}/dims/airlines",
+        )
+    if args.airports_csv:
+        airports = read_csv(
+            spark, args.airports_csv, schemas.StructType(schemas.AIRPORTS.fields[:-1])
+        )
+        write_if_absent(
+            with_continent(airports, "country"), f"{args.base}/dims/airports"
+        )
+
+    raw = read_parquet(spark, args.raw_flights, schema=schemas.FLIGHTS_RAW)
+    result = run_pipeline(spark, args.base, flights_raw=raw)
+    print(
+        json.dumps(
+            {
+                "gold_path": result.gold_path,
+                "silver_path": result.silver_path,
+                "bronze_path": result.bronze_path,
+                "gold_rows": result.gold.count(),
+            }
+        )
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
 
     spark = get_spark_session(app_name="flight-analytics-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        gold = (
-            latest_snapshot(spark, args.gold)
-            if args.latest
-            else spark.read.parquet(args.gold)
-        )
-        result = QUERIES[COMMANDS[args.command]](gold)
-        for row in result.collect():
-            print(json.dumps(row.asDict(), default=str))
+        if args.command == "run-pipeline":
+            _run_pipeline_cmd(spark, args)
+        else:
+            gold = (
+                latest_snapshot(spark, args.gold)
+                if args.latest
+                else spark.read.parquet(args.gold)
+            )
+            result = QUERIES[COMMANDS[args.command]](gold)
+            for row in result.collect():
+                print(json.dumps(row.asDict(), default=str))
     finally:
         spark.stop()
     return 0

@@ -1,0 +1,135 @@
+"""End-to-end medallion pipeline runner (SURVEY.md §3.1).
+
+Composes the stages the reference chains in its Prefect flow
+(``/root/reference/src/main.py:105-152`` — extract → bronze CSV → silver
+parquet → gold parquet) into one callable, engine-shaped:
+
+- the flight/airline/airport *clients* are injected callables, so offline
+  runs and tests use fixture-backed fakes (no network in the engine);
+- dimensions are get-or-create: written once via the idempotent
+  ``write_if_absent`` (the reference probes the bucket for ``_SUCCESS``
+  driver-side, ``src/main.py:42-45``), then always read back from storage so
+  every run downstream sees the stored dim, not the in-memory one;
+- facts land date-partitioned (real ``year/month/day`` columns, bounded
+  file sizes) instead of the reference's strftime'd path strings — readers
+  prune partitions from predicates;
+- orchestration-neutral: scheduling (the reference's Prefect ``.serve``)
+  stays outside the engine; any scheduler can call ``run_pipeline``.
+
+Scale: the only driver-side materialization is the optional zone fetch
+(bounded by the API, not the engine — and ``fetch_all_distributed`` ships
+it to executors); every stage after ingest is a lazy DataFrame plan, and
+the gold build broadcasts both dimensions so the fact table is never
+shuffled between silver and gold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flight_radar_pipeline_spark import schemas
+from flight_radar_pipeline_spark.functions.continents import with_continent
+from flight_radar_pipeline_spark.pipeline.gold import build_gold
+from flight_radar_pipeline_spark.pipeline.silver import build_silver
+from flight_radar_pipeline_spark.sinks.writers import write_if_absent, write_partitioned
+from flight_radar_pipeline_spark.sources.flight_api import WORLD, FetchZone, Zone, fetch_all
+from flight_radar_pipeline_spark.sources.readers import read_parquet
+
+
+@dataclass(frozen=True)
+class PipelineResult:
+    """Where each layer landed, plus the gold DataFrame for callers that
+    want to query immediately without re-reading."""
+
+    airlines_path: str
+    airports_path: str
+    bronze_path: str
+    silver_path: str
+    gold_path: str
+    gold: DataFrame
+
+
+def _get_or_create_dim(
+    spark: SparkSession,
+    path: str,
+    fetch: Callable[[], list] | None,
+    schema,
+    enrich: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Idempotent dimension materialization: write once, read always.
+
+    ``mode("ignore")`` makes re-runs no-ops at the committer (no listing
+    race); reading back from storage means a run that skipped the write and
+    a run that performed it see byte-identical dimensions.
+    """
+    if fetch is not None:
+        dim = spark.createDataFrame(fetch(), schema=schema)
+        if enrich is not None:
+            dim = enrich(dim)
+        write_if_absent(dim, path)
+    return read_parquet(spark, path)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    fetch_flights: FetchZone | None = None,
+    fetch_airlines: Callable[[], list] | None = None,
+    fetch_airports: Callable[[], list] | None = None,
+    flights_raw: DataFrame | None = None,
+    api_limit: int = 1500,
+    zones: Iterable[Zone] = (WORLD,),
+    join_how: str = "inner",
+) -> PipelineResult:
+    """Run the full medallion chain and land every layer under ``base_path``.
+
+    Ingest comes from either the injected zone fetcher (``fetch_flights``,
+    quartered on the API cap like the reference's ``get_all_flights``) or a
+    pre-built raw DataFrame (``flights_raw`` — e.g. a file drop); exactly
+    one must be provided. Dimensions fetch only when their parquet is
+    absent; pass ``fetch_airlines=None`` to require pre-existing dims.
+    """
+    if (fetch_flights is None) == (flights_raw is None):
+        raise ValueError("provide exactly one of fetch_flights / flights_raw")
+
+    airlines_path = f"{base_path}/dims/airlines"
+    airports_path = f"{base_path}/dims/airports"
+    bronze_path = f"{base_path}/flights/bronze"
+    silver_path = f"{base_path}/flights/silver"
+    gold_path = f"{base_path}/flights/gold"
+
+    airlines = _get_or_create_dim(spark, airlines_path, fetch_airlines, schemas.AIRLINES)
+    airports = _get_or_create_dim(
+        spark,
+        airports_path,
+        fetch_airports,
+        schemas.StructType(schemas.AIRPORTS.fields[:-1]),  # continent derived below
+        enrich=lambda df: with_continent(df, "country"),
+    )
+
+    if flights_raw is None:
+        rows = fetch_all(fetch_flights, api_limit, zones)
+        flights_raw = spark.createDataFrame(rows, schema=schemas.FLIGHTS_RAW)
+
+    # bronze: raw rows as landed, date-bucketed CSV like the reference's
+    # save_flights_bronze_csv (K2) — kept headerless-typed via explicit schema
+    write_partitioned(flights_raw, bronze_path, ts_col="time", fmt="csv")
+
+    silver = build_silver(flights_raw)
+    write_partitioned(silver, silver_path, ts_col="time", fmt="parquet")
+
+    gold = build_gold(silver, airports, airlines, how=join_how)
+    write_partitioned(gold, gold_path, ts_col="time", fmt="parquet")
+
+    return PipelineResult(
+        airlines_path=airlines_path,
+        airports_path=airports_path,
+        bronze_path=bronze_path,
+        silver_path=silver_path,
+        gold_path=gold_path,
+        gold=read_parquet(spark, gold_path),
+    )

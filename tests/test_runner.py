@@ -1,0 +1,120 @@
+"""End-to-end medallion pipeline: extract → bronze → silver → gold → query.
+
+Mirrors the reference's ``pipeline_flow`` chain
+(`/root/reference/src/main.py:105-152`) with a fixture-backed client and a
+local filesystem instead of a live API + object store.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import flightgen
+from flight_radar_pipeline_spark import cli, schemas
+from flight_radar_pipeline_spark.pipeline import run_pipeline
+from flight_radar_pipeline_spark.plans.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def pdfs():
+    return flightgen.generate()
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path, pdfs):
+    base = str(tmp_path / "medallion")
+    n_raw = len(pdfs["flights_raw"])
+
+    def fetch_flights(zone):
+        # fixture client: whole world in one page, under the cap
+        return pdfs["flights_raw"].to_dict("records")
+
+    result = run_pipeline(
+        spark,
+        base,
+        fetch_flights=fetch_flights,
+        fetch_airlines=lambda: pdfs["airlines"],
+        fetch_airports=lambda: pdfs["airports"],
+        api_limit=n_raw + 1,
+    )
+
+    # every layer landed, date-partitioned
+    assert os.path.isdir(result.bronze_path)
+    assert any(d.startswith("year=") for d in os.listdir(result.gold_path))
+
+    # silver deduped on id
+    silver = spark.read.parquet(result.silver_path)
+    assert silver.count() == pdfs["flights_raw"]["id"].nunique()
+    assert silver.select("id").distinct().count() == silver.count()
+
+    # gold readable and query-able straight off storage
+    gold = result.gold
+    assert {"distance", "origin_continent", "airline_name"} <= set(gold.columns)
+    top = QUERIES["airline_with_most_flights"](gold).collect()
+    assert len(top) == 1 and top[0].flight_count > 0
+
+
+def test_rerun_is_dim_idempotent_and_fact_appending(spark, tmp_path, pdfs):
+    base = str(tmp_path / "medallion2")
+    raw = spark.createDataFrame(pdfs["flights_raw"], schema=schemas.FLIGHTS_RAW)
+
+    first = run_pipeline(
+        spark,
+        base,
+        flights_raw=raw,
+        fetch_airlines=lambda: pdfs["airlines"],
+        fetch_airports=lambda: pdfs["airports"],
+    )
+    n_gold = first.gold.count()
+    n_airlines = spark.read.parquet(first.airlines_path).count()
+
+    second = run_pipeline(
+        spark,
+        base,
+        flights_raw=raw,
+        fetch_airlines=lambda: pdfs["airlines"],
+        fetch_airports=lambda: pdfs["airports"],
+    )
+    # dims: write-if-absent no-op; facts: append per run
+    assert spark.read.parquet(second.airlines_path).count() == n_airlines
+    assert second.gold.count() == 2 * n_gold
+
+
+def test_cli_run_pipeline_then_query(spark, tmp_path, pdfs, capsys, monkeypatch):
+    monkeypatch.setattr(cli, "get_spark_session", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    base = str(tmp_path / "clibase")
+    raw_path = str(tmp_path / "raw_flights")
+    spark.createDataFrame(pdfs["flights_raw"], schema=schemas.FLIGHTS_RAW).write.parquet(
+        raw_path
+    )
+    airlines_csv = str(tmp_path / "airlines.csv")
+    airports_csv = str(tmp_path / "airports.csv")
+    pdfs["airlines"].to_csv(airlines_csv, index=False)
+    pdfs["airports"].to_csv(airports_csv, index=False)
+
+    rc = cli.main(
+        [
+            "run-pipeline",
+            "--base",
+            base,
+            "--raw-flights",
+            raw_path,
+            "--airlines-csv",
+            airlines_csv,
+            "--airports-csv",
+            airports_csv,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"gold_rows"' in out
+
+    # query the written gold through the CLI's latest-snapshot path
+    rc = cli.main(
+        ["airline-with-most-flights", "--gold", f"{base}/flights/gold", "--latest"]
+    )
+    assert rc == 0
+    assert "flight_count" in capsys.readouterr().out
