@@ -286,6 +286,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     jaccard_threshold: float = 0.5,
+    maxdf: int | None = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup via inverted-index join →
     (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
@@ -293,9 +294,15 @@ def ngram_jaccard_pairs(
     No sketching: candidate pairs are docs sharing ≥1 n-gram (the inverted
     index), and the intersection size falls out of the same gram-keyed
     join — recall is exactly 1.0 at the threshold, unlike MinHash-LSH.
-    Scale: cost follows gram document-frequency, not n²; on a real corpus
-    add a df-cap filter on grams (drop grams in > maxdf docs) — the
-    standard rare-gram restriction — before the self-join.
+
+    Scale: the gram-keyed self-join is quadratic in per-gram document
+    frequency, so stop-grams ("of the a") are the one true scale-killer —
+    ``maxdf`` drops grams appearing in more than that many documents BEFORE
+    the join, bounding per-gram join fan-out at ``maxdf²``. The similarity
+    is then Jaccard over the *capped gram universe* (sizes and
+    intersections both exclude hot grams — the standard rare-feature
+    restriction, and the semantics a SQL oracle can restate exactly). Pass
+    ``maxdf=None`` for the uncapped exact form on small corpora.
 
     Docs with fewer than ``n`` tokens produce no grams (and thus no pairs),
     identically on the SQL-oracle side.
@@ -311,6 +318,16 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    if maxdf is not None:
+        # grams are per-doc distinct, so count(*) per gram == doc frequency;
+        # inner join against the kept-gram set ≡ semi-join (one row per gram)
+        keep = (
+            g.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= maxdf)
+            .select("gram")
+        )
+        g = g.join(keep, "gram")
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col(id_col).alias("id_a"), "gram")
     b = g.select(F.col(id_col).alias("id_b"), "gram")

@@ -162,17 +162,21 @@ def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact n-gram Jaccard near-dup
 # --------------------------------------------------------------------------
 
-_N, _JT = 3, 0.4
+_N, _JT, _MAXDF = 3, 0.4, 20
 
 _NGRAM_ORACLE = rf"""
     with t as (
         select doc_id, regexp_split_to_array(trim(text), '\s+') as toks from documents
-    ), g as (
+    ), g0 as (
         select doc_id, unnest(list_distinct(
             case when len(toks) >= {_N}
                  then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - {_N - 2})]
                  else [] end)) as gram
         from t
+    ), dfreq as (
+        select gram from g0 group by gram having count(*) <= {_MAXDF}
+    ), g as (
+        select g0.doc_id, g0.gram from g0 join dfreq using (gram)
     ), sizes as (
         select doc_id, count(*) as sz from g group by doc_id
     ), inter as (
@@ -194,10 +198,11 @@ _NGRAM_ORACLE = rf"""
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup via inverted-index join — the
     recall-1.0 complement to MinHash-LSH (which sketches the same
-    similarity). Cost follows gram document-frequency, never n²."""
+    similarity). Cost follows gram document-frequency, bounded by the
+    ``maxdf`` stop-gram cap (oracle applies the identical cap)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=_N, jaccard_threshold=_JT
+        docs, "text", "doc_id", n=_N, jaccard_threshold=_JT, maxdf=_MAXDF
     ).orderBy("id_a", "id_b")
 
 
