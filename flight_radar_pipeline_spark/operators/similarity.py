@@ -72,17 +72,43 @@ def topk_neighbors_bruteforce(
     )
 
 
-def _plane_component(plane: Column, dim: Column) -> Column:
+def _plane_component_value(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane component in [-7.5, 7.5]:
     the value of the first hex nibble of md5(plane || '-' || dim), centered.
-    Portable to SQL (same md5 + CASE nibble mapping)."""
-    h = F.md5(F.concat(plane.cast("string"), F.lit("-"), dim.cast("string")))
-    first = F.substring(h, 1, 1)
-    nib = F.lit(None).cast("int")
-    expr = F.when(first == "0", 0)
-    for i, ch in enumerate("123456789abcdef", start=1):
-        expr = expr.when(first == ch, i)
-    return expr.otherwise(nib).cast("double") - 7.5
+    The SQL oracle derives the identical value (same md5 + CASE nibble
+    mapping), so signatures are engine-portable."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"{plane}-{dim}".encode()).hexdigest()[0], 16)
+    return float(nib) - 7.5
+
+
+def _n_dims(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first().d
+
+
+def _plane_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
+    """One sign bit per plane, each a per-row ``zip_with``/``aggregate`` dot
+    against the plane's component literals — pure projection, no explode, no
+    join, no shuffle. The plane table is tiny (planes × dims doubles) and
+    folds into the expression tree as array literals; summation is strictly
+    left-to-right, so bits are deterministic under any partitioning.
+
+    This replaces the round-1 relational form (posexplode → broadcast join
+    on dim → groupBy(id, plane)), which shuffled corpus × dims rows per
+    signature build — ~800 rows per document at 768 dims. Per-row cost is
+    identical arithmetic (planes × dims multiply-adds); the shuffle is gone.
+    """
+    bits = []
+    for row in planes:
+        comp = F.array(*[F.lit(c) for c in row])
+        dot = F.aggregate(
+            F.zip_with(vec, comp, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append((dot > 0).cast("int").cast("string"))
+    return bits
 
 
 def hyperplane_signatures(
@@ -91,40 +117,16 @@ def hyperplane_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-LSH signature per vector → (id, signature string of 0/1).
-
-    Vector × plane dots are computed relationally: posexplode the vector,
-    join the (tiny, broadcast) plane-component table on dimension, aggregate
-    per (vector, plane). One shuffle keyed on the vector id.
-    """
-    spark = df.sparkSession
-    dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
-    n_dims = dims.first().d
-    planes = spark.range(num_planes).select(
-        F.col("id").alias("plane"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_dims - 1))).alias("dim"),
-    )
-    planes = planes.withColumn(
-        "comp", _plane_component(F.col("plane"), F.col("dim"))
-    )
-    comps = df.select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    )
-    dots = (
-        comps.join(F.broadcast(planes), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("comp")).alias("dot"))
-        .withColumn("bit", (F.col("dot") > 0).cast("int").cast("string"))
-    )
-    return dots.groupBy(id_col).agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
-                lambda s: s["bit"],
-            ),
-        ).alias("signature")
+    """Sign-LSH signature per vector → (id, signature string of 0/1),
+    computed as one narrow projection over the input (see ``_plane_bits``)."""
+    n_dims = _n_dims(df, vec_col)
+    planes = [
+        [_plane_component_value(p, d) for d in range(n_dims)]
+        for p in range(num_planes)
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col), F.concat(*_plane_bits(vec, planes)).alias("signature")
     )
 
 
@@ -141,34 +143,25 @@ def multitable_signatures(
     each (plane p belongs to table p div planes_per_table). Multiple short
     tables trade precision for recall: a pair colliding in ANY table
     becomes a candidate — the cosine analogue of MinHash banding.
+
+    Signatures are per-row expressions (``_plane_bits``); the only
+    non-projection step is a ``posexplode`` of the ``num_tables``-element
+    signature array per row — a bounded row multiplier, not a shuffle.
     """
-    spark = df.sparkSession
-    n_dims = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first().d
+    n_dims = _n_dims(df, vec_col)
     total = num_tables * planes_per_table
-    planes = spark.range(total).select(
-        F.col("id").alias("plane"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_dims - 1))).alias("dim"),
-    )
-    planes = planes.withColumn("comp", _plane_component(F.col("plane"), F.col("dim")))
-    comps = df.select(
+    planes = [
+        [_plane_component_value(p, d) for d in range(n_dims)] for p in range(total)
+    ]
+    vec = F.col(vec_col).cast("array<double>")
+    bits = _plane_bits(vec, planes)
+    table_sigs = [
+        F.concat(*bits[t * planes_per_table : (t + 1) * planes_per_table])
+        for t in range(num_tables)
+    ]
+    return df.select(
         F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    )
-    dots = (
-        comps.join(F.broadcast(planes), "dim")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("comp")).alias("dot"))
-        .withColumn("table", F.expr(f"int(plane div {planes_per_table})"))
-        .withColumn("bit", (F.col("dot") > 0).cast("int").cast("string"))
-    )
-    return dots.groupBy(id_col, "table").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("plane", "bit"))),
-                lambda s: s["bit"],
-            ),
-        ).alias("signature")
+        F.posexplode(F.array(*table_sigs)).alias("table", "signature"),
     )
 
 

@@ -32,6 +32,26 @@ def test_no_row_at_a_time_python(name, spark):
     )
 
 
+def test_lsh_signature_stage_is_shuffle_free(spark):
+    """Sign-LSH signatures must be a pure projection over the embedding
+    scan — the round-1 relational form shuffled corpus × dims rows (one per
+    (vector, dimension)); the rewrite computes per-row dots against plane
+    literals, so the signature plan contains no Exchange at all."""
+    from flight_radar_pipeline_spark.operators.similarity import (
+        hyperplane_signatures,
+        multitable_signatures,
+    )
+    from flight_radar_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for sigs in (
+        hyperplane_signatures(emb, num_planes=8),
+        multitable_signatures(emb, num_tables=4, planes_per_table=4),
+    ):
+        plan = _plan(sigs)
+        assert "Exchange" not in plan, f"shuffle in signature stage:\n{plan}"
+
+
 @pytest.mark.parametrize(
     "name,table,cols",
     [
