@@ -210,16 +210,34 @@ _MINHASH_ORACLE = f"""
 """
 
 
+# One verified near-dup pair table per (session, sf_dir): the minhash,
+# edit-distance and clustering queries all consume the SAME
+# shingle→signature→candidate→verify intermediate, so it is materialized
+# once (eager localCheckpoint — the battery-local stand-in for the pair
+# table a real pipeline writes to storage) instead of recomputing three
+# corpus-wide sketch passes. Keyed by applicationId so a new session never
+# sees a stale handle.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PAIR_CACHE:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        pairs = D.near_dup_pairs(
+            docs, "text", "doc_id",
+            k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
+        )
+        _PAIR_CACHE[key] = pairs.localCheckpoint(eager=True)
+    return _PAIR_CACHE[key]
+
+
 @register("minhash_near_dup_pairs", _MINHASH_ORACLE)
 def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline (shingle → 16 minhashes → 4 bands
     → bucket-joined candidates → exact Jaccard verify on candidates only).
     Deterministic md5 hash family ⇒ exact SQL oracle for the whole pipeline."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.near_dup_pairs(
-        docs, "text", "doc_id",
-        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
-    ).orderBy("id_a", "id_b")
+    return _shared_near_dup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -249,12 +267,10 @@ _EDIT_ORACLE = rf"""
 def edit_distance_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-block → edit-distance-verify composite: MinHash-LSH
     candidates re-verified by Levenshtein on 200-char canonical prefixes
-    (O(len²) per pair, so candidates-only by construction)."""
+    (O(len²) per pair, so candidates-only by construction). Consumes the
+    materialized shared pair table — no second sketch pass."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cands = D.near_dup_pairs(
-        docs, "text", "doc_id",
-        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
-    )
+    cands = _shared_near_dup_pairs(spark, sf_dir)
     return D.edit_distance_pairs(
         docs, cands, "text", "doc_id", prefix_len=_ED_PREFIX, max_dist=_ED_MAX
     ).orderBy("id_a", "id_b")
@@ -291,12 +307,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (operators/graph.py), the iterative-algorithm class on
     DataFrames. cluster_id = min doc id of the component, i.e. the row a
     dedup keep-min policy retains. Oracle: recursive-CTE transitive
-    closure over the same pair graph."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = D.near_dup_pairs(
-        docs, "text", "doc_id",
-        k=_K, num_hashes=_NH, num_bands=_NB, jaccard_threshold=_THRESH,
-    )
+    closure over the same pair graph. Consumes the materialized shared
+    pair table — no second sketch pass."""
+    pairs = _shared_near_dup_pairs(spark, sf_dir)
     from flight_radar_pipeline_spark.operators.graph import connected_components
 
     return connected_components(pairs).orderBy("doc_id")
