@@ -36,18 +36,26 @@ def _configure(spark: SparkSession) -> None:
 # The driver's correctness gate checks the FIRST 50 registry entries only.
 # Demote shape-duplicates so every distinct operator gets a checked slot:
 # the stream variants re-verify oracles their batch twins already hold green
-# (hourly_event_counts, user_sessions — plus dedicated pytest coverage in
-# tests/test_streaming.py / test_session_boundary.py), rollup duplicates
-# cube's grouping-sets machinery, nations_with_customers duplicates
-# order_priority_count's left-semi shape, and approx_distinct_users is
-# rows-only by design (HLL has no exact SQL oracle; accuracy pinned in
-# tests/test_hll_accuracy.py).
+# (hourly_event_counts, user_sessions — plus boundary-semantics coverage in
+# tests/test_session_boundary.py and full-registry oracle checks in
+# tests/test_battery.py), rollup duplicates cube's grouping-sets machinery,
+# nations_with_customers duplicates order_priority_count's left-semi shape,
+# approx_distinct_users is rows-only by design (HLL has no exact SQL oracle;
+# accuracy pinned in tests/test_hll_accuracy.py), and
+# customer_weighted_price_udaf re-demonstrates priority_weighted_price's
+# weighted-mean shape through the grouped-agg pandas-UDAF surface.
+#
+# Enforcement: demoted entries are invisible to the driver gate, so
+# tests/test_battery.py's full-registry oracle sweep (ALL entries, tail
+# included, at sf0.001) is the mandatory regression net for them —
+# tests/test_registry_order.py pins the window/tail composition.
 _TAIL = [
     "nations_with_customers",
     "region_nation_rollup",
     "hourly_event_counts_stream",
     "closed_sessions_stream",
     "approx_distinct_users",
+    "customer_weighted_price_udaf",
 ]
 CHECKED_WINDOW = 50
 

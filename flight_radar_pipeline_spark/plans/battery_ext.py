@@ -489,12 +489,51 @@ def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def priority_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped weighted mean with built-in aggregates:
+    ``sum(price*w)/sum(w)``. Built-ins get map-side partial aggregation,
+    which matters decisively here: the group key has 5 distinct values, so
+    any no-partial-agg path (e.g. a grouped-agg pandas UDAF, which ships
+    every raw row to 5 reducer tasks) funnels the whole fact table through
+    5 tasks at scale. With partials, each input partition pre-reduces to
+    ≤5 rows before the shuffle. The UDAF surface is demonstrated separately
+    on a high-cardinality key (``customer_weighted_price_udaf``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (7 - F.col("o_orderkey") % 7).cast("double")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice") * w) / F.sum(w), 2
+            ).alias("weighted_avg_price")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customer_weighted_price_udaf",
+    # same weighted-mean arithmetic, keyed by customer (high cardinality)
+    """
+    select o_custkey,
+           round(sum(o_totalprice * (7 - o_orderkey % 7))
+                 / sum(7 - o_orderkey % 7), 2) as weighted_avg_price
+    from orders
+    group by o_custkey
+    order by o_custkey
+    limit 100
+    """,
+)
+def customer_weighted_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas UDAF (grouped-agg ``pandas_udf``) — the sanctioned
-    Python path when an aggregate has no built-in: Arrow ships whole column
-    batches, numpy reduces them; no per-row Python. Here a weighted mean
-    with deterministic synthetic weights; the oracle states the same
-    arithmetic in SQL. (Use built-ins when they exist — this demonstrates
-    the UDAF surface, and the rounding absorbs partial-sum order.)"""
+    Python path when an aggregate genuinely has no built-in: Arrow ships
+    whole column batches, numpy reduces them; no per-row Python.
+
+    Caveat this entry exists to document: grouped-agg pandas UDFs do **no
+    partial aggregation** — every raw row shuffles to its group's task. That
+    is only acceptable on a high-cardinality key (here ``o_custkey``,
+    ~150k groups/SF, so per-group batches stay small and reducers stay
+    parallel). On a low-cardinality key use built-ins
+    (see ``priority_weighted_price``)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -503,14 +542,15 @@ def priority_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     weighted = orders.select(
-        "o_orderpriority",
+        "o_custkey",
         "o_totalprice",
         (7 - F.col("o_orderkey") % 7).cast("double").alias("w"),
     )
     return (
-        weighted.groupBy("o_orderpriority")
+        weighted.groupBy("o_custkey")
         .agg(F.round(weighted_mean("o_totalprice", "w"), 2).alias("weighted_avg_price"))
-        .orderBy("o_orderpriority")
+        .orderBy("o_custkey")
+        .limit(100)
     )
 
 
