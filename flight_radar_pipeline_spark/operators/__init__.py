@@ -10,9 +10,15 @@ from flight_radar_pipeline_spark.operators.dedup import (
     simhash,
 )
 from flight_radar_pipeline_spark.operators.similarity import (
+    assign_cell,
+    collect_centroids,
+    cosine_near_dup_pairs,
     cosine_similarity,
     hyperplane_signatures,
+    kmeans_centroids,
+    probe_cells,
     topk_neighbors_bruteforce,
+    topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
 
@@ -24,7 +30,13 @@ __all__ = [
     "near_dup_pairs",
     "simhash",
     "cosine_similarity",
+    "cosine_near_dup_pairs",
     "topk_neighbors_bruteforce",
     "hyperplane_signatures",
     "topk_neighbors_lsh",
+    "topk_neighbors_ivf",
+    "collect_centroids",
+    "assign_cell",
+    "probe_cells",
+    "kmeans_centroids",
 ]

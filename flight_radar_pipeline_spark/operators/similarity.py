@@ -12,9 +12,18 @@ Two tiers, as a 100 TB pipeline needs them:
 
 All vector math is native (``zip_with``/``aggregate`` over array<double>),
 verified bit-exact against DuckDB's list functions — no UDFs.
+
+Embeddings are expected dense, non-null, fixed-width. Signature dots
+(``_plane_bits``) coalesce null components to 0.0 — the SUM-skips-null
+semantics of the relational form they replaced — so a stray null degrades
+one component instead of nulling the whole signature; the exact-verify
+dot (``_dot``) deliberately propagates nulls so corrupt vectors surface
+as null cosines rather than silently wrong ones.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -84,6 +93,10 @@ def _plane_component_value(plane: int, dim: int) -> float:
 
 
 def _n_dims(df: DataFrame, vec_col: str) -> int:
+    """Dimensionality probe — a driver-side ``first()``, so it is only the
+    FALLBACK when the caller does not pass ``n_dims``. Production callers
+    (and every battery entry) pass the known width; the scan exists so the
+    operators still work on ad-hoc frames."""
     return df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first().d
 
 
@@ -102,8 +115,12 @@ def _plane_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
     bits = []
     for row in planes:
         comp = F.array(*[F.lit(c) for c in row])
+        # coalesce each product to 0.0: a null component (or a vector
+        # shorter than the plane) degrades that term instead of nulling
+        # the whole signature — the SUM-skips-null semantics of the
+        # relational form this replaced, and of the SQL oracle.
         dot = F.aggregate(
-            F.zip_with(vec, comp, lambda x, y: x * y),
+            F.zip_with(vec, comp, lambda x, y: F.coalesce(x * y, F.lit(0.0))),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -116,10 +133,13 @@ def hyperplane_signatures(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Sign-LSH signature per vector → (id, signature string of 0/1),
-    computed as one narrow projection over the input (see ``_plane_bits``)."""
-    n_dims = _n_dims(df, vec_col)
+    computed as one narrow projection over the input (see ``_plane_bits``).
+    Pass ``n_dims`` (the embedding width) to keep the build free of driver
+    actions; omitted, a one-row scan probes it."""
+    n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)]
         for p in range(num_planes)
@@ -136,6 +156,7 @@ def multitable_signatures(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Per-table sign-LSH signatures → (id, table, signature).
 
@@ -148,7 +169,7 @@ def multitable_signatures(
     non-projection step is a ``posexplode`` of the ``num_tables``-element
     signature array per row — a bounded row multiplier, not a shuffle.
     """
-    n_dims = _n_dims(df, vec_col)
+    n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
     total = num_tables * planes_per_table
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)] for p in range(total)
@@ -173,6 +194,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine),
     id_a < id_b, cosine ≥ threshold, candidates from multi-table sign-LSH.
@@ -182,7 +204,9 @@ def cosine_near_dup_pairs(
     cross product never materializes. Recall rises with ``num_tables``
     (union of candidates) — the knob a 100 TB embedding-dedup job tunes.
     """
-    sigs = multitable_signatures(df, num_tables, planes_per_table, id_col, vec_col)
+    sigs = multitable_signatures(
+        df, num_tables, planes_per_table, id_col, vec_col, n_dims
+    )
     left = sigs.select(F.col(id_col).alias("id_a"), "table", "signature")
     right = sigs.select(F.col(id_col).alias("id_b"), "table", "signature")
     cands = (
@@ -214,6 +238,87 @@ def cosine_near_dup_pairs(
     )
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Strict left-to-right IEEE-double dot — bit-identical to the Spark
+    ``aggregate`` fold and to DuckDB's ``list_inner_product``, so norms
+    precomputed on the driver agree with both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def collect_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The deterministic first-N-by-id coarse quantizer → sorted
+    [(cent_id, vector)]. One bounded driver action (``num_centroids``
+    rows — the same class as building any broadcast literal); the vectors
+    fold into cell-assignment expressions as array literals."""
+    rows = (
+        corpus.filter(F.col(id_col) < num_centroids)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def _centroid_sim_structs(
+    vec: Column, centroids: list[tuple[int, list[float]]], decimals: int
+) -> Column:
+    """array<struct<sim, neg_id>> of rounded cosines against every
+    centroid, as one per-row expression: each dot is a
+    ``zip_with``/``aggregate`` fold against the centroid's array literal,
+    each centroid norm a driver-precomputed double. No explode, no join,
+    no shuffle — the plane-literal pattern of ``_plane_bits`` applied to
+    centroids. ``neg_id`` carries -cent_id so the struct array's NATURAL
+    order is (sim asc, cent_id desc): ``array_max`` picks max-sim with
+    min-cent_id tiebreak, ``reverse(array_sort(...))`` ranks sim desc with
+    cent_id asc tiebreak — the exact (sim desc, cent_id asc) total order
+    the SQL oracle's row_number states."""
+    norm_v = F.sqrt(_dot(vec, vec))
+    structs = []
+    for cid, cv in centroids:
+        comp = F.array(*[F.lit(float(x)) for x in cv])
+        sim = F.round(
+            _dot(vec, comp) / (norm_v * F.lit(math.sqrt(_py_dot(cv, cv)))), decimals
+        )
+        structs.append(
+            F.struct(sim.alias("sim"), F.lit(-cid).alias("neg_id"))
+        )
+    return F.array(*structs)
+
+
+def assign_cell(
+    vec: Column, centroids: list[tuple[int, list[float]]], decimals: int = 6
+) -> Column:
+    """Nearest-centroid cell id as a pure per-row column expression:
+    ``array_max`` over the centroid-sim structs (max rounded sim, ties to
+    the lowest cent_id). This replaces the round-2 crossJoin + row_number
+    window, which shuffled corpus × centroids rows for a per-row argmax —
+    at 100 TB that Exchange was the assignment stage's entire cost."""
+    best = F.array_max(_centroid_sim_structs(vec, centroids, decimals))
+    return -best["neg_id"]
+
+
+def probe_cells(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    decimals: int = 6,
+) -> Column:
+    """The ``nprobe`` nearest cell ids as an array column expression:
+    sort the centroid-sim structs (natural order, reversed → sim desc,
+    cent_id asc) and slice — same shuffle-free pattern as
+    ``assign_cell``."""
+    ranked = F.reverse(F.array_sort(_centroid_sim_structs(vec, centroids, decimals)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["neg_id"])
+
+
 def topk_neighbors_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -223,49 +328,36 @@ def topk_neighbors_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN → (query_id, neighbor_id, cosine): the corpus is
-    partitioned into ``num_centroids`` cells by nearest centroid; each
-    query probes its ``nprobe`` nearest cells and ranks exactly within
-    them.
+    partitioned into cells by nearest centroid; each query probes its
+    ``nprobe`` nearest cells and ranks exactly within them.
 
-    The coarse quantizer here is deterministic (the first
-    ``num_centroids`` corpus vectors by id) so the whole operator has an
-    exact SQL oracle; a production build swaps in k-means centroids — the
-    cell-assignment, probe, and in-cell search plans are unchanged. Scale:
-    centroids broadcast twice (tiny), assignment is one corpus scan + a
-    window, and search shuffles only probed cells — corpus never
-    self-joins. Assignment/probe similarities are rounded before ranking
-    so cell choices are engine-portable.
+    ``centroids`` defaults to the deterministic first-``num_centroids``
+    corpus vectors by id (``collect_centroids``) so the whole operator has
+    an exact SQL oracle; pass ``kmeans_centroids(...)`` for the production
+    quantizer — the cell-assignment, probe, and in-cell search plans are
+    unchanged. Scale: centroid vectors fold into per-row expressions
+    (``assign_cell`` / ``probe_cells``), so assignment is one corpus scan
+    with NO shuffle at all, probing one query scan + a bounded
+    ``nprobe``-element explode, and search shuffles only probed cells —
+    the corpus never self-joins and never windows. Assignment/probe
+    similarities are rounded before ranking so cell choices are
+    engine-portable.
     """
-    cents = corpus.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("__cent")
+    if centroids is None:
+        centroids = collect_centroids(corpus, num_centroids, id_col, vec_col)
+    nvec = F.col(vec_col).cast("array<double>")
+    assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__nvec"),
+        assign_cell(nvec, centroids, decimals).alias("cell"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
-    )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.desc("sim"), F.asc("cent_id")
-    )
-    assign = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "sim", F.round(cosine_similarity(F.col("__nvec"), F.col("__cent")), decimals)
-        )
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", F.col("cent_id").alias("cell"), "__nvec")
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    w_probe = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "sim", F.round(cosine_similarity(F.col("__qvec"), F.col("__cent")), decimals)
-        )
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", F.col("cent_id").alias("cell"), "__qvec")
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(probe_cells(nvec, centroids, nprobe, decimals)).alias("cell"),
     )
     scored = (
         probes.join(assign, "cell")
@@ -284,6 +376,63 @@ def topk_neighbors_ivf(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int | None = None,
+    decimals: int = 6,
+    seed: str = "kmeans",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic fixed-iteration Lloyd's k-means over a DataFrame →
+    sorted [(cent_id, vector)], the production coarse quantizer for
+    ``topk_neighbors_ivf`` (better-balanced cells → better recall at equal
+    ``nprobe`` than the first-N quantizer).
+
+    Engine-portable determinism: init picks the ``k`` rows with the
+    smallest ``md5(seed || '-' || id)`` (a hash total order, not
+    ``df.sample``), assignment reuses ``assign_cell``'s rounded-cosine
+    argmax expressions, and new centroid components are rounded to
+    ``decimals`` after each iteration so partial-sum order in the
+    per-cell means cannot leak into cell boundaries.
+
+    Scale: each iteration is one corpus scan → k-group partial-aggregated
+    mean (k × n_dims cells) → a k-row driver collect to refold centroids
+    into the next iteration's expressions. Iteration count is fixed (no
+    convergence collect); empty cells keep their previous centroid.
+    """
+    if n_dims is None:
+        n_dims = _n_dims(df, vec_col)
+    vd = F.col(vec_col).cast("array<double>")
+    seed_rows = (
+        df.select(F.col(id_col).alias("__id"), vd.alias("__v"))
+        .orderBy(
+            F.md5(F.concat(F.lit(f"{seed}-"), F.col("__id").cast("string"))), "__id"
+        )
+        .limit(k)
+        .collect()
+    )
+    # stable cent_ids: seeds ordered by their source id
+    seeds = sorted((int(r["__id"]), list(map(float, r["__v"]))) for r in seed_rows)
+    cents = [(i, v) for i, (_, v) in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = df.select(
+            assign_cell(vd, cents, decimals).alias("cell"),
+            *[vd[d].alias(f"x{d}") for d in range(n_dims)],
+        )
+        means = assigned.groupBy("cell").agg(
+            *[F.avg(f"x{d}").alias(f"x{d}") for d in range(n_dims)]
+        )
+        new = {
+            int(r["cell"]): [round(float(r[f"x{d}"]), decimals) for d in range(n_dims)]
+            for r in means.collect()
+        }
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents
+
+
 def topk_neighbors_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -292,6 +441,7 @@ def topk_neighbors_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """ANN: per query, exact top-k among corpus vectors sharing its
     hyperplane signature bucket → (query_id, neighbor_id, cosine).
@@ -300,8 +450,8 @@ def topk_neighbors_lsh(
     higher recall, more work). The bucket equi-join is the scale win: the
     cross product never materializes.
     """
-    sig_c = hyperplane_signatures(corpus, num_planes, id_col, vec_col)
-    sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col)
+    sig_c = hyperplane_signatures(corpus, num_planes, id_col, vec_col, n_dims)
+    sig_q = hyperplane_signatures(queries, num_planes, id_col, vec_col, n_dims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).join(sig_c.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")

@@ -19,7 +19,7 @@ from flight_radar_pipeline_spark.functions import text as T
 from flight_radar_pipeline_spark.operators import dedup as D
 from flight_radar_pipeline_spark.operators import similarity as S
 from flight_radar_pipeline_spark.plans.battery import register
-from flight_radar_pipeline_spark.plans.battery_text import _nibble_case
+from flight_radar_pipeline_spark.plans.battery_text import EMB_DIMS, _nibble_case
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 
@@ -257,7 +257,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus cross product never materializes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_pairs(
-        emb, threshold=_CT, num_tables=_NT, planes_per_table=_PPT
+        emb, threshold=_CT, num_tables=_NT, planes_per_table=_PPT, n_dims=EMB_DIMS
     ).orderBy("id_a", "id_b")
 
 
@@ -267,11 +267,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NC, _NPROBE, _KNN = 16, 2, 5
 
-_IVF_ORACLE = f"""
-    with cents as (
-        select vec_id as cent_id, embedding::DOUBLE[] as cv
-        from embeddings where vec_id < {_NC}
-    ), c as (
+
+def ivf_oracle_sql(cents_sql: str, nprobe: int = _NPROBE, knn: int = _KNN) -> str:
+    """The IVF ANN oracle parameterized by the coarse-quantizer CTE —
+    ``embedding_topk_ivf`` instantiates it with the first-N quantizer;
+    tests instantiate it with k-means centroid literals to prove the
+    assignment/search stages stay oracle-exact for ANY given centroids."""
+    return f"""
+    with cents as ({cents_sql}), c as (
         select vec_id as neighbor_id, embedding::DOUBLE[] as nv from embeddings
     ), assign as (
         select neighbor_id, nv, cent_id as cell from (
@@ -295,7 +298,7 @@ _IVF_ORACLE = f"""
                                 cents.cent_id
                    ) as rn
             from q cross join cents
-        ) where rn <= {_NPROBE}
+        ) where rn <= {nprobe}
     ), scored as (
         select query_id, neighbor_id,
                round(list_cosine_similarity(qv, nv), 6) as cosine
@@ -306,17 +309,25 @@ _IVF_ORACLE = f"""
             partition by query_id order by cosine desc, neighbor_id
         ) as rn from scored
     )
-    select query_id, neighbor_id, cosine from r where rn <= {_KNN}
+    select query_id, neighbor_id, cosine from r where rn <= {knn}
     order by query_id, neighbor_id
 """
+
+
+_IVF_ORACLE = ivf_oracle_sql(
+    f"""select vec_id as cent_id, embedding::DOUBLE[] as cv
+        from embeddings where vec_id < {_NC}"""
+)
 
 
 @register("embedding_topk_ivf", _IVF_ORACLE)
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 16 deterministic coarse centroids partition the corpus
     into cells; 10 queries probe their 2 nearest cells and rank exactly
-    within them. Centroids broadcast, assignment is one scan + window,
-    search touches probed cells only."""
+    within them. Centroid vectors fold into per-row argmax expressions
+    (no crossJoin, no window — assignment is one shuffle-free scan);
+    search touches probed cells only. The oracle states the identical
+    (rounded sim desc, cent_id asc) cell choices via row_number."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.topk_neighbors_ivf(

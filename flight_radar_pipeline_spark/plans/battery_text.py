@@ -572,6 +572,10 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embeddings.parquet width (TESTDATA.md); battery callers pass it so no
+# signature build needs a driver-side dimensionality probe
+EMB_DIMS = 64
+
 _PLANES = 6
 
 _LSH_ANN_ORACLE = f"""
@@ -621,6 +625,6 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product never materializes; bucket equi-join instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.topk_neighbors_lsh(emb, queries, k=5, num_planes=_PLANES).orderBy(
-        "query_id", "neighbor_id"
-    )
+    return S.topk_neighbors_lsh(
+        emb, queries, k=5, num_planes=_PLANES, n_dims=EMB_DIMS
+    ).orderBy("query_id", "neighbor_id")

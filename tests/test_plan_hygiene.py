@@ -52,6 +52,31 @@ def test_lsh_signature_stage_is_shuffle_free(spark):
         assert "Exchange" not in plan, f"shuffle in signature stage:\n{plan}"
 
 
+def test_ivf_assignment_stage_is_shuffle_free(spark):
+    """IVF cell assignment is a per-row argmax over centroid sims — the
+    round-2 form crossJoined corpus × centroids then windowed on
+    neighbor_id (an Exchange of corpus × 16 rows for a per-row decision);
+    the rewrite folds centroid vectors into inline array expressions, so
+    the assignment plan contains no Exchange and no Window at all."""
+    from pyspark.sql import functions as F
+
+    from flight_radar_pipeline_spark.operators.similarity import (
+        assign_cell,
+        collect_centroids,
+    )
+    from flight_radar_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = collect_centroids(emb, num_centroids=16)
+    assign = emb.select(
+        "vec_id",
+        assign_cell(F.col("embedding").cast("array<double>"), cents).alias("cell"),
+    )
+    plan = _plan(assign)
+    assert "Exchange" not in plan, f"shuffle in IVF assignment stage:\n{plan}"
+    assert "Window" not in plan, f"window in IVF assignment stage:\n{plan}"
+
+
 @pytest.mark.parametrize(
     "name,table,cols",
     [

@@ -66,3 +66,59 @@ def test_ivf_recall_rises_with_nprobe(emb, exact):
         )
         r[nprobe] = len(got & exact) / len(exact)
     assert r[4] >= r[1], f"recall should not drop as nprobe grows: {r}"
+
+
+@pytest.fixture(scope="module")
+def km_cents(emb):
+    return S.kmeans_centroids(emb, k=16, iters=5, n_dims=64)
+
+
+def test_kmeans_is_deterministic(emb, km_cents):
+    """Hash-seeded init + rounded means ⇒ byte-identical centroids on
+    recomputation — the property that makes the quantizer auditable."""
+    again = S.kmeans_centroids(emb, k=16, iters=5, n_dims=64)
+    assert again == km_cents
+
+
+def test_kmeans_quantizer_recall_ge_first_n(emb, km_cents):
+    """k-means centroids must reach at least the first-N quantizer's
+    recall at equal nprobe — measured on query sets DISJOINT from the
+    first-N centroid ids (queries 0-9 ARE centroids 0-9 under first-N,
+    which self-biases its recall to ~1 by construction and would make the
+    comparison meaningless). Both quantizers and the data are
+    hash-deterministic, so these recalls are dataset constants."""
+    for lo, hi in ((100, 110), (200, 220)):
+        queries = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        truth = _pairs(S.topk_neighbors_bruteforce(emb, queries, k=5))
+        first_n = _pairs(
+            S.topk_neighbors_ivf(emb, queries, k=5, num_centroids=16, nprobe=2)
+        )
+        kmeans = _pairs(
+            S.topk_neighbors_ivf(emb, queries, k=5, nprobe=2, centroids=km_cents)
+        )
+        r_first, r_km = (
+            len(first_n & truth) / len(truth),
+            len(kmeans & truth) / len(truth),
+        )
+        assert r_km >= r_first, (
+            f"queries [{lo},{hi}): kmeans recall {r_km:.3f} < "
+            f"first-N {r_first:.3f}"
+        )
+
+
+def test_ivf_oracle_parity_with_kmeans_centroids(emb, km_cents, duck):
+    """The assignment/search stages stay oracle-exact for ANY centroids:
+    inject the k-means centroids as DuckDB literals into the same oracle
+    template the driver checks, and the Spark IVF plan must hash-match —
+    rounded sims, cell tiebreaks, in-cell ranking, all of it."""
+    from flight_radar_pipeline_spark.plans.battery_corpus import ivf_oracle_sql
+    from oracle import compare
+
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for cid, v in km_cents
+    )
+    sql = ivf_oracle_sql(f"select * from (values {rows}) as t(cent_id, cv)")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = S.topk_neighbors_ivf(emb, queries, k=5, nprobe=2, centroids=km_cents)
+    compare(got.orderBy("query_id", "neighbor_id"), sql, duck)
