@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from flight_radar_pipeline_spark.functions.text import fingerprint
 
@@ -197,6 +198,7 @@ def near_dup_pairs(
     num_hashes: int = 16,
     num_bands: int = 4,
     jaccard_threshold: float = 0.5,
+    shingle_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline with exact verification:
     shingle → sign → band → candidate pairs → exact shingle-set Jaccard on
@@ -208,8 +210,21 @@ def near_dup_pairs(
     once and the intersection is ``array_intersect`` per pair, so the
     verify cost is O(candidates × set size), never a corpus-wide
     shingle-level join.
+
+    ``shingle_storage`` controls how the shingle explosion — the widest
+    intermediate, corpus × shingles rows consumed by BOTH the signature
+    and the verify pass — is materialized between its two consumers.
+    Default ``MEMORY_AND_DISK`` suits test/interactive scale; at 100 TB
+    pass ``StorageLevel.DISK_ONLY`` (the explosion is far beyond executor
+    memory, and a disk materialization is a stable stage boundary that
+    AQE can re-plan around), or ``None`` to skip persistence entirely and
+    recompute the explosion per consumer (trades one extra scan for zero
+    storage — right when the corpus scan is cheap relative to cluster
+    memory pressure).
     """
-    sh = shingles(df, text_col, id_col, k).cache()
+    sh = shingles(df, text_col, id_col, k)
+    if shingle_storage is not None:
+        sh = sh.persist(shingle_storage)
     sigs = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, num_hashes // num_bands)
 
@@ -287,22 +302,43 @@ def ngram_jaccard_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     maxdf: int | None = 1000,
+    prefix_filter: bool = True,
+    sets_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard near-dup via inverted-index join →
     (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
 
     No sketching: candidate pairs are docs sharing ≥1 n-gram (the inverted
-    index), and the intersection size falls out of the same gram-keyed
-    join — recall is exactly 1.0 at the threshold, unlike MinHash-LSH.
+    index), and recall is exactly 1.0 at the threshold, unlike MinHash-LSH.
 
-    Scale: the gram-keyed self-join is quadratic in per-gram document
-    frequency, so stop-grams ("of the a") are the one true scale-killer —
-    ``maxdf`` drops grams appearing in more than that many documents BEFORE
-    the join, bounding per-gram join fan-out at ``maxdf²``. The similarity
-    is then Jaccard over the *capped gram universe* (sizes and
-    intersections both exclude hot grams — the standard rare-feature
-    restriction, and the semantics a SQL oracle can restate exactly). Pass
-    ``maxdf=None`` for the uncapped exact form on small corpora.
+    Scale, two prunings that compose:
+
+    - ``maxdf`` (stop-gram cap): the gram-keyed self-join is quadratic in
+      per-gram document frequency, so stop-grams ("of the a") are the one
+      true scale-killer — grams appearing in more than ``maxdf`` documents
+      are dropped BEFORE the join, bounding per-gram fan-out at
+      ``maxdf``². The similarity is then Jaccard over the *capped gram
+      universe* (sizes and intersections both exclude hot grams — the
+      standard rare-feature restriction, which the SQL oracle restates
+      exactly). Pass ``None`` for the uncapped form on small corpora.
+    - ``prefix_filter`` (AllPairs/PPJoin-style prefix filtering): under a
+      global gram total order (ascending document frequency, gram string
+      tiebreak — rarest first for maximum pruning), any pair with
+      J ≥ t must share a gram within the first |g| − ⌈t·|g|⌉ + 1 grams of
+      BOTH documents, so only those prefixes feed the candidate join; the
+      verify then computes exact Jaccard from the full gram sets
+      (``array_intersect`` per candidate, as the MinHash verify does).
+      Pruning-only by construction — every pair it drops is provably
+      below threshold — so the output (and the oracle) is identical to
+      the unfiltered form; ``tests/test_ngram_maxdf.py`` asserts that.
+      The ⌈t·|g|⌉ is computed with a 1e-9 slack so float rounding can
+      only LENGTHEN a prefix (candidate superset, never a miss).
+
+    ``sets_storage`` materializes the per-doc ordered gram lists once
+    (the subtree is otherwise recomputed by the prefix explode and both
+    verify sides — explode + df-agg + join, ×3); same knob semantics as
+    ``near_dup_pairs``'s ``shingle_storage`` — ``DISK_ONLY`` at corpus
+    scale, ``None`` to trade recompute for zero storage.
 
     Docs with fewer than ``n`` tokens produce no grams (and thus no pairs),
     identically on the SQL-oracle side.
@@ -318,31 +354,93 @@ def ngram_jaccard_pairs(
         ),
     ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    # grams are per-doc distinct, so count(*) per gram == doc frequency
+    gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
     if maxdf is not None:
-        # grams are per-doc distinct, so count(*) per gram == doc frequency;
-        # inner join against the kept-gram set ≡ semi-join (one row per gram)
-        keep = (
-            g.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= maxdf)
-            .select("gram")
+        gram_df = gram_df.filter(F.col("__df") <= maxdf)
+    g = g.join(gram_df, "gram")
+
+    if not prefix_filter:
+        sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = g.select(F.col(id_col).alias("id_a"), "gram").alias("l")
+        b = g.select(F.col(id_col).alias("id_b"), "gram").alias("r")
+        inter = (
+            a.join(
+                b,
+                (F.col("l.gram") == F.col("r.gram"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter_sz"))
         )
-        g = g.join(keep, "gram")
-    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = g.select(F.col(id_col).alias("id_a"), "gram")
-    b = g.select(F.col(id_col).alias("id_b"), "gram")
-    inter = (
-        a.join(b, (a["gram"] == b["gram"]) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
+        return (
+            inter.join(
+                sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter_sz")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # one doc-keyed pass builds both the df-ordered gram list (prefixes
+    # slice off its head) and the full set the verify intersects
+    sets = (
+        g.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("__df").alias("df"), F.col("gram").alias("gram"))
+                )
+            ).alias("__ord")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__ord", lambda s: s["gram"]).alias("__grams"),
+            F.size("__ord").alias("sz"),
+        )
+    )
+    if sets_storage is not None:
+        sets = sets.persist(sets_storage)
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * F.lit(jaccard_threshold) - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pref = sets.select(
+        F.col(id_col), F.explode(F.slice("__grams", F.lit(1), prefix_len)).alias("gram")
+    )
+    a = pref.select(F.col(id_col).alias("id_a"), "gram").alias("l")
+    b = pref.select(F.col(id_col).alias("id_b"), "gram").alias("r")
+    cands = (
+        a.join(
+            b,
+            (F.col("l.gram") == F.col("r.gram")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("__grams").alias("__ga"), F.col("sz").alias("sz_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"), F.col("sz").alias("sz_b")
     )
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
-        )
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter_sz", F.size(F.array_intersect("__ga", "__gb")))
         .withColumn(
             "jaccard",
             F.round(
