@@ -25,6 +25,7 @@ shuffled between silver and gold.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
 
@@ -84,6 +85,8 @@ def run_pipeline(
     api_limit: int = 1500,
     zones: Iterable[Zone] = (WORLD,),
     join_how: str = "inner",
+    run_id: str | None = None,
+    fact_mode: str = "append",
 ) -> PipelineResult:
     """Run the full medallion chain and land every layer under ``base_path``.
 
@@ -92,9 +95,29 @@ def run_pipeline(
     pre-built raw DataFrame (``flights_raw`` — e.g. a file drop); exactly
     one must be provided. Dimensions fetch only when their parquet is
     absent; pass ``fetch_airlines=None`` to require pre-existing dims.
+
+    Rerun semantics (``fact_mode``):
+
+    - ``"append"`` (default, the reference's hourly-batch cadence): each
+      run's rows land alongside earlier runs', stamped with ``run_id``
+      (caller-supplied, else a generated uuid) — so a retry after a crash
+      between the silver and gold writes appends *distinguishable*
+      duplicates, and storage readers can dedupe by latest run per key.
+      On storage, the silver invariant is therefore one row per
+      (run_id, id), not per id.
+    - ``"overwrite_partitions"`` (backfills/retries): dynamic partition
+      overwrite — the rerun replaces exactly the date partitions it
+      writes, so re-landing the same input is byte-idempotent. Do not use
+      for intra-day incremental appends (it would clobber the day's
+      earlier batches).
     """
     if (fetch_flights is None) == (flights_raw is None):
         raise ValueError("provide exactly one of fetch_flights / flights_raw")
+    if fact_mode not in ("append", "overwrite_partitions"):
+        raise ValueError(f"unknown fact_mode: {fact_mode!r}")
+    dynamic = fact_mode == "overwrite_partitions"
+    if run_id is None:
+        run_id = uuid.uuid4().hex
 
     airlines_path = f"{base_path}/dims/airlines"
     airports_path = f"{base_path}/dims/airports"
@@ -117,13 +140,22 @@ def run_pipeline(
 
     # bronze: raw rows as landed, date-bucketed CSV like the reference's
     # save_flights_bronze_csv (K2) — kept headerless-typed via explicit schema
-    write_partitioned(flights_raw, bronze_path, ts_col="time", fmt="csv")
+    write_partitioned(
+        flights_raw, bronze_path, ts_col="time", fmt="csv",
+        run_id=run_id, dynamic_overwrite=dynamic,
+    )
 
     silver = build_silver(flights_raw)
-    write_partitioned(silver, silver_path, ts_col="time", fmt="parquet")
+    write_partitioned(
+        silver, silver_path, ts_col="time", fmt="parquet",
+        run_id=run_id, dynamic_overwrite=dynamic,
+    )
 
     gold = build_gold(silver, airports, airlines, how=join_how)
-    write_partitioned(gold, gold_path, ts_col="time", fmt="parquet")
+    write_partitioned(
+        gold, gold_path, ts_col="time", fmt="parquet",
+        run_id=run_id, dynamic_overwrite=dynamic,
+    )
 
     return PipelineResult(
         airlines_path=airlines_path,

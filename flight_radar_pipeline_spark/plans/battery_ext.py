@@ -512,12 +512,15 @@ def priority_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_weighted_price_udaf",
-    # same weighted-mean arithmetic, keyed by customer (high cardinality)
+    # same weighted-mean arithmetic, keyed by customer (high cardinality);
+    # the custkey slice bounds the PER-GROUP PYTHON CALL count in the demo,
+    # not the operator
     """
     select o_custkey,
            round(sum(o_totalprice * (7 - o_orderkey % 7))
                  / sum(7 - o_orderkey % 7), 2) as weighted_avg_price
     from orders
+    where o_custkey % 16 = 0
     group by o_custkey
     order by o_custkey
     limit 100
@@ -529,18 +532,21 @@ def customer_weighted_price_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole column batches, numpy reduces them; no per-row Python.
 
     Caveat this entry exists to document: grouped-agg pandas UDFs do **no
-    partial aggregation** — every raw row shuffles to its group's task. That
-    is only acceptable on a high-cardinality key (here ``o_custkey``,
-    ~150k groups/SF, so per-group batches stay small and reducers stay
-    parallel). On a low-cardinality key use built-ins
-    (see ``priority_weighted_price``)."""
+    partial aggregation** — every raw row shuffles to its group's task,
+    and each group pays a Python function call. That is only acceptable on
+    a high-cardinality key (here ``o_custkey``: reducers stay parallel and
+    per-group state stays small). On a low-cardinality key use built-ins
+    (see ``priority_weighted_price``). The deterministic ``custkey % 16``
+    slice keeps the DEMO's group count (and its per-group call overhead)
+    bounded in the bench; the filter is pushed to the scan, the operator
+    itself is unrestricted."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def weighted_mean(price: pd.Series, weight: pd.Series) -> float:
         return float((price * weight).sum() / weight.sum())
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 16 == 0)
     weighted = orders.select(
         "o_custkey",
         "o_totalprice",

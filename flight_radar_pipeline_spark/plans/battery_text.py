@@ -216,8 +216,24 @@ _MINHASH_ORACLE = f"""
 # once (eager localCheckpoint — the battery-local stand-in for the pair
 # table a real pipeline writes to storage) instead of recomputing three
 # corpus-wide sketch passes. Keyed by applicationId so a new session never
-# sees a stale handle.
+# sees a stale handle. Caveats, by design: localCheckpoint blocks lose
+# their executor on failure (a real pipeline writes the pair table to
+# storage), and entries live until ``clear_pair_cache`` — tests that need
+# to re-prove properties of the UNDERLYING sketch computation (e.g.
+# partition determinism) must clear between runs or the cache would
+# satisfy them vacuously.
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_pair_cache() -> None:
+    """Drop every materialized pair table (and unpersist its blocks) so
+    the next battery call recomputes the sketch pipeline from scratch."""
+    for df in _PAIR_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:  # session may already be gone
+            pass
+    _PAIR_CACHE.clear()
 
 
 def _shared_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,8 +16,14 @@ native partitioned writes and partition-value pruning:
   the max, then scans just the winning partition.
 
 Scale: the partitioned writer sets ``maxRecordsPerFile`` so a skewed day
-cannot produce a multi-GB file; writes are append-idempotent per run via a
-``run_ts`` column rather than overwrite-the-world.
+cannot produce a multi-GB file. Rerun semantics are explicit, not
+accidental: ``run_id`` stamps every appended row with its producing run
+(so a retry's duplicates are distinguishable and dedupable), and
+``dynamic_overwrite`` switches to dynamic partition overwrite — the
+rerun replaces exactly the partitions it writes, leaving the rest of the
+table untouched (the idempotent choice for backfills/retries; wrong for
+intra-day incremental appends, which would clobber the day's earlier
+batches).
 """
 
 from __future__ import annotations
@@ -46,17 +52,30 @@ def write_partitioned(
     fmt: str = "parquet",
     mode: str = "append",
     max_records_per_file: int = 5_000_000,
+    run_id: str | None = None,
+    dynamic_overwrite: bool = False,
 ) -> None:
     """Date-partitioned write (K2/K3 equivalent): Parquet or CSV, real
-    partition columns, bounded file sizes."""
+    partition columns, bounded file sizes.
+
+    ``run_id`` (if given) is stamped as a column so appended rows carry
+    their producing run — a crashed-and-retried run's duplicates are then
+    dedupable (``row_number() over (partition by key order by run_id
+    desc)``) instead of silently indistinguishable. ``dynamic_overwrite``
+    replaces only the partitions present in ``df`` (Spark's dynamic
+    partition overwrite), making a rerun of the same input byte-idempotent
+    on storage."""
     out = with_date_parts(df, ts_col)
-    (
-        out.write.partitionBy(*DATE_PARTS)
-        .option("maxRecordsPerFile", max_records_per_file)
-        .mode(mode)
-        .format(fmt)
-        .save(path)
+    if run_id is not None:
+        out = out.withColumn("run_id", F.lit(run_id))
+    writer = out.write.partitionBy(*DATE_PARTS).option(
+        "maxRecordsPerFile", max_records_per_file
     )
+    if dynamic_overwrite:
+        writer = writer.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+    else:
+        writer = writer.mode(mode)
+    writer.format(fmt).save(path)
 
 
 def write_single_csv(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:

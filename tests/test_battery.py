@@ -39,12 +39,20 @@ def test_battery_query(name, spark, duck):
     ],
 )
 def test_battery_partition_determinism(name, spark):
+    # the shared pair table would satisfy this vacuously for the minhash
+    # entry (both widths reusing one materialization): clear it so each
+    # width recomputes the sketch pipeline from scratch
+    from flight_radar_pipeline_spark.plans.battery_text import clear_pair_cache
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        clear_pair_cache()
         spark.conf.set("spark.sql.shuffle.partitions", "1")
         one = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
+        clear_pair_cache()
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         many = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        clear_pair_cache()
     assert one == many
