@@ -41,9 +41,12 @@ def _configure(spark: SparkSession) -> None:
 # tests/test_battery.py), rollup duplicates cube's grouping-sets machinery,
 # nations_with_customers duplicates order_priority_count's left-semi shape,
 # approx_distinct_users is rows-only by design (HLL has no exact SQL oracle;
-# accuracy pinned in tests/test_hll_accuracy.py), and
+# accuracy pinned in tests/test_hll_accuracy.py),
 # customer_weighted_price_udaf re-demonstrates priority_weighted_price's
-# weighted-mean shape through the grouped-agg pandas-UDAF surface.
+# weighted-mean shape through the grouped-agg pandas-UDAF surface, and the
+# round-3 corpus extensions (repetition ratio, TF-IDF top terms, sequence
+# packing, stratified sampling) are oracle-backed additions beyond the
+# 50-slot window — fully hash-checked by the local full-registry sweep.
 #
 # Enforcement: demoted entries are invisible to the driver gate, so
 # tests/test_battery.py's full-registry oracle sweep (ALL entries, tail
@@ -56,6 +59,10 @@ _TAIL = [
     "closed_sessions_stream",
     "approx_distinct_users",
     "customer_weighted_price_udaf",
+    "doc_repetition_ratio",
+    "doc_tfidf_top_terms",
+    "doc_pack_assignments",
+    "doc_stratified_sample",
 ]
 CHECKED_WINDOW = 50
 

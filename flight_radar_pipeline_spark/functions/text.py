@@ -173,3 +173,25 @@ def fingerprint(text: Column | str) -> Column:
     text — the exact-dedup key."""
     canon = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
     return F.md5(canon)
+
+
+def repetition_ratio(text: Column | str, n: int = 3, decimals: int = 4) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document (1 − distinct/total) — the standard intra-document
+    repetition signal corpus-cleaning stacks threshold on (boilerplate,
+    keyword stuffing, and degenerate generations all score high). 0 for
+    documents with fewer than ``n`` tokens. Pure array expression: scan
+    speed, exact SQL oracle."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    rep = total - F.size(F.array_distinct(grams))
+    return F.round(
+        rep.cast("double") / F.greatest(total, F.lit(1)).cast("double"), decimals
+    )

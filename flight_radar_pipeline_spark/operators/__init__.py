@@ -9,6 +9,7 @@ from flight_radar_pipeline_spark.operators.dedup import (
     shingles,
     simhash,
 )
+from flight_radar_pipeline_spark.operators.packing import pack_documents
 from flight_radar_pipeline_spark.operators.similarity import (
     assign_cell,
     collect_centroids,
@@ -21,6 +22,7 @@ from flight_radar_pipeline_spark.operators.similarity import (
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
+from flight_radar_pipeline_spark.operators.tfidf import tfidf_top_terms
 
 __all__ = [
     "dedup_exact",
@@ -39,4 +41,6 @@ __all__ = [
     "assign_cell",
     "probe_cells",
     "kmeans_centroids",
+    "pack_documents",
+    "tfidf_top_terms",
 ]

@@ -1,0 +1,66 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences ("packs").
+
+Tokenized corpora are trained in fixed-length sequences; packing decides
+which documents concatenate into which sequence. The relational form here
+is contiguous-fill packing: documents take a deterministic order, the
+running token count is a window cumulative sum, and a document's pack is
+``floor(start_offset / budget)`` — documents may straddle a pack boundary
+(split/truncated at materialization time), which is the streaming packer
+most large-scale pipelines actually run (fill loss zero, no bin-packing
+search). A no-straddle first-fit variant needs a sequential scan per
+group — if required, run this same per-bucket layout through
+``applyInPandas`` — but the relational form is the scale default.
+
+Scale: packing is embarrassingly parallel ACROSS hash buckets — the
+window cumulative sum runs per bucket, so no global single-partition
+window ever exists; each bucket's packs are independent (the only cost is
+one potentially short final pack per bucket). Order inside a bucket is
+(md5(id), id) — engine-portable, partition-invariant, and stable under
+reprocessing, so pack assignments are reproducible end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions.text import hash_bucket, token_count
+
+
+def pack_documents(
+    df: DataFrame,
+    token_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """→ (id, bucket, n_tokens, start_offset, pack_id): contiguous-fill
+    pack assignment per hash bucket.
+
+    ``pack_id`` is globally unique: ``bucket * 2^32 + local_pack`` (local
+    pack ordinals are far below 2^32 for any real bucket). Whitespace
+    token counts stand in for trained-tokenizer counts — swap
+    ``token_count`` for a real count column when one exists upstream.
+    """
+    b = hash_bucket(id_col, buckets)
+    base = df.select(
+        F.col(id_col),
+        b.alias("bucket"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        start,
+        (
+            F.col("bucket") * F.lit(2**32).cast("bigint")
+            + F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
+        ).alias("pack_id"),
+    )

@@ -12,12 +12,14 @@ pseudo-randomness is md5-derived.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions import text as T
 from flight_radar_pipeline_spark.operators import dedup as D
 from flight_radar_pipeline_spark.operators import similarity as S
+from flight_radar_pipeline_spark.operators.packing import pack_documents
+from flight_radar_pipeline_spark.operators.tfidf import tfidf_top_terms
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_text import EMB_DIMS, _nibble_case
 from flight_radar_pipeline_spark.sources.readers import load_table
@@ -318,6 +320,156 @@ _IVF_ORACLE = ivf_oracle_sql(
     f"""select vec_id as cent_id, embedding::DOUBLE[] as cv
         from embeddings where vec_id < {_NC}"""
 )
+
+
+# --------------------------------------------------------------------------
+# corpus-pipeline extensions: repetition, TF-IDF, packing, stratified sample
+# --------------------------------------------------------------------------
+
+_REP_N = 3
+
+_REPETITION_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), g as (
+        select doc_id,
+               case when len(toks) >= {_REP_N}
+                    then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          for i in range(1, len(toks) - {_REP_N - 2})]
+                    else [] end as grams
+        from t
+    )
+    select doc_id,
+           round((len(grams) - len(list_distinct(grams)))::double
+                 / greatest(len(grams), 1), 4) as rep_ratio
+    from g
+    order by doc_id
+"""
+
+
+@register("doc_repetition_ratio", _REPETITION_ORACLE)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word trigrams that repeat an
+    earlier trigram — the corpus-cleaning signal that catches boilerplate,
+    keyword stuffing, and degenerate generations. Pure array exprs, scan
+    speed at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.repetition_ratio("text", n=_REP_N).alias("rep_ratio")
+    ).orderBy("doc_id")
+
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = rf"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as term
+        from documents
+    ), tf as (
+        select doc_id, term, count(*) as tf from tok group by doc_id, term
+    ), dfreq as (
+        select term, count(*) as ndocs from tf group by term
+    ), n as (
+        select count(*) as nn from documents
+    ), scored as (
+        select tf.doc_id, tf.term,
+               round(tf.tf::double * ln(n.nn::double / dfreq.ndocs::double), 4)
+                   as tfidf
+        from tf join dfreq using (term) cross join n
+    ), r as (
+        select *, row_number() over (
+            partition by doc_id order by tfidf desc, term
+        ) as rank from scored
+    )
+    select doc_id, term, tfidf, rank from r where rank <= {_TFIDF_K}
+    order by doc_id, rank
+"""
+
+
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction / topic
+    labeling): explode → two hash aggregates → term-keyed join → per-doc
+    top-k window, N as a 1-row broadcast. Scores rounded before ranking;
+    (score desc, term asc) total order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, "text", "doc_id", k=_TFIDF_K).orderBy(
+        "doc_id", "rank"
+    )
+
+
+_PACK_BUDGET, _PACK_BUCKETS = 512, 8
+
+_PACKING_ORACLE = f"""
+    with base as (
+        select doc_id,
+               ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint
+                   % {_PACK_BUCKETS} as bucket,
+               len(regexp_split_to_array(trim(text), '\\s+'))::bigint as n_tokens
+        from documents
+    ), cum as (
+        select doc_id, bucket, n_tokens,
+               sum(n_tokens) over (
+                   partition by bucket
+                   order by md5(doc_id::varchar), doc_id
+                   rows unbounded preceding
+               ) - n_tokens as start_offset
+        from base
+    )
+    select doc_id, bucket, n_tokens, start_offset,
+           bucket * 4294967296 + floor(start_offset / {_PACK_BUDGET})::bigint
+               as pack_id
+    from cum
+    order by doc_id
+"""
+
+
+@register("doc_pack_assignments", _PACKING_ORACLE)
+def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: documents take a deterministic
+    (md5, id) order inside hash buckets; a doc's pack is
+    floor(start_offset / budget). The cumulative-sum window runs PER
+    BUCKET — packing parallelizes across buckets with no global window —
+    and assignments are reproducible on any engine or partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, token_budget=_PACK_BUDGET, buckets=_PACK_BUCKETS
+    ).orderBy("doc_id")
+
+
+_STRATA_QUOTA = 20
+
+_STRATIFIED_ORACLE = f"""
+    select doc_id, lang from (
+        select doc_id, lang,
+               row_number() over (
+                   partition by lang
+                   order by md5(doc_id::varchar), doc_id
+               ) as rn
+        from documents
+    ) where rn <= {_STRATA_QUOTA}
+    order by doc_id
+"""
+
+
+@register("doc_stratified_sample", _STRATIFIED_ORACLE)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with exact per-language quotas: within each
+    stratum, rows rank by (md5(id), id) — a reproducible shuffle — and
+    the first N win. Unlike ``df.sample``, quotas are exact and the
+    selected set is stable across engines, partitionings, and reruns;
+    the per-stratum window parallelizes across strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= _STRATA_QUOTA)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
 
 
 @register("embedding_topk_ivf", _IVF_ORACLE)

@@ -48,9 +48,12 @@ def click_view_pairs_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "view"
     )
     out = click_view_pairs_stream(clicks, views)
-    return run_stream_to_memory(out, output_mode="append").orderBy(
-        "click_id", "view_id"
-    )
+    # 8 state partitions for the ~100k-event replay (see
+    # run_stream_to_memory): the join keeps 4 state stores per partition
+    # and per-batch store overhead dominates at bench scale
+    return run_stream_to_memory(
+        out, output_mode="append", state_partitions=8
+    ).orderBy("click_id", "view_id")
 
 
 @register(
@@ -97,9 +100,9 @@ def closed_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched group function — no Python row loop."""
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     closed = sessionize_stream(events, gap_minutes=30)
-    return run_stream_to_memory(closed, output_mode="append").orderBy(
-        "user_id", "session_start"
-    )
+    return run_stream_to_memory(
+        closed, output_mode="append", state_partitions=8
+    ).orderBy("user_id", "session_start")
 
 
 @register(
@@ -123,7 +126,9 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference has no streaming; this is the north-star surface)."""
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     result = hourly_counts_stream(events)
-    return run_stream_to_memory(result).orderBy("hour_start", "event_type")
+    return run_stream_to_memory(result, state_partitions=8).orderBy(
+        "hour_start", "event_type"
+    )
 
 
 @register(

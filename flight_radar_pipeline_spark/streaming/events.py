@@ -225,6 +225,7 @@ def run_stream_to_memory(
     result: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (`availableNow`) into a
     memory sink; return the materialized result as a batch DataFrame.
@@ -232,14 +233,31 @@ def run_stream_to_memory(
     ``complete`` mode emits the full aggregate each commit, so the final
     table equals the batch answer regardless of watermark progress (append
     mode would hold back unfinalized windows at end-of-stream).
+
+    ``state_partitions`` pins the stateful stage's partition count for
+    THIS stream (set before start, restored after): a streaming query
+    fixes it at its first checkpoint, and every partition pays per-batch
+    state-store open/commit overhead — measured on the stream-stream join
+    at sf0.1, 32 partitions cost 7-10 s where 8 cost ~2.5 s for identical
+    results. Size it to sustained state volume (cluster jobs: ~2-4× total
+    cores), not to the session's batch shuffle width; results are exact
+    either way, this is purely a throughput knob.
     """
-    name = f"stream_result_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"stream_result_{uuid.uuid4().hex[:8]}"
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
