@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from flight_radar_pipeline_spark.functions.text import fingerprint
+from flight_radar_pipeline_spark.functions.text import fingerprint, word_ngrams
 
 
 # --------------------------------------------------------------------------
@@ -344,15 +344,7 @@ def ngram_jaccard_pairs(
     identically on the SQL-oracle side.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams_arr = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams_arr = F.array_distinct(word_ngrams(toks, n))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
     # grams are per-doc distinct, so count(*) per gram == doc frequency
     gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -480,8 +472,14 @@ def simhash(
 
     Token-level: each distinct token votes its md5 bit pattern weighted by
     occurrence count; each output bit is the vote majority; the hex string
-    is reassembled nibble-by-nibble. Entirely relational (explode + agg) —
-    no UDF, exact SQL oracle available.
+    is reassembled nibble-by-nibble. Entirely relational — no UDF, exact
+    SQL oracle available.
+
+    Scale: all ``num_bits`` bit votes are PARALLEL ``sum`` aggregates over
+    the same (doc, token, weight, md5) row — the same no-explosion pattern
+    as the MinHash signature pass. One token-count shuffle + one doc-keyed
+    shuffle with full map-side partials, versus the naive form's
+    token × num_bits row explosion through three successive groupBys.
     """
     nibbles = num_bits // 4
     tok = df.select(
@@ -489,49 +487,33 @@ def simhash(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     )
     tok_counts = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("w"))
-    hashed = tok_counts.withColumn("h", F.md5(F.col("token")))
-    # explode nibble positions 0..15, then bit positions 0..3 within each
-    nib = (
-        hashed.select(
-            id_col,
-            "w",
-            F.explode(F.sequence(F.lit(0), F.lit(nibbles - 1))).alias("np"),
-            F.col("h"),
-        )
-        .withColumn("nib", _nibble_value(F.substr(F.col("h"), F.col("np") + 1, F.lit(1))))
-    )
-    bits = nib.select(
-        id_col,
+    # parse the fingerprint into 32-bit halves ONCE per (doc, token); each
+    # bit vote is then a shift+mask — not a per-bit hex-char CASE cascade
+    # (that form cost 4× the row explosion it replaced)
+    hashed = tok_counts.select(
+        F.col(id_col),
         "w",
-        "np",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bp"),
-        F.col("nib"),
-    ).withColumn("bit", F.expr("shiftright(nib, 3 - bp) % 2"))
-    votes = (
-        bits.groupBy(id_col, "np", "bp")
-        .agg(F.sum(F.col("w") * (F.col("bit") * 2 - 1)).alias("vote"))
-        .withColumn("outbit", (F.col("vote") > 0).cast("int"))
+        _hex_to_long(F.md5(F.col("token")), 1, 8).alias("__h1"),
+        _hex_to_long(F.md5(F.col("token")), 9, 8).alias("__h2"),
     )
-    nib_vals = (
-        votes.groupBy(id_col, "np")
-        .agg(F.sum(F.expr("outbit * shiftleft(1, 3 - bp)")).alias("nv"))
-    )
-    hex_chars = nib_vals.withColumn(
-        "hc",
-        F.substr(F.lit("0123456789abcdef"), (F.col("nv") + 1).cast("int"), F.lit(1)),
-    )
-    return (
-        hex_chars.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("np", "hc"))),
-                    lambda s: s["hc"],
-                ),
-            ).alias("simhash")
+    # one weighted-sum aggregate per output bit k (MSB-first): vote(k) =
+    # Σ w · (2·bit − 1), bit = (half >> (31 − k%32)) & 1
+    votes = []
+    for k in range(num_bits):
+        half = F.col("__h1") if k < 32 else F.col("__h2")
+        bit = F.shiftright(half, 31 - (k % 32)).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.col("w") * (bit * 2 - 1)).alias(f"__v{k}"))
+    agg = hashed.groupBy(id_col).agg(*votes)
+    # reassemble: nibble value = Σ (vote>0) << (3−bp), then hex-char lookup
+    hex_chars = []
+    for np_ in range(nibbles):
+        nv = F.lit(0)
+        for bp in range(4):
+            nv = nv + (F.col(f"__v{np_ * 4 + bp}") > 0).cast("int") * (1 << (3 - bp))
+        hex_chars.append(
+            F.substr(F.lit("0123456789abcdef"), (nv + 1).cast("int"), F.lit(1))
         )
-    )
+    return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
 
 
 def _hex_to_long(col: Column, start: int, length: int) -> Column:
