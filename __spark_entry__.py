@@ -63,6 +63,8 @@ _TAIL = [
     "doc_tfidf_top_terms",
     "doc_pack_assignments",
     "doc_stratified_sample",
+    "distinct_user_event_types_stream",
+    "orders_scd2_history",
 ]
 CHECKED_WINDOW = 50
 

@@ -1,6 +1,11 @@
 """Medallion transforms (bronze → silver → gold) as composable DataFrame fns."""
 
-from flight_radar_pipeline_spark.pipeline.silver import build_silver, dedup_by_key, merge_snapshot
+from flight_radar_pipeline_spark.pipeline.silver import (
+    build_silver,
+    dedup_by_key,
+    merge_snapshot,
+    scd2_apply,
+)
 from flight_radar_pipeline_spark.pipeline.gold import build_gold
 from flight_radar_pipeline_spark.pipeline.runner import PipelineResult, run_pipeline
 
@@ -9,6 +14,7 @@ __all__ = [
     "build_gold",
     "dedup_by_key",
     "merge_snapshot",
+    "scd2_apply",
     "run_pipeline",
     "PipelineResult",
 ]

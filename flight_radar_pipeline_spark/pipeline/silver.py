@@ -73,3 +73,49 @@ def merge_snapshot(
     upd = updates.withColumn("__src", F.lit(1))
     merged = cur.unionByName(upd)
     return dedup_by_key(merged, list(keys), order_by=[F.desc("__src")]).drop("__src")
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    effective: Column,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension apply over plain files: every
+    updated key's CURRENT row (``valid_to`` null) is closed at
+    ``effective``, and the update lands as the new current row
+    (``valid_from = effective``, ``valid_to`` null); closed history and
+    untouched current rows pass through unchanged. ``updates`` must carry
+    the history schema minus the two validity columns.
+
+    The full-history complement to ``merge_snapshot`` (SCD1): instead of
+    overwriting, each key accumulates non-overlapping validity intervals,
+    so any past state is reconstructable with
+    ``valid_from <= ts AND (valid_to IS NULL OR ts < valid_to)``.
+
+    Scale: one semi- and one anti-join of the current slice against the
+    update keys (both key-shuffles; broadcast when the update batch is
+    small — the common case for dimension feeds), plus a union — no
+    window, no full-table rewrite of closed history. With a
+    transactional table format the same logical op is MERGE INTO WHEN
+    MATCHED UPDATE / WHEN NOT MATCHED INSERT.
+    """
+    key_list = list(keys)
+    upd_keys = updates.select(*key_list).distinct()
+    is_current = F.col(valid_to_col).isNull()
+    current_slice = history.filter(is_current)
+    closed = current_slice.join(upd_keys, key_list, "semi").withColumn(
+        valid_to_col, effective
+    )
+    untouched_current = current_slice.join(upd_keys, key_list, "anti")
+    past = history.filter(~is_current)
+    fresh = updates.withColumn(valid_from_col, effective).withColumn(
+        valid_to_col, F.lit(None).cast("timestamp")
+    )
+    return (
+        past.unionByName(untouched_current)
+        .unionByName(closed)
+        .unionByName(fresh.select(*history.columns))
+    )

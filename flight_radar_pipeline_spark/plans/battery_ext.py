@@ -16,6 +16,7 @@ from flight_radar_pipeline_spark.plans.battery import REGISTRY, register
 from flight_radar_pipeline_spark.sources.readers import load_table
 from flight_radar_pipeline_spark.streaming.events import (
     click_view_pairs_stream,
+    dedup_keys_stream,
     hourly_counts_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -129,6 +130,98 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(result, state_partitions=8).orderBy(
         "hour_start", "event_type"
     )
+
+
+@register(
+    "distinct_user_event_types_stream",
+    """
+    select distinct user_id, event_type from events
+    order by user_id, event_type
+    """,
+)
+def distinct_user_event_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicates`` with per-key state):
+    the emitted key set equals batch DISTINCT — the streaming face of the
+    exact-dedup family, state one entry per distinct key."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = dedup_keys_stream(events, ["user_id", "event_type"])
+    return run_stream_to_memory(
+        out, output_mode="append", state_partitions=8
+    ).orderBy("user_id", "event_type")
+
+
+@register(
+    "orders_scd2_history",
+    # SCD2 apply stated as: closed current rows (semi) ∪ untouched
+    # (anti) ∪ fresh update rows; bootstrap history = orders snapshot
+    # with valid_from = o_orderdate, open-ended
+    """
+    with cur as (
+        select o_orderkey, o_totalprice,
+               o_orderdate as valid_from, null::timestamp as valid_to
+        from orders
+    ), updates as (
+        select o_orderkey, o_totalprice + 1000 as o_totalprice
+        from orders where o_orderkey % 10 = 0
+    ), closed as (
+        select c.o_orderkey, c.o_totalprice, c.valid_from,
+               timestamp '1999-01-01 00:00:00' as valid_to
+        from cur c where exists (
+            select 1 from updates u where u.o_orderkey = c.o_orderkey)
+    ), untouched as (
+        select c.* from cur c where not exists (
+            select 1 from updates u where u.o_orderkey = c.o_orderkey)
+    ), fresh as (
+        select o_orderkey, o_totalprice,
+               timestamp '1999-01-01 00:00:00' as valid_from,
+               null::timestamp as valid_to
+        from updates
+    ), hist as (
+        select * from untouched union all
+        select * from closed union all
+        select * from fresh
+    )
+    select o_orderkey, round(o_totalprice, 2) as price,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') as valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') as valid_to,
+           valid_to is null as is_current
+    from hist order by o_orderkey, valid_from
+    """,
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply (``pipeline.scd2_apply``): a 10% update batch closes
+    each updated key's current row at the effective timestamp and appends
+    the new current row — full history with non-overlapping validity
+    intervals, any past state reconstructable by interval predicate.
+    Updated keys gain a second row: output = orders + updates rows."""
+    from flight_radar_pipeline_spark.pipeline import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    history = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
+    )
+    effective = F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+    out = scd2_apply(history, updates, ["o_orderkey"], effective)
+    # open-ended validity presents as a max-sentinel string: keeps the
+    # output null-free (pandas compares None != None as a mismatch) and
+    # range predicates still work lexicographically
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_orderkey", "valid_from")
 
 
 @register(

