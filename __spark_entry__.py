@@ -65,6 +65,7 @@ _TAIL = [
     "doc_stratified_sample",
     "distinct_user_event_types_stream",
     "orders_scd2_history",
+    "doc_pack_firstfit",
 ]
 CHECKED_WINDOW = 50
 

@@ -9,7 +9,10 @@ from flight_radar_pipeline_spark.operators.dedup import (
     shingles,
     simhash,
 )
-from flight_radar_pipeline_spark.operators.packing import pack_documents
+from flight_radar_pipeline_spark.operators.packing import (
+    pack_documents,
+    pack_documents_firstfit,
+)
 from flight_radar_pipeline_spark.operators.similarity import (
     assign_cell,
     collect_centroids,
@@ -42,5 +45,6 @@ __all__ = [
     "probe_cells",
     "kmeans_centroids",
     "pack_documents",
+    "pack_documents_firstfit",
     "tfidf_top_terms",
 ]

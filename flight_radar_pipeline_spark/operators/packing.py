@@ -24,6 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
 
 from flight_radar_pipeline_spark.functions.text import hash_bucket, token_count
 
@@ -64,3 +69,71 @@ def pack_documents(
             + F.floor((cum - F.col("n_tokens")) / F.lit(token_budget))
         ).alias("pack_id"),
     )
+
+
+_FIRSTFIT_OUT = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("bucket", LongType(), True),
+        StructField("n_tokens", LongType(), True),
+        StructField("pack_id", LongType(), True),
+    ]
+)
+
+
+def pack_documents_firstfit(
+    df: DataFrame,
+    token_budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 32,
+) -> DataFrame:
+    """No-straddle greedy packing → (doc_id, bucket, n_tokens, pack_id):
+    within each hash bucket, documents in (md5(id), id) order fill the
+    current pack until the next document would overflow ``token_budget``,
+    which opens a new pack; a document longer than the budget gets a pack
+    of its own. No document ever straddles a pack boundary — the variant
+    chosen when truncation at sequence edges is unacceptable.
+
+    The open-pack recurrence ("reset the running sum when it would
+    overflow") is inherently sequential per bucket — not statable as a
+    window function — so this is the sanctioned Arrow-batched Python
+    path: ``applyInPandas`` per bucket, one pass over the bucket's rows.
+    Same deterministic layout and bucket-parallelism as
+    ``pack_documents``; ``pack_id`` is ``bucket * 2^32 + local_pack``.
+    The driver battery checks this rows-only (no SQL oracle for the
+    recurrence); ``tests/test_packing.py`` pins the invariants: budget
+    never exceeded by multi-doc packs, order respected, partitioning- and
+    rerun-deterministic.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        hash_bucket(id_col, buckets).alias("bucket"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("__ord"),
+    )
+
+    def pack_bucket(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__ord", "doc_id"], ignore_index=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        packs = []
+        pack, used = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if used > 0 and used + n > token_budget:
+                pack += 1
+                used = 0
+            packs.append(bucket * 2**32 + pack)
+            used += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": pdf["bucket"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": packs,
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(pack_bucket, _FIRSTFIT_OUT)

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from flight_radar_pipeline_spark.functions import text as T
 from flight_radar_pipeline_spark.operators import dedup as D
 from flight_radar_pipeline_spark.operators import similarity as S
-from flight_radar_pipeline_spark.operators.packing import pack_documents
+from flight_radar_pipeline_spark.operators.packing import (
+    pack_documents,
+    pack_documents_firstfit,
+)
 from flight_radar_pipeline_spark.operators.tfidf import tfidf_top_terms
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_text import EMB_DIMS, _nibble_case
@@ -434,6 +437,23 @@ def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and assignments are reproducible on any engine or partitioning."""
     docs = load_table(spark, sf_dir, "documents")
     return pack_documents(
+        docs, token_budget=_PACK_BUDGET, buckets=_PACK_BUCKETS
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_pack_firstfit",
+    None,  # the open-pack recurrence is sequential per bucket — no SQL
+    # statement; rows-only driver check, invariants pinned in
+    # tests/test_packing.py (budget, coverage, determinism, >= the
+    # contiguous packer's ordinals)
+)
+def doc_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-straddle first-fit packing via Arrow-batched ``applyInPandas``
+    per bucket — the sanctioned Python path for genuinely sequential
+    per-group state (reset-on-overflow cannot be a window function)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents_firstfit(
         docs, token_budget=_PACK_BUDGET, buckets=_PACK_BUCKETS
     ).orderBy("doc_id")
 
