@@ -27,6 +27,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -195,6 +196,7 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     decimals: int = 6,
     n_dims: int | None = None,
+    signature_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine),
     id_a < id_b, cosine ≥ threshold, candidates from multi-table sign-LSH.
@@ -203,10 +205,19 @@ def cosine_near_dup_pairs(
     the LSH tables are verified with the exact cosine; the corpus-wide
     cross product never materializes. Recall rises with ``num_tables``
     (union of candidates) — the knob a 100 TB embedding-dedup job tunes.
+
+    ``signature_storage`` materializes the signature table once — both
+    sides of the candidate self-join consume it, and signature dots are
+    the expensive expression (tables × planes × dims multiply-adds per
+    row). Same knob semantics as the dedup operators: ``DISK_ONLY`` at
+    corpus scale (a real pipeline writes signatures to storage), ``None``
+    to recompute per consumer.
     """
     sigs = multitable_signatures(
         df, num_tables, planes_per_table, id_col, vec_col, n_dims
     )
+    if signature_storage is not None:
+        sigs = sigs.persist(signature_storage)
     left = sigs.select(F.col(id_col).alias("id_a"), "table", "signature")
     right = sigs.select(F.col(id_col).alias("id_b"), "table", "signature")
     cands = (
