@@ -66,6 +66,7 @@ _TAIL = [
     "distinct_user_event_types_stream",
     "orders_scd2_history",
     "doc_pack_firstfit",
+    "event_zorder_keys",
 ]
 CHECKED_WINDOW = 50
 

@@ -441,6 +441,54 @@ def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_Z_BITS = 8
+_Z_DOMS = (("user_id", 0.0, 1500.0), ("value", 0.0, 1000.0))
+
+
+def _zorder_sql(cols_doms, bits: int) -> str:
+    """The Morton-key expression unrolled to portable SQL — same
+    quantization and bit placement as ``operators.zorder.zorder_key``."""
+    qs = []
+    for c, lo, hi in cols_doms:
+        levels = 1 << bits
+        qs.append(
+            f"greatest(least(floor((coalesce({c}::double, {lo}) - {lo})"
+            f" / {hi - lo} * {levels})::bigint, {levels - 1}), 0)"
+        )
+    terms = [
+        f"((({q} >> {i}) & 1) << {i * len(qs) + cidx})"
+        for i in range(bits)
+        for cidx, q in enumerate(qs)
+    ]
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+    select event_id, {_zorder_sql(_Z_DOMS, _Z_BITS)} as zkey
+    from events
+    order by event_id
+"""
+
+
+@register("event_zorder_keys", _ZORDER_ORACLE)
+def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value): the
+    multi-column data-skipping layout — sort/range-partition a write by
+    this key and parquet row-group min/max statistics prune predicates
+    on EITHER column. Pure integer bit-interleave expression, computed
+    at scan speed; fixed quantization domains keep keys stable across
+    incremental writes."""
+    from flight_radar_pipeline_spark.operators.zorder import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    key = zorder_key(
+        [F.col("user_id"), F.col("value")],
+        [(lo, hi) for _, lo, hi in _Z_DOMS],
+        bits=_Z_BITS,
+    )
+    return ev.select("event_id", key.alias("zkey")).orderBy("event_id")
+
+
 @register(
     "doc_pack_firstfit",
     None,  # the open-pack recurrence is sequential per bucket — no SQL

