@@ -527,6 +527,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_bits: int = 64,
+    signature_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance →
     (id_a, id_b, hamming ≤ max_hamming), id_a < id_b.
@@ -539,9 +540,14 @@ def simhash_near_dup_pairs(
     signed-int64, and xor/bit_count are bitwise-identical either way).
     The fingerprint → blocking → verify chain is the classic
     Charikar/Manku-Jain-Sarma web-dedup design, here as three DataFrame
-    stages.
+    stages. ``signature_storage`` materializes the fingerprint table once
+    (both sides of the block-key self-join consume it; computing it means
+    the full token-vote aggregation) — same knob semantics as the other
+    dedup operators.
     """
     sigs = simhash(df, text_col, id_col, num_bits)
+    if signature_storage is not None:
+        sigs = sigs.persist(signature_storage)
     nibbles = num_bits // 4
     n_blocks = max_hamming + 1
     block_nibs = nibbles // n_blocks
