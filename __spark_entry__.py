@@ -67,6 +67,7 @@ _TAIL = [
     "orders_scd2_history",
     "doc_pack_firstfit",
     "event_zorder_keys",
+    "doc_bm25_query",
 ]
 CHECKED_WINDOW = 50
 

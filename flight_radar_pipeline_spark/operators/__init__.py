@@ -25,7 +25,7 @@ from flight_radar_pipeline_spark.operators.similarity import (
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
-from flight_radar_pipeline_spark.operators.tfidf import tfidf_top_terms
+from flight_radar_pipeline_spark.operators.tfidf import bm25_scores, tfidf_top_terms
 
 __all__ = [
     "dedup_exact",
@@ -47,4 +47,5 @@ __all__ = [
     "pack_documents",
     "pack_documents_firstfit",
     "tfidf_top_terms",
+    "bm25_scores",
 ]

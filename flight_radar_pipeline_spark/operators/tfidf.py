@@ -58,3 +58,55 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms → (id, score), score > 0 (documents containing none of the
+    terms drop out — at corpus scale you never materialize zero scores).
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    with idf(t) = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1) — the standard
+    lexical retrieval scorer (and the classic hybrid-search complement to
+    the embedding ANN operators).
+
+    Scale: token explode filters to the query terms IMMEDIATELY (the
+    per-doc surviving stream is |q|-bounded), document lengths are one
+    grouped count over the same scan, corpus stats (N, avgdl) a 1-row
+    broadcast, per-term df a |q|-row broadcast. One doc-keyed sum at the
+    end; everything partial-aggregated. Scores rounded for
+    engine-portable ranking.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    hits = toks.filter(F.array_contains(qlit, F.col("term")))
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("ndocs"))
+    dlen = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("double").alias("dl")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg(F.size(tokens(text_col)).cast("double")).alias("__avgdl"),
+    )
+    idf = F.log(
+        (F.col("__N") - F.col("ndocs") + 0.5) / (F.col("ndocs") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), decimals).alias("score"))
+        .filter(F.col("score") > 0)
+    )

@@ -441,6 +441,65 @@ def doc_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BM25_TERMS = ("spark", "shuffle", "broadcast")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) as term
+        from documents
+    ), tf as (
+        select doc_id, term, count(*) as tf from tok
+        where term in {tuple(_BM25_TERMS)!r}
+        group by doc_id, term
+    ), dfreq as (
+        select term, count(*) as ndocs from tf group by term
+    ), dlen as (
+        select doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::double as dl
+        from documents
+    ), stats as (
+        select count(*) as nn,
+               avg(len(regexp_split_to_array(trim(text), '\\s+'))::double) as avgdl
+        from documents
+    )
+    select tf.doc_id,
+           round(sum(
+               ln((stats.nn - dfreq.ndocs + 0.5) / (dfreq.ndocs + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dlen.dl / stats.avgdl))
+           ), 4) as score
+    from tf
+    join dfreq using (term)
+    join dlen on dlen.doc_id = tf.doc_id
+    cross join stats
+    group by tf.doc_id
+    having round(sum(
+               ln((stats.nn - dfreq.ndocs + 0.5) / (dfreq.ndocs + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dlen.dl / stats.avgdl))
+           ), 4) > 0
+    order by tf.doc_id
+"""
+
+
+@register("doc_bm25_query", _BM25_ORACLE)
+def doc_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance against a fixed query bag — the lexical
+    retrieval scorer (hybrid-search complement to the embedding ANN
+    entries). Token explode filters to query terms immediately; corpus
+    stats and per-term document frequencies join as broadcasts; one
+    doc-keyed sum."""
+    from flight_radar_pipeline_spark.operators.tfidf import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(
+        docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+    ).orderBy("doc_id")
+
+
 _Z_BITS = 8
 _Z_DOMS = (("user_id", 0.0, 1500.0), ("value", 0.0, 1000.0))
 
