@@ -68,6 +68,7 @@ _TAIL = [
     "doc_pack_firstfit",
     "event_zorder_keys",
     "doc_bm25_query",
+    "incremental_daily_rollup",
 ]
 CHECKED_WINDOW = 50
 

@@ -3,6 +3,7 @@
 from flight_radar_pipeline_spark.pipeline.silver import (
     build_silver,
     dedup_by_key,
+    merge_rollup,
     merge_snapshot,
     scd2_apply,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "build_gold",
     "dedup_by_key",
     "merge_snapshot",
+    "merge_rollup",
     "scd2_apply",
     "run_pipeline",
     "PipelineResult",

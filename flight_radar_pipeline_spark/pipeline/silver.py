@@ -119,3 +119,31 @@ def scd2_apply(
         .unionByName(closed)
         .unionByName(fresh.select(*history.columns))
     )
+
+
+def merge_rollup(
+    rollup: DataFrame,
+    delta_rollup: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine an existing rollup with
+    a new batch's rollup of the same shape — every non-key column must be
+    a MERGEABLE partial (sums and counts; store (sum, count) pairs to
+    maintain averages, min/max merge as themselves via a sum→min swap at
+    the call site if needed).
+
+    This is the reprocessing-free pattern for 100 TB rollups: aggregate
+    only the delta (one small shuffle), then one |keys|-shuffle union+sum
+    against the stored rollup — never re-scan history. Algebraic partials
+    are exactly what Spark's own partial aggregation exploits inside one
+    job; this operator applies the same idea ACROSS jobs with the rollup
+    as durable state.
+    """
+    key_list = list(keys)
+    merged = rollup.select(*key_list, *sum_cols).unionByName(
+        delta_rollup.select(*key_list, *sum_cols)
+    )
+    return merged.groupBy(*key_list).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

@@ -225,6 +225,55 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_daily_rollup",
+    # merged rollup over base ∪ delta ≡ direct rollup over the union —
+    # the invariant incremental view maintenance rests on
+    """
+    with allrows as (
+        select o_orderpriority, o_totalprice from orders
+        union all
+        select o_orderpriority, o_totalprice + 10 from orders
+        where o_orderkey % 5 = 0
+    )
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           round(sum(o_totalprice), 2) as revenue
+    from allrows group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (``pipeline.merge_rollup``): the
+    stored per-priority rollup merges with a 20% delta batch's rollup —
+    only the delta is aggregated, history is never re-scanned, and the
+    result provably equals the from-scratch rollup over base ∪ delta
+    (the oracle states that equivalent). Counts ride along as sums;
+    averages derive from (sum, count) at read time."""
+    from flight_radar_pipeline_spark.pipeline import merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+
+    base = rollup(orders)
+    delta = rollup(
+        orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10
+        )
+    )
+    merged = merge_rollup(base, delta, ["o_orderpriority"], ["n_orders", "revenue"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("revenue", 2).alias("revenue"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
     "orders_scd1_merge",
     """
     with updates as (
