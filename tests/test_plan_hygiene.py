@@ -23,13 +23,34 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Plans allowed to contain a BroadcastNestedLoopJoin — each is a
+# broadcast of a 1-row aggregate (corpus totals/stats appended to every
+# row: constant per-row cost at any scale) or the deliberate exact
+# brute-force baseline whose query side broadcasts with an inequality
+# condition. Anything NOT listed that grows a BNLJ is a scale regression.
+ALLOWED_BNLJ = {
+    "top_pmi_collocations",      # 1-row unigram-total broadcast
+    "embedding_topk_bruteforce",  # exact baseline: broadcast query set, != cond
+    "doc_tfidf_top_terms",        # 1-row corpus-size broadcast
+    "doc_bm25_query",             # 1-row corpus-stats broadcast
+}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_row_at_a_time_python(name, spark):
+def test_plan_free_of_scale_killers(name, spark):
     plan = _plan(QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan — use native exprs or "
         "Arrow-batched pandas"
     )
+    assert "CartesianProduct" not in plan, (
+        f"{name}: unbounded cartesian product in plan"
+    )
+    if name not in ALLOWED_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: BroadcastNestedLoopJoin outside the 1-row-broadcast "
+            "allowlist — add an equi-join key or justify in ALLOWED_BNLJ"
+        )
 
 
 def test_lsh_signature_stage_is_shuffle_free(spark):
