@@ -45,7 +45,9 @@ def _configure(spark: SparkSession) -> None:
 # customer_weighted_price_udaf re-demonstrates priority_weighted_price's
 # weighted-mean shape through the grouped-agg pandas-UDAF surface, and the
 # round-3 corpus extensions (repetition ratio, TF-IDF top terms, sequence
-# packing, stratified sampling) are oracle-backed additions beyond the
+# packing, stratified sampling, plus the corpus-assembly batch:
+# decontamination, chunking, weighted/mixture sampling, OOV profiling,
+# length histogram) are oracle-backed additions beyond the
 # 50-slot window — fully hash-checked by the local full-registry sweep.
 #
 # Enforcement: demoted entries are invisible to the driver gate, so
@@ -69,6 +71,12 @@ _TAIL = [
     "event_zorder_keys",
     "doc_bm25_query",
     "incremental_daily_rollup",
+    "doc_decontamination",
+    "doc_chunk_windows",
+    "doc_weighted_sample",
+    "doc_oov_rate",
+    "corpus_mixture_sample",
+    "doc_length_histogram",
 ]
 CHECKED_WINDOW = 50
 
@@ -78,6 +86,7 @@ def _registry():
         battery,
         battery_corpus,
         battery_ext,
+        battery_prep,
         battery_temporal,
         battery_text,
     )

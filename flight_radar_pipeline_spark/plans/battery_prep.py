@@ -1,0 +1,281 @@
+"""Corpus-assembly battery: decontamination, chunking, weighted sampling,
+vocabulary/OOV profiling, domain-mixture sampling, length histograms —
+the operators that turn a cleaned corpus into a training mix
+(operators/corpus_prep.py).
+
+Same contract as every battery: the Spark plan and a DuckDB oracle state
+the identical deterministic computation; md5-derived randomness, total
+orders on every ranking, doubles rounded in-plan on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators import corpus_prep as P
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+
+def _unit_hash_sql(key_expr: str, salt: str) -> str:
+    """SQL twin of operators.corpus_prep.unit_hash: first 6 md5 nibbles,
+    midpoint-shifted, scaled to (0, 1)."""
+    return (
+        f"((('0x' || substr(md5('{salt}-' || {key_expr}), 1, 6))::bigint + 0.5)"
+        f" / 16777216.0)"
+    )
+
+
+# space-joined word trigrams of a token-array expression (matches
+# functions.text.word_ngrams for n=3; empty below 3 tokens)
+_TRIGRAMS_SQL = (
+    "case when len(toks) >= 3 then "
+    "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] "
+    "for i in range(1, len(toks) - 1)] else [] end"
+)
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+_DECON_N = 3
+_EVAL_BUCKET = 1  # hash_bucket(doc_id, 10) == 1 → the held-out ~10%
+
+_DECON_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks,
+               ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint % 10 as bucket
+        from documents
+    ), g as (
+        select doc_id, bucket, unnest(list_distinct({_TRIGRAMS_SQL})) as gram
+        from t
+    ), eval_grams as (
+        select distinct gram from g where bucket = {_EVAL_BUCKET}
+    )
+    select g.doc_id,
+           count(*) as n_grams,
+           count(e.gram) as n_overlap,
+           round(count(e.gram) / count(*), 4) as contamination
+    from g left join eval_grams e using (gram)
+    where g.bucket != {_EVAL_BUCKET}
+    group by g.doc_id
+    order by g.doc_id
+"""
+
+
+@register("doc_decontamination", _DECON_ORACLE)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-doc fraction of distinct word
+    trigrams that appear in a deterministic held-out slice (md5 bucket 1,
+    ~10%) — the flag-or-drop signal that keeps eval data out of a
+    training corpus. Scale: eval grams broadcast, per-doc distinct grams
+    computed row-locally (array_distinct before the explode), one
+    uniform-key groupBy; the corpus never self-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = T.hash_bucket("doc_id", 10) == _EVAL_BUCKET
+    report = P.contamination_report(
+        docs.filter(~is_eval), docs.filter(is_eval), n=_DECON_N
+    )
+    return report.orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# sliding-window chunking
+# --------------------------------------------------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+_CHUNK_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), s as (
+        select doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_S})) as start
+        from t
+    )
+    select doc_id,
+           (start - 1) // {_CHUNK_S} as chunk_idx,
+           start,
+           least(len(toks) - start + 1, {_CHUNK_W})::bigint as n_chunk_tokens,
+           md5(array_to_string(
+               toks[start:least(start + {_CHUNK_W} - 1, len(toks))], ' '
+           )) as chunk_hash
+    from s
+    order by doc_id, chunk_idx
+"""
+
+
+@register("doc_chunk_windows", _CHUNK_ORACLE)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (window 32, stride 24 → 8-token
+    overlap) — the RAG/embedding-pipeline shape that splits documents
+    into encoder-sized, overlapping pieces. Pure row-local explode+slice:
+    no shuffle anywhere; chunk hashes support downstream chunk-level
+    dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.chunk_documents(docs, window=_CHUNK_W, stride=_CHUNK_S).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (A-Res)
+# --------------------------------------------------------------------------
+
+_WS_M = 60
+
+_WSAMPLE_ORACLE = rf"""
+    with t as (
+        select doc_id, lang,
+               len(regexp_split_to_array(trim(text), '\s+')) as n_tokens
+        from documents
+    )
+    select doc_id, lang, n_tokens,
+           round(-ln({_unit_hash_sql("doc_id::varchar", "wsample")})
+                 / n_tokens, 8) as sample_key
+    from t
+    order by sample_key, doc_id
+    limit {_WS_M}
+"""
+
+
+@register("doc_weighted_sample", _WSAMPLE_ORACLE)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    weight = token count): deterministic md5-derived draws, top-m by
+    exponential key via TakeOrdered — per-partition heaps, no global
+    sort. Longer documents win proportionally more slots — the
+    length-weighted corpus subsetting shape."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return P.weighted_sample(docs, _WS_M, F.col("n_tokens")).select(
+        "doc_id", "lang", "n_tokens", "sample_key"
+    )
+
+
+# --------------------------------------------------------------------------
+# vocabulary coverage / OOV
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 150
+
+_OOV_ORACLE = rf"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as token
+        from documents
+    ), vocab as (
+        select token from tok
+        group by token
+        order by count(*) desc, token
+        limit {_VOCAB_V}
+    )
+    select doc_id,
+           count(*) as n_tokens,
+           count(*) - count(v.token) as n_oov,
+           round((count(*) - count(v.token)) / count(*), 4) as oov_rate
+    from tok left join vocab v using (token)
+    group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_oov_rate", _OOV_ORACLE)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-150 token vocabulary (count-desc, token-asc total order) — the
+    coverage check run before committing to a tokenizer/vocab. Scale:
+    vocab is a TakeOrdered top-V then broadcast; the corpus side is one
+    explode + one per-doc groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = P.top_vocabulary(docs, _VOCAB_V)
+    return P.oov_report(docs, vocab).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# domain-mixture sampling
+# --------------------------------------------------------------------------
+
+_MIX_SHARES = {"de": 0.15, "en": 0.35, "es": 0.20, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET = 250
+
+_MIX_CASE = " ".join(
+    f"when '{dom}' then {share}" for dom, share in sorted(_MIX_SHARES.items())
+)
+
+_MIX_ORACLE = rf"""
+    with c as (
+        select lang, count(*) as n_docs from documents group by lang
+    ), r as (
+        select lang, n_docs,
+               (case lang {_MIX_CASE} else 0.0 end) as target_share,
+               round(least(1.0, (case lang {_MIX_CASE} else 0.0 end)
+                                * {_MIX_BUDGET} / n_docs), 6) as rate
+        from c
+    )
+    select d.lang, r.n_docs, r.target_share, r.rate,
+           sum(case when {_unit_hash_sql("d.doc_id::varchar", "mix")} < r.rate
+                    then 1 else 0 end)::bigint as n_sampled
+    from documents d join r using (lang)
+    group by d.lang, r.n_docs, r.target_share, r.rate
+    order by d.lang
+"""
+
+
+@register("corpus_mixture_sample", _MIX_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling toward target language shares under a
+    250-doc budget: per-domain rate = min(1, share·budget/n), membership
+    by deterministic md5 draw → (lang, n_docs, target_share, rate,
+    n_sampled). The mixture-weighting step of corpus assembly, auditable
+    because the realized subset is rerun- and partition-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.mixture_sample_report(
+        docs, _MIX_SHARES, _MIX_BUDGET, domain_col="lang"
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# token-length histogram
+# --------------------------------------------------------------------------
+
+_HIST_W = 16
+
+_HIST_ORACLE = rf"""
+    with t as (
+        select len(regexp_split_to_array(trim(text), '\s+')) as n_tokens
+        from documents
+    )
+    select (n_tokens // {_HIST_W}) * {_HIST_W} as bucket_lo,
+           count(*) as n_docs,
+           round(avg(n_tokens), 2) as avg_tokens
+    from t
+    group by bucket_lo
+    order by bucket_lo
+"""
+
+
+@register("doc_length_histogram", _HIST_ORACLE)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width token-length histogram (bucket width 16) — the
+    length-distribution profile that sets truncation/packing parameters
+    for a training run. One partial-aggregated groupBy on a small key
+    domain; scan-speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = T.token_count("text").cast("bigint")
+    return (
+        docs.select(
+            (F.floor(ntok / _HIST_W) * _HIST_W).cast("bigint").alias("bucket_lo"),
+            ntok.alias("__n"),
+        )
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__n"), 2).alias("avg_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
