@@ -365,6 +365,75 @@ def _centroid_sim_structs(
     return F.array(*structs)
 
 
+def _centroid_arrays(centroids: list[tuple[int, list[float]]]):
+    """(cent_id vector, k×d matrix, per-centroid norms) as numpy arrays —
+    shared by the Arrow assignment/probe fast paths."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    return cids, cmat, cnorm
+
+
+def _rounded_sims(vecs, cids, cmat, cnorm, decimals: int):
+    """n×k rounded-cosine matrix for a pandas Series of vectors — one
+    numpy matmul per Arrow batch. Rounding is floor(x·10^d + 0.5)/10^d
+    (HALF_UP for the positive sims that decide rankings); the association
+    order differs from the expression fold by ~1e-15, ten orders below
+    the rounding quantum — same safety argument as
+    ``_arrow_bit_signatures``, equality with the expr impl asserted in
+    tests."""
+    import numpy as np
+
+    mat = np.array(vecs.tolist(), dtype=np.float64)
+    vnorm = np.sqrt((mat * mat).sum(axis=1))
+    sims = (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
+    scale = 10.0**decimals
+    return np.floor(sims * scale + 0.5) / scale
+
+
+def _arrow_cell_udf(centroids: list[tuple[int, list[float]]], decimals: int):
+    """pandas UDF: nearest-centroid cell id per vector (max rounded sim,
+    ties to the lowest cent_id — np.argmax picks the first max and
+    centroids are cid-ascending)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cmat, cnorm = _centroid_arrays(centroids)
+
+    @pandas_udf("int")
+    def cell(vecs):
+        import numpy as np
+        import pandas as pd
+
+        sims = _rounded_sims(vecs, cids, cmat, cnorm, decimals)
+        return pd.Series(cids[np.argmax(sims, axis=1)]).astype("int32")
+
+    return cell
+
+
+def _arrow_probes_udf(
+    centroids: list[tuple[int, list[float]]], nprobe: int, decimals: int
+):
+    """pandas UDF: the ``nprobe`` nearest cell ids per vector, ranked
+    (rounded sim desc, cent_id asc) — stable argsort on the negated sim
+    matrix keeps ties cid-ascending."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cmat, cnorm = _centroid_arrays(centroids)
+
+    @pandas_udf("array<int>")
+    def probes(vecs):
+        import numpy as np
+        import pandas as pd
+
+        sims = _rounded_sims(vecs, cids, cmat, cnorm, decimals)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(cids[j]) for j in row] for row in order])
+
+    return probes
+
+
 def assign_cell(
     vec: Column, centroids: list[tuple[int, list[float]]], decimals: int = 6
 ) -> Column:
@@ -401,6 +470,7 @@ def topk_neighbors_ivf(
     vec_col: str = "embedding",
     decimals: int = 6,
     centroids: list[tuple[int, list[float]]] | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN → (query_id, neighbor_id, cosine): the corpus is
     partitioned into cells by nearest centroid; each query probes its
@@ -410,26 +480,40 @@ def topk_neighbors_ivf(
     corpus vectors by id (``collect_centroids``) so the whole operator has
     an exact SQL oracle; pass ``kmeans_centroids(...)`` for the production
     quantizer — the cell-assignment, probe, and in-cell search plans are
-    unchanged. Scale: centroid vectors fold into per-row expressions
-    (``assign_cell`` / ``probe_cells``), so assignment is one corpus scan
-    with NO shuffle at all, probing one query scan + a bounded
-    ``nprobe``-element explode, and search shuffles only probed cells —
-    the corpus never self-joins and never windows. Assignment/probe
-    similarities are rounded before ranking so cell choices are
-    engine-portable.
+    unchanged. Scale: centroid vectors fold into the assignment stage as
+    literals, so assignment is one corpus scan with NO shuffle at all,
+    probing one query scan + a bounded ``nprobe``-element explode, and
+    search shuffles only probed cells — the corpus never self-joins and
+    never windows. Assignment/probe similarities are rounded before
+    ranking so cell choices are engine-portable.
+
+    ``impl="arrow"`` (default) computes assignment/probes as one numpy
+    matmul per Arrow batch (the production path — centroids × dims
+    multiply-adds per row vectorize ~100× over interpreted HOF folds);
+    ``impl="expr"`` keeps the pure-expression form (``assign_cell`` /
+    ``probe_cells``) — bit-portable to the SQL oracle's stated sum order.
+    Both are shuffle-free and asserted identical in tests.
     """
     if centroids is None:
         centroids = collect_centroids(corpus, num_centroids, id_col, vec_col)
     nvec = F.col(vec_col).cast("array<double>")
+    if impl == "arrow":
+        cell_col = _arrow_cell_udf(centroids, decimals)(F.col(vec_col))
+        probe_col = F.explode(
+            _arrow_probes_udf(centroids, nprobe, decimals)(F.col(vec_col))
+        )
+    else:
+        cell_col = assign_cell(nvec, centroids, decimals)
+        probe_col = F.explode(probe_cells(nvec, centroids, nprobe, decimals))
     assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__nvec"),
-        assign_cell(nvec, centroids, decimals).alias("cell"),
+        cell_col.alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(probe_cells(nvec, centroids, nprobe, decimals)).alias("cell"),
+        probe_col.alias("cell"),
     )
     scored = (
         probes.join(assign, "cell")
@@ -457,6 +541,7 @@ def kmeans_centroids(
     n_dims: int | None = None,
     decimals: int = 6,
     seed: str = "kmeans",
+    impl: str = "arrow",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic fixed-iteration Lloyd's k-means over a DataFrame →
     sorted [(cent_id, vector)], the production coarse quantizer for
@@ -490,8 +575,13 @@ def kmeans_centroids(
     seeds = sorted((int(r["__id"]), list(map(float, r["__v"]))) for r in seed_rows)
     cents = [(i, v) for i, (_, v) in enumerate(seeds)]
     for _ in range(iters):
+        cell_col = (
+            _arrow_cell_udf(cents, decimals)(F.col(vec_col))
+            if impl == "arrow"
+            else assign_cell(vd, cents, decimals)
+        )
         assigned = df.select(
-            assign_cell(vd, cents, decimals).alias("cell"),
+            cell_col.alias("cell"),
             *[vd[d].alias(f"x{d}") for d in range(n_dims)],
         )
         means = assigned.groupBy("cell").agg(

@@ -147,3 +147,19 @@ def test_ivf_oracle_parity_with_kmeans_centroids(emb, km_cents, duck):
     queries = emb.filter(F.col("vec_id") < 10)
     got = S.topk_neighbors_ivf(emb, queries, k=5, nprobe=2, centroids=km_cents)
     compare(got.orderBy("query_id", "neighbor_id"), sql, duck)
+
+
+def test_ivf_arrow_expr_impls_identical(emb):
+    """The Arrow matmul assignment/probe path must produce exactly the
+    expression path's results (rounding to 6dp absorbs the matmul's
+    association-order noise; ties break cid-asc in both)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    arrow = _pairs(S.topk_neighbors_ivf(emb, queries, k=5, nprobe=2, impl="arrow"))
+    expr = _pairs(S.topk_neighbors_ivf(emb, queries, k=5, nprobe=2, impl="expr"))
+    assert arrow == expr
+
+
+def test_kmeans_arrow_expr_impls_identical(emb):
+    a = S.kmeans_centroids(emb, k=8, iters=3, n_dims=64, impl="arrow")
+    e = S.kmeans_centroids(emb, k=8, iters=3, n_dims=64, impl="expr")
+    assert a == e
