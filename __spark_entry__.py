@@ -77,6 +77,7 @@ _TAIL = [
     "doc_oov_rate",
     "corpus_mixture_sample",
     "doc_length_histogram",
+    "embedding_dim_stats",
 ]
 CHECKED_WINDOW = 50
 

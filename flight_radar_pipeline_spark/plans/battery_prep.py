@@ -279,3 +279,53 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+# --------------------------------------------------------------------------
+# embedding dimension statistics
+# --------------------------------------------------------------------------
+
+_EMB_DIMS = 64
+
+_DIMSTATS_ORACLE = f"""
+    with c as (
+        select unnest(embedding::DOUBLE[]) as x,
+               unnest(range(0, len(embedding))) as dim
+        from embeddings
+    )
+    select dim::bigint as dim,
+           round(avg(x), 6) as mean,
+           round(stddev_pop(x), 6) as std
+    from c group by dim order by dim
+"""
+
+
+@register("embedding_dim_stats", _DIMSTATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/stddev over the embedding corpus — the
+    normalization/whitening statistics an ANN or PQ/OPQ pipeline computes
+    before quantizer training. Shuffle-free shape: 64 paired aggregates
+    over one corpus scan (each dimension a separate partial-aggregated
+    column — no posexplode of corpus × dims rows), unpivoted to
+    (dim, mean, std) AFTER the aggregate, when the frame is 1 row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    aggs = []
+    for d in range(_EMB_DIMS):
+        aggs.append(F.round(F.avg(vd[d]), 6).alias(f"m{d}"))
+        aggs.append(F.round(F.stddev_pop(vd[d]), 6).alias(f"s{d}"))
+    wide = emb.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.col(f"m{d}").alias("mean"),
+                F.col(f"s{d}").alias("std"),
+            )
+            for d in range(_EMB_DIMS)
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.dim", "r.mean", "r.std")
+        .orderBy("dim")
+    )
