@@ -78,6 +78,10 @@ _TAIL = [
     "corpus_mixture_sample",
     "doc_length_histogram",
     "embedding_dim_stats",
+    "doc_lm_perplexity",
+    "doc_pii_redaction",
+    "entity_pagerank",
+    "doc_chunk_dedup_rate",
 ]
 CHECKED_WINDOW = 50
 
@@ -88,6 +92,7 @@ def _registry():
         battery_corpus,
         battery_ext,
         battery_prep,
+        battery_quality,
         battery_temporal,
         battery_text,
     )

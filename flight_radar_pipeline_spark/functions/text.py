@@ -183,6 +183,36 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(canon)
 
 
+# PII surface patterns, kept to the regex subset Java (Spark), RE2
+# (DuckDB), and Python all parse identically: no lookarounds, no
+# backreferences. Replacement order is fixed (email → ipv4 → idnum) so
+# redacted text is byte-identical across engines; ipv4 runs before idnum
+# so an address's octets are never half-eaten as a digit run.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def pii_count(text: Column | str, pattern: str) -> Column:
+    """Non-overlapping match count of one PII pattern (bigint — DuckDB's
+    ``len(regexp_extract_all())`` is int64; Spark's ``regexp_count`` is
+    int32, so the cast keeps oracle schemas aligned)."""
+    return F.regexp_count(_col(text), F.lit(pattern)).cast("bigint")
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Mask every ``PII_PATTERNS`` match with its class token, applied in
+    declaration order. Pure sequential ``regexp_replace`` — scan speed,
+    no UDF; the masking a corpus pipeline runs over every document before
+    the text ever leaves the cluster."""
+    out = _col(text)
+    for _, pattern, mask in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, mask)
+    return out
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams (array<string>) from a token array,
     built as ``zip_with`` folds over shifted ``slice``s.

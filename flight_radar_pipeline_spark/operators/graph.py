@@ -78,6 +78,73 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    decimals: int = 8,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list → (node, pr).
+
+    The iterative-linear-algebra class on DataFrames: each iteration is
+    one edge⋈rank join keyed on the SOURCE plus one destination-keyed
+    sum — the sparse matrix-vector product, where the "matrix" stays a
+    distributed edge table. Fixed iteration count (no convergence test)
+    keeps the result deterministic and the job a static DAG.
+
+    Semantics: pr₀ = 1/N; prₜ₊₁(v) = (1−d)/N + d·Σ_{u→v} prₜ(u)/outdeg(u).
+    Nodes without in-edges keep the teleport term; mass from dangling
+    nodes (no out-edges) is dropped, not redistributed — with a
+    symmetrized edge list (the near-dup / co-occurrence use cases) there
+    are none. Final ranks round in-plan: rank arithmetic is pure, so
+    ``decimals`` only absorbs aggregation-order float noise.
+
+    Scale posture: the edge list — the one big table — is deduped,
+    repartitioned on ``src`` ONCE and checkpointed, so every iteration's
+    edge⋈rank join reuses that layout instead of re-shuffling edges; the
+    rank and out-degree tables are node-sized. The contribution sum has
+    full map-side partial aggregation. No driver actions, no windows; the
+    only per-iteration driver work is assembling the next plan.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_count = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
+    pr = nodes.crossJoin(F.broadcast(n_count)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(outd, "src")
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__mass"))
+        )
+        pr = (
+            nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(n_count))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("__mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", decimals).alias("pr"))
+
+
 def star_contraction(
     pairs: DataFrame,
     id_a: str = "id_a",

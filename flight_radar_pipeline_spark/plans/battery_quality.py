@@ -1,0 +1,266 @@
+"""Corpus-quality battery, part 3: model-based quality proxies and graph
+centrality — bigram-LM perplexity scoring, PII redaction, PageRank over
+the order co-occurrence graph, chunk-level dedup accounting.
+
+Same contract as the other batteries: every Spark plan is paired with a
+DuckDB oracle stating the identical deterministic computation in SQL;
+doubles round in-plan on both sides, counts are bigint on both sides,
+every output has a total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators.corpus_prep import chunk_documents
+from flight_radar_pipeline_spark.operators.graph import pagerank
+from flight_radar_pipeline_spark.operators.lm import bigram_lm_scores
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# bigram-LM perplexity scoring (CCNet-style quality filtering)
+# --------------------------------------------------------------------------
+
+_LM_ALPHA = 0.5
+
+_LM_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), bg as (
+        -- parallel unnests zip positionally: (toks[i], toks[i+1]) pairs
+        select doc_id,
+               unnest(toks[1:len(toks)-1]) as w1,
+               unnest(toks[2:len(toks)]) as w2
+        from t
+    ), c2 as (
+        select w1, w2, count(*) as c2 from bg group by w1, w2
+    ), c1 as (
+        select w1, count(*) as c1 from bg group by w1
+    ), v as (
+        select count(distinct term) as v
+        from (select unnest(toks) as term from t)
+    )
+    select doc_id,
+           count(*) as n_bigrams,
+           round(avg(-ln((c2 + {_LM_ALPHA}) / (c1 + {_LM_ALPHA} * v))), 4)
+               as avg_nll
+    from bg join c2 using (w1, w2) join c1 using (w1) cross join v
+    group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_lm_perplexity", _LM_ORACLE)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filtering, the standard model-based quality signal for
+    corpus curation: score every document by a corpus-trained add-alpha
+    bigram LM (avg_nll = log-perplexity; high → out-of-distribution or
+    degenerate text). Training is two hash aggregates, the model stays a
+    distributed table, scoring is one bigram-keyed join — no Python, no
+    model artifact. See ``operators.lm`` for the scale posture."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs, alpha=_LM_ALPHA).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so both sides graft a
+# deterministic contact line onto each document before scanning — the
+# patterns then have real, varied matches to find and mask.
+_PII_SYNTH_SQL = (
+    "text || ' contact-' || doc_id || '@example.com from 10.'"
+    " || (doc_id % 256) || '.0.' || (doc_id % 250)"
+    " || ' ref ' || (900000000 + doc_id)"
+)
+
+_PII_ORACLE = rf"""
+    with s as (
+        select doc_id, {_PII_SYNTH_SQL} as synth from documents
+    )
+    select doc_id,
+           len(regexp_extract_all(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) as n_email,
+           len(regexp_extract_all(synth,
+               '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) as n_ipv4,
+           len(regexp_extract_all(synth, '\b\d{{9,}}\b')) as n_idnum,
+           md5(regexp_replace(regexp_replace(regexp_replace(synth,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+               '\b\d{{9,}}\b', '<NUM>', 'g')) as redacted_fp
+    from s
+    order by doc_id
+"""
+
+
+@register("doc_pii_redaction", _PII_ORACLE)
+def doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and mask emails / IPv4 addresses / long id
+    numbers in one scan (match counts for audit, md5 of the redacted text
+    proving byte-identical masking across engines). Pure sequential
+    regexp exprs — scan speed at any scale, no UDF; patterns kept to the
+    Java∩RE2 regex subset (``functions.text.PII_PATTERNS``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" ref "),
+        (F.lit(900000000) + F.col("doc_id")).cast("string"),
+    )
+    s = docs.select("doc_id", synth.alias("__synth"))
+    return s.select(
+        "doc_id",
+        *[
+            T.pii_count("__synth", pattern).alias(f"n_{name}")
+            for name, pattern, _ in T.PII_PATTERNS
+        ],
+        F.md5(T.redact_pii("__synth")).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# PageRank over the customer–supplier co-occurrence graph
+# --------------------------------------------------------------------------
+
+_PR_ITERS, _PR_DAMP = 3, 0.85
+
+
+def _pr_iteration_sql(prev: str, name: str) -> str:
+    return f"""{name} as (
+        select nodes.node,
+               (1 - {_PR_DAMP}) / min(n.n)
+                   + {_PR_DAMP} * coalesce(sum(p.pr / outd.deg), 0) as pr
+        from nodes
+        cross join n
+        left join edges on edges.dst = nodes.node
+        left join outd on outd.src = edges.src
+        left join {prev} p on p.node = edges.src
+        group by nodes.node
+    )"""
+
+
+_PAGERANK_ORACLE = f"""
+    with pair as (
+        select distinct 'c' || o_custkey as a, 's' || l_suppkey as b
+        from lineitem join orders on l_orderkey = o_orderkey
+    ), edges as (
+        select a as src, b as dst from pair
+        union all
+        select b as src, a as dst from pair
+    ), nodes as (
+        select distinct src as node from edges
+    ), n as (
+        select count(*)::double as n from nodes
+    ), outd as (
+        select src, count(*)::double as deg from edges group by src
+    ), p0 as (
+        select node, 1.0 / n.n as pr from nodes cross join n
+    ), {", ".join(_pr_iteration_sql(f"p{i}", f"p{i + 1}") for i in range(_PR_ITERS))}
+    select node, round(pr, 8) as pr from p{_PR_ITERS}
+    order by node
+"""
+
+
+@register("entity_pagerank", _PAGERANK_ORACLE)
+def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the symmetrized
+    customer–supplier co-occurrence graph from order lines — entity
+    importance on a bipartite transaction graph, the iterative
+    matrix-vector class on DataFrames. Edges dedupe + repartition on src
+    once; each iteration is one src-keyed join + one dst-keyed sum (see
+    ``operators.graph.pagerank``). The oracle unrolls the same three
+    iterations as CTEs."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# chunk-level dedup accounting
+# --------------------------------------------------------------------------
+
+_CHUNK_WIN, _CHUNK_STRIDE = 32, 24
+
+_CHUNK_DEDUP_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), starts as (
+        select doc_id, toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, {_CHUNK_STRIDE}))
+                   as start
+        from t
+    ), ch as (
+        select doc_id,
+               (start - 1) // {_CHUNK_STRIDE} as chunk_idx,
+               md5(array_to_string(
+                   toks[start:least(start + {_CHUNK_WIN} - 1, len(toks))], ' '
+               )) as chunk_hash
+        from starts
+    ), ranked as (
+        select doc_id, chunk_hash,
+               row_number() over (
+                   partition by chunk_hash order by doc_id, chunk_idx
+               ) as rn
+        from ch
+    )
+    select doc_id,
+           count(*) as n_chunks,
+           count(*) filter (where rn > 1) as n_dup_chunks,
+           round((count(*) filter (where rn > 1))::double / count(*), 4)
+               as dup_ratio
+    from ranked
+    group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_chunk_dedup_rate", _CHUNK_DEDUP_ORACLE)
+def doc_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting: slide the standard (32, 24) token
+    window over every document (``operators.corpus_prep.chunk_documents``
+    — row-local, zero shuffle), then keep the FIRST occurrence of each
+    chunk hash corpus-wide ((doc_id, chunk_idx) order) and report per-doc
+    duplicate-chunk counts. One hash-keyed window is the only shuffle —
+    the sub-document dedup signal RAG/embedding pipelines budget by."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, window=_CHUNK_WIN, stride=_CHUNK_STRIDE)
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    ranked = ch.select(
+        "doc_id", "chunk_hash", F.row_number().over(w).alias("__rn")
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count(F.when(F.col("__rn") > 1, 1)).alias("n_dup_chunks"),
+            F.round(
+                F.count(F.when(F.col("__rn") > 1, 1)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,134 @@
+"""Unit semantics for the quality batch: bigram-LM scoring, PII
+redaction, PageRank. (Oracle parity for the battery entries rides in
+tests/test_battery.py's full-registry sweep.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators.graph import pagerank
+from flight_radar_pipeline_spark.operators.lm import (
+    bigram_instances,
+    bigram_lm_scores,
+)
+
+
+# --------------------------------------------------------------------------
+# bigram LM
+# --------------------------------------------------------------------------
+
+
+def test_bigram_instances_adjacency(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, "p q")], ["doc_id", "text"]
+    )
+    got = sorted(
+        map(tuple, bigram_instances(docs).select("doc_id", "w1", "w2").collect())
+    )
+    # single-token docs emit nothing
+    assert got == [(1, "a", "b"), (1, "b", "c"), (3, "p", "q")]
+
+
+def test_bigram_lm_hand_computed(spark):
+    # corpus: "a b", "a b", "a c" → c(a,b)=2, c(a,c)=1, c1(a)=3, V=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(docs, alpha=0.5).collect()
+    }
+    p_ab = (2 + 0.5) / (3 + 0.5 * 3)
+    p_ac = (1 + 0.5) / (3 + 0.5 * 3)
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["avg_nll"] == pytest.approx(round(-math.log(p_ab), 4))
+    assert rows[3]["avg_nll"] == pytest.approx(round(-math.log(p_ac), 4))
+    # the rarer continuation scores strictly higher (worse)
+    assert rows[3]["avg_nll"] > rows[1]["avg_nll"]
+
+
+def test_bigram_lm_flags_out_of_distribution(spark):
+    # one doc repeats the corpus-dominant pattern, one is all-novel text;
+    # the novel doc must score materially higher avg_nll
+    common = [(i, "the quick fox " * 5) for i in range(8)]
+    docs = spark.createDataFrame(
+        common + [(99, "zxq wvu tsr qpo nml")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["avg_nll"] for r in bigram_lm_scores(docs).collect()}
+    assert rows[99] > rows[0] + 1.0
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    txt = (
+        "mail a.b+c@test.org or ops@x.co.uk, host 192.168.0.1, "
+        "order 123456789 ok, short 1234 stays, 10.0.0.255 too"
+    )
+    df = spark.createDataFrame([(txt,)], ["text"])
+    row = df.select(
+        *[
+            T.pii_count("text", p).alias(f"n_{name}")
+            for name, p, _ in T.PII_PATTERNS
+        ],
+        T.redact_pii("text").alias("red"),
+    ).first()
+    assert (row["n_email"], row["n_ipv4"], row["n_idnum"]) == (2, 2, 1)
+    assert row["red"] == (
+        "mail <EMAIL> or <EMAIL>, host <IP>, "
+        "order <NUM> ok, short 1234 stays, <IP> too"
+    )
+
+
+def test_pii_redaction_clean_text_untouched(spark):
+    df = spark.createDataFrame([("no pii here at all",)], ["text"])
+    row = df.select(T.redact_pii("text").alias("red")).first()
+    assert row["red"] == "no pii here at all"
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+
+def _ranks(spark, edge_tuples, **kw):
+    edges = spark.createDataFrame(edge_tuples, ["src", "dst"])
+    return {r["node"]: r["pr"] for r in pagerank(edges, **kw).collect()}
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    # symmetric graph → no dangling mass → ranks sum to 1
+    sym = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")]
+    pr = _ranks(spark, sym, iterations=4)
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+    # endpoints of the path are symmetric, as are the two middles
+    assert pr["a"] == pytest.approx(pr["d"], abs=1e-8)
+    assert pr["b"] == pytest.approx(pr["c"], abs=1e-8)
+    assert pr["b"] > pr["a"]
+
+
+def test_pagerank_matches_hand_iteration(spark):
+    # tiny directed triangle + feeder, 2 iterations, hand-run the
+    # recurrence in python floats
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    pr = _ranks(spark, edges, iterations=2, decimals=8)
+    nodes = ["a", "b", "c", "d"]
+    out = {"a": ["b"], "b": ["c"], "c": ["a"], "d": ["a"]}
+    rank = {n: 1 / 4 for n in nodes}
+    for _ in range(2):
+        nxt = {}
+        for v in nodes:
+            mass = sum(
+                rank[u] / len(out[u]) for u in nodes if v in out[u]
+            )
+            nxt[v] = 0.15 / 4 + 0.85 * mass
+        rank = nxt
+    for n in nodes:
+        assert pr[n] == pytest.approx(round(rank[n], 8), abs=1e-8)
