@@ -82,6 +82,8 @@ _TAIL = [
     "doc_pii_redaction",
     "entity_pagerank",
     "doc_chunk_dedup_rate",
+    "doc_dedup_decisions",
+    "embedding_top_component",
 ]
 CHECKED_WINDOW = 50
 

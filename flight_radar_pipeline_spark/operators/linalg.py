@@ -1,0 +1,108 @@
+"""Distributed linear algebra on embedding columns: power iteration.
+
+Top-principal-direction extraction is the building block behind PCA
+whitening, spectral outlier detection, and embedding-drift monitoring in
+training-data pipelines. Spark's ML package covers this only via RDD
+RowMatrix; here it's pure DataFrame algebra so it composes with the rest
+of the engine (and has an exact SQL oracle).
+
+Power iteration on the uncentered second-moment matrix: v₀ is a fixed
+md5-seeded unit vector; each step computes v ← normalize(Σᵣ xᵣ·(xᵣ·v)),
+i.e. one pass computing per-row dots against the broadcast current
+vector, then ONE global aggregate with 64 sum expressions — the same
+shuffle-free wide-aggregate shape as ``embedding_dim_stats``. No
+per-dimension explode, no windows, no driver actions; each iteration is
+exactly one scan of the vector table.
+
+Sign convention: the dominant eigenvector is defined up to ±; the
+returned vector is flipped so its component sum is non-negative, making
+the output engine- and seed-stable.
+
+Assumes dense, non-null, fixed-width vectors (``zip_with`` propagates
+nulls by design — see ``similarity.py``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _seed_vector(n_dims: int, salt: str = "pca") -> list[float]:
+    """Deterministic unit-norm init: component i is the first md5 nibble
+    of ``{salt}-{i}`` centered at 7.5 — reproducible in any engine with
+    md5 (the oracle states the same values in SQL)."""
+    raw = [
+        int(hashlib.md5(f"{salt}-{i}".encode()).hexdigest()[0], 16) - 7.5
+        for i in range(n_dims)
+    ]
+    norm = sum(c * c for c in raw) ** 0.5
+    return [c / norm for c in raw]
+
+
+def _normalize(vec_df: DataFrame, col: str = "vraw") -> DataFrame:
+    """1-row (vraw: array<double>) → (v) unit-normalized. The norm is
+    materialized as a column BEFORE the transform lambda (HOF lambdas
+    re-evaluate embedded outer expressions per element)."""
+    norm = F.sqrt(
+        F.aggregate(F.col(col), F.lit(0.0), lambda acc, e: acc + e * e)
+    )
+    return vec_df.select(F.col(col), norm.alias("__norm")).select(
+        F.transform(col, lambda e: e / F.col("__norm")).alias("v")
+    )
+
+
+def top_principal_component(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_dims: int = 64,
+    iterations: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Dominant eigenvector of XᵀX by ``iterations`` rounds of power
+    iteration → (dim, loading), loadings rounded in-plan. Each round:
+    broadcast the 1-row current vector, dot it against every row
+    (``zip_with``/``aggregate`` fold), then one global aggregate of
+    ``n_dims`` sums re-assembles the next vector."""
+    x = vectors.select(
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("x")
+    )
+    v = None
+    for it in range(iterations):
+        if it == 0:
+            vec = F.array(*[F.lit(c) for c in _seed_vector(n_dims)])
+            rows = x.select("x", vec.alias("v"))
+        else:
+            rows = x.crossJoin(F.broadcast(v))
+        dotted = rows.select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("__dot"),
+        )
+        c = dotted.agg(
+            *[
+                F.sum(F.col("x")[i] * F.col("__dot")).alias(f"__c{i}")
+                for i in range(n_dims)
+            ]
+        )
+        v = _normalize(
+            c.select(
+                F.array(*[F.col(f"__c{i}") for i in range(n_dims)]).alias("vraw")
+            )
+        )
+    sgn = F.when(
+        F.aggregate("v", F.lit(0.0), lambda acc, e: acc + e) < 0, F.lit(-1.0)
+    ).otherwise(F.lit(1.0))
+    return (
+        v.select("v", sgn.alias("__sgn"))
+        .select(F.posexplode("v").alias("dim", "__val"), "__sgn")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            F.round(F.col("__sgn") * F.col("__val"), decimals).alias("loading"),
+        )
+    )

@@ -15,9 +15,22 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions import text as T
 from flight_radar_pipeline_spark.operators.corpus_prep import chunk_documents
-from flight_radar_pipeline_spark.operators.graph import pagerank
+from flight_radar_pipeline_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
+from flight_radar_pipeline_spark.operators.linalg import (
+    _seed_vector,
+    top_principal_component,
+)
 from flight_radar_pipeline_spark.operators.lm import bigram_lm_scores
 from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery_text import (
+    EMB_DIMS,
+    _MINHASH_ORACLE,
+    _nibble_case,
+    _shared_near_dup_pairs,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 
@@ -200,6 +213,131 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # chunk-level dedup accounting
 # --------------------------------------------------------------------------
+
+# --------------------------------------------------------------------------
+# end-to-end dedup decision table (exact + near-dup composed)
+# --------------------------------------------------------------------------
+
+_DEDUP_DECISIONS_ORACLE = rf"""
+    with recursive pairs as (
+        {_MINHASH_ORACLE.replace("order by id_a, id_b", "")}
+    ), und as (
+        select id_a as u, id_b as v from pairs
+        union
+        select id_b as u, id_a as v from pairs
+    ), reach(u, v) as (
+        select u, u from und
+        union
+        select r.u, e.v from reach r join und e on r.v = e.u
+    ), clusters as (
+        select u as doc_id, min(v) as cluster_id from reach group by u
+    ), fp as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+        from documents
+    ), keepfp as (
+        select fp, min(doc_id) as keeper from fp group by fp
+    )
+    select f.doc_id,
+           (f.doc_id = k.keeper
+            and (c.cluster_id is null or c.cluster_id = f.doc_id)) as keep,
+           case when f.doc_id != k.keeper then 'exact_dup'
+                when c.cluster_id is not null and c.cluster_id != f.doc_id
+                     then 'near_dup'
+                else 'kept' end as reason
+    from fp f
+    join keepfp k using (fp)
+    left join clusters c on c.doc_id = f.doc_id
+    order by f.doc_id
+"""
+
+
+@register("doc_dedup_decisions", _DEDUP_DECISIONS_ORACLE)
+def doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stage's actual OUTPUT: one decision row per document —
+    keep / drop with a reason, composing exact dedup (keep-min per
+    canonical md5 fingerprint) with near-dup clustering (keep-min per
+    MinHash-LSH connected component; exact-dup takes precedence in the
+    reason). One fingerprint-keyed window + the shared materialized pair
+    table + a node-keyed left join; the full corpus is never shuffled
+    more than once."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("__fp")
+    exact = docs.select(
+        "doc_id", T.fingerprint("text").alias("__fp")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("__exact_keep"),
+    )
+    clusters = connected_components(_shared_near_dup_pairs(spark, sf_dir))
+    j = exact.join(clusters, "doc_id", "left")
+    near_loser = F.col("cluster_id").isNotNull() & (
+        F.col("cluster_id") != F.col("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        (F.col("__exact_keep") & ~near_loser).alias("keep"),
+        F.when(~F.col("__exact_keep"), F.lit("exact_dup"))
+        .when(near_loser, F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# top principal component by power iteration
+# --------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle_sql(n_dims: int, iterations: int) -> str:
+    nib = _nibble_case("substr(md5('pca-' || dim::varchar), 1, 1)")
+    norm = "[e / sqrt(list_inner_product(vraw, vraw)) for e in vraw]"
+    ctes = [
+        f"dims as (select unnest(range(0, {n_dims})) as dim)",
+        "x as (select embedding::DOUBLE[] as x from embeddings)",
+        f"v0raw as (select list({nib} - 7.5 order by dim) as vraw from dims)",
+        f"v0 as (select {norm} as v from v0raw)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""d{i} as (
+                select x.x, list_inner_product(x.x, v{i - 1}.v) as dot
+                from x cross join v{i - 1})""",
+            f"""c{i} as (
+                select dim, sum(x[dim + 1] * dot) as c
+                from d{i} cross join dims group by dim)""",
+            f"v{i}raw as (select list(c order by dim) as vraw from c{i})",
+            f"v{i} as (select {norm} as v from v{i}raw)",
+        ]
+    return f"""
+    with {", ".join(ctes)}
+    select dim,
+           round(case when list_sum(v) < 0 then -v[dim + 1]
+                      else v[dim + 1] end, 6) as loading
+    from v{iterations} cross join dims
+    order by dim
+"""
+
+
+_PCA_ORACLE = _pca_oracle_sql(EMB_DIMS, _PCA_ITERS)
+
+
+@register("embedding_top_component", _PCA_ORACLE)
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding table by 3 rounds of
+    power iteration — the spectral primitive behind PCA whitening and
+    embedding-drift monitoring. Each round is ONE scan: per-row dots
+    against the broadcast 1-row current vector, then a single global
+    aggregate of 64 sums (shuffle-free wide-aggregate shape). md5-seeded
+    init and a sum-sign convention make the eigenvector engine-stable;
+    see ``operators.linalg``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return top_principal_component(
+        emb, "embedding", n_dims=EMB_DIMS, iterations=_PCA_ITERS
+    ).orderBy("dim")
+
 
 _CHUNK_WIN, _CHUNK_STRIDE = 32, 24
 

@@ -94,6 +94,58 @@ def test_pii_redaction_clean_text_untouched(spark):
 
 
 # --------------------------------------------------------------------------
+# power-iteration PCA
+# --------------------------------------------------------------------------
+
+
+def test_top_component_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from flight_radar_pipeline_spark.operators.linalg import (
+        _seed_vector,
+        top_principal_component,
+    )
+
+    rng_rows = [
+        [1.0, 2.0, 0.5, -1.0],
+        [2.0, 4.1, 1.0, -2.2],
+        [0.9, 2.2, 0.4, -0.8],
+        [-0.1, 0.2, 3.0, 0.1],
+    ]
+    df = spark.createDataFrame([(r,) for r in rng_rows], ["embedding"])
+    got = {
+        r["dim"]: r["loading"]
+        for r in top_principal_component(df, n_dims=4, iterations=3).collect()
+    }
+
+    X = np.array(rng_rows)
+    v = np.array(_seed_vector(4))
+    for _ in range(3):
+        w = X.T @ (X @ v)
+        v = w / np.linalg.norm(w)
+    if v.sum() < 0:
+        v = -v
+    for i in range(4):
+        assert got[i] == pytest.approx(round(v[i], 6), abs=1e-6)
+
+
+def test_top_component_finds_dominant_direction(spark):
+    from flight_radar_pipeline_spark.operators.linalg import (
+        top_principal_component,
+    )
+
+    # data concentrated along e1 → loading ≈ (1, 0, 0)
+    rows = [([float(s), 0.01 * s, 0.0],) for s in (-3, -1, 1, 2, 3, 5)]
+    df = spark.createDataFrame(rows, ["embedding"])
+    got = {
+        r["dim"]: r["loading"]
+        for r in top_principal_component(df, n_dims=3, iterations=5).collect()
+    }
+    assert abs(got[0]) > 0.999
+    assert abs(got[1]) < 0.05 and abs(got[2]) < 0.001
+
+
+# --------------------------------------------------------------------------
 # PageRank
 # --------------------------------------------------------------------------
 
