@@ -84,6 +84,9 @@ _TAIL = [
     "doc_chunk_dedup_rate",
     "doc_dedup_decisions",
     "embedding_top_component",
+    "table_quality_report",
+    "user_count_cms_estimates",
+    "enriched_events_stream",
 ]
 CHECKED_WINDOW = 50
 

@@ -24,6 +24,10 @@ from flight_radar_pipeline_spark.operators.linalg import (
     top_principal_component,
 )
 from flight_radar_pipeline_spark.operators.lm import bigram_lm_scores
+from flight_radar_pipeline_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+)
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_text import (
     EMB_DIMS,
@@ -208,6 +212,173 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# data-quality constraint report (Deequ-style validation)
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+    with a as (
+        select count(*) as c,
+               count(distinct o_orderkey) as d,
+               count(o_custkey) as nn,
+               count(*) filter (where o_totalprice >= 0) as pos,
+               count(*) filter (where o_orderstatus in ('O', 'F', 'P')) as dom,
+               count(*) filter (where o_orderdate >= timestamp '1995-01-01'
+                                  and o_orderdate < timestamp '2002-01-01') as dr
+        from orders
+    )
+    select * from (
+        select 'row_count' as constraint_name, round(c::double, 2) as metric,
+               c > 0 as passed from a
+        union all
+        select 'orderkey_unique', round(d::double / c, 6), d = c from a
+        union all
+        select 'custkey_complete', round(nn::double / c, 6), nn = c from a
+        union all
+        select 'totalprice_nonneg', round(pos::double / c, 6), pos = c from a
+        union all
+        select 'status_in_domain', round(dom::double / c, 6), dom = c from a
+        union all
+        select 'orderdate_in_range', round(dr::double / c, 6), dr = c from a
+    )
+    order by constraint_name
+"""
+
+
+@register("table_quality_report", _DQ_ORACLE)
+def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation (the Deequ/expectations
+    pattern): uniqueness, completeness, non-negativity, domain and range
+    constraints over ``orders``, evaluated as ONE aggregate scan —
+    every metric is a conditional count computed map-side, the exact
+    distinct count is the only shuffle — then unpivoted into one
+    (constraint, metric, passed) row each, the report a pipeline gates a
+    write on."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.count_distinct("o_orderkey").alias("d"),
+        F.count("o_custkey").alias("nn"),
+        F.count(F.when(F.col("o_totalprice") >= 0, 1)).alias("pos"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("dom"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2002-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("dr"),
+    )
+    c = F.col("c").cast("double")
+
+    def row(name: str, metric, passed):
+        return F.struct(
+            F.lit(name).alias("constraint_name"),
+            metric.alias("metric"),
+            passed.alias("passed"),
+        )
+
+    checks = [
+        row("row_count", F.round(c, 2), F.col("c") > 0),
+        row("orderkey_unique", F.round(F.col("d") / c, 6), F.col("d") == F.col("c")),
+        row("custkey_complete", F.round(F.col("nn") / c, 6), F.col("nn") == F.col("c")),
+        row("totalprice_nonneg", F.round(F.col("pos") / c, 6), F.col("pos") == F.col("c")),
+        row("status_in_domain", F.round(F.col("dom") / c, 6), F.col("dom") == F.col("c")),
+        row("orderdate_in_range", F.round(F.col("dr") / c, 6), F.col("dr") == F.col("c")),
+    ]
+    return (
+        a.select(F.explode(F.array(*checks)).alias("r"))
+        .select("r.constraint_name", "r.metric", "r.passed")
+        .orderBy("constraint_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch point estimates
+# --------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_PROBE = 4, 256, 20
+
+_CMS_ORACLE = f"""
+    with r as (
+        select unnest(range(0, {_CMS_D})) as row
+    ), b as (
+        select r.row,
+               ('0x' || substr(md5(r.row || '-' || e.user_id), 1, 12))::bigint
+                   % {_CMS_W} as bucket
+        from events e cross join r
+    ), sketch as (
+        select row, bucket, count(*) as c from b group by row, bucket
+    ), keys as (
+        select distinct user_id from events where user_id < {_CMS_PROBE}
+    ), kb as (
+        select k.user_id, r.row,
+               ('0x' || substr(md5(r.row || '-' || k.user_id), 1, 12))::bigint
+                   % {_CMS_W} as bucket
+        from keys k cross join r
+    )
+    select kb.user_id, min(s.c) as est
+    from kb join sketch s on s.row = kb.row and s.bucket = kb.bucket
+    group by kb.user_id
+    order by kb.user_id
+"""
+
+
+@register("user_count_cms_estimates", _CMS_ORACLE)
+def user_count_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates: fold all event traffic into
+    a 4×256 counter grid (one tiny groupBy, map-side
+    partials, mergeable across partitions/days by addition), then
+    point-query the broadcast grid for a fixed probe set of users. The
+    frequency-sketch companion to the HLL entry; md5-derived hashes make
+    the whole sketch — not just its error bound — exactly reproducible,
+    so the oracle states the identical grid. Never under-counts
+    (pinned in tests/test_quality_ops.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "user_id", depth=_CMS_D, width=_CMS_W)
+    keys = ev.filter(F.col("user_id") < _CMS_PROBE).select("user_id").distinct()
+    return cms_estimate(
+        sketch, keys, "user_id", depth=_CMS_D, width=_CMS_W
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# stream-static enrichment
+# --------------------------------------------------------------------------
+
+
+@register(
+    "enriched_events_stream",
+    """
+    select e.event_id, e.user_id, c.c_mktsegment as segment
+    from events e
+    left join customer c on c.c_custkey = e.user_id
+    order by e.event_id
+    """,
+)
+def enriched_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-left-joins
+    the static customer dimension per micro-batch (stateless — no
+    watermark, no state store), emitting exactly the batch left join the
+    oracle states. The streaming face of the broadcast-dim join family
+    (``streaming.events.enrich_events_stream``)."""
+    from flight_radar_pipeline_spark.sources.readers import load_table as _lt
+    from flight_radar_pipeline_spark.streaming.events import (
+        enrich_events_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    dim = _lt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = enrich_events_stream(events, dim).select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment")
+    )
+    return run_stream_to_memory(out, output_mode="append").orderBy("event_id")
 
 
 # --------------------------------------------------------------------------

@@ -119,6 +119,24 @@ def click_view_pairs_stream(
     )
 
 
+def enrich_events_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    left_key: str = "user_id",
+    right_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static enrichment: broadcast-left-join each micro-batch of
+    the event stream against a STATIC dimension — the standard streaming
+    lookup (user→segment, ip→geo, sku→category). Stateless: no watermark,
+    no state store; every emitted row equals the batch left join, which
+    the oracle states directly. The static side re-broadcasts per
+    micro-batch, so keep it dimension-sized (for mutable or huge sides,
+    stream-stream join or a keyed state store is the right tool)."""
+    return events.join(
+        F.broadcast(dim), events[left_key] == dim[right_key], "left"
+    )
+
+
 def dedup_keys_stream(events: DataFrame, keys: list[str]) -> DataFrame:
     """Streaming exact deduplication on ``keys``: the first arrival of
     each distinct key combination is emitted, later duplicates are

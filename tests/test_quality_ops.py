@@ -94,6 +94,52 @@ def test_pii_redaction_clean_text_untouched(spark):
 
 
 # --------------------------------------------------------------------------
+# count-min sketch
+# --------------------------------------------------------------------------
+
+
+def test_cms_never_undercounts_and_is_tight_without_collisions(spark):
+    from flight_radar_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(k,) for k in [1] * 50 + [2] * 7 + [3] * 1 + [4] * 20]
+    df = spark.createDataFrame(rows, ["k"])
+    sketch = cms_sketch(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(sketch, keys, "k", depth=4, width=64).collect()
+    }
+    true = {1: 50, 2: 7, 3: 1, 4: 20}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never under-counts
+    # 4 keys in 4x64 grid: some row is collision-free for each key
+    assert est == true
+
+
+def test_cms_sketches_merge_by_addition(spark):
+    from flight_radar_pipeline_spark.operators.sketches import cms_sketch
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 5]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 3, 5, 5]], ["k"])
+    both = a.union(b)
+
+    def grid(df):
+        return {
+            (r["row"], r["bucket"]): r["c"]
+            for r in cms_sketch(df, "k", depth=4, width=16).collect()
+        }
+
+    ga, gb, gu = grid(a), grid(b), grid(both)
+    merged = {
+        cell: ga.get(cell, 0) + gb.get(cell, 0) for cell in set(ga) | set(gb)
+    }
+    assert merged == gu  # linearity: sketch(A ∪ B) = sketch(A) + sketch(B)
+
+
+# --------------------------------------------------------------------------
 # power-iteration PCA
 # --------------------------------------------------------------------------
 
