@@ -87,6 +87,9 @@ _TAIL = [
     "table_quality_report",
     "user_count_cms_estimates",
     "enriched_events_stream",
+    "doc_contiguous_ids",
+    "event_value_zscore",
+    "order_price_deciles",
 ]
 CHECKED_WINDOW = 50
 

@@ -26,7 +26,7 @@ handful of rounds instead of 99. Same edge-list in, same
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,10 +108,20 @@ def pagerank(
     full map-side partial aggregation. No driver actions, no windows; the
     only per-iteration driver work is assembling the next plan.
     """
+    dedup = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    deg_w = Window.partitionBy("src")
+    # out-degree folds into the checkpointed edge table (a src-partition
+    # window on the already-src-clustered layout), so each iteration is
+    # ONE join instead of two
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")
+        dedup.repartition("src")
+        .select(
+            "src",
+            "dst",
+            F.count(F.lit(1)).over(deg_w).cast("double").alias("__deg"),
+        )
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -120,14 +130,12 @@ def pagerank(
         .distinct()
     )
     n_count = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    outd = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
     pr = nodes.crossJoin(F.broadcast(n_count)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("pr")
     )
     for _ in range(iterations):
         contrib = (
-            e.join(outd, "src")
-            .join(pr.withColumnRenamed("node", "src"), "src")
+            e.join(pr.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__mass"))
         )

@@ -215,6 +215,140 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# contiguous global row ids (no global window)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_contiguous_ids",
+    """
+    select doc_id,
+           row_number() over (order by doc_id) - 1 as row_id
+    from documents
+    order by doc_id
+    """,
+)
+def doc_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..N-1 row ids in doc_id order WITHOUT the single-task
+    global window: approximate range boundaries bucket the table
+    map-side, per-bucket row_numbers run in parallel, and cumulative
+    bucket counts (a ≤64-row frame) lift them to global ranks — ids are
+    exactly ``row_number() − 1`` for any partitioning or boundary
+    quality (``operators.ids``). The oracle states the global window the
+    operator refuses to run."""
+    from flight_radar_pipeline_spark.operators.ids import contiguous_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return contiguous_ids(docs, "doc_id", buckets=64).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# per-group feature standardization
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_value_zscore",
+    """
+    with s as (
+        select event_type,
+               avg(value) as mu,
+               stddev_pop(value) as sigma
+        from events group by event_type
+    )
+    select e.event_id, e.event_type,
+           round((e.value - s.mu) / s.sigma, 4) as z
+    from events e join s using (event_type)
+    order by e.event_id
+    """,
+)
+def event_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature scaling): group stats
+    via ONE hash aggregate (full map-side partials) broadcast back onto
+    the fact scan — not a ``Window.partitionBy(event_type)``, which would
+    funnel the whole table through 5 tasks at 100× scale (the
+    low-cardinality-window anti-pattern this entry exists to displace)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("__mu"),
+        F.stddev_pop("value").alias("__sigma"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("__mu")) / F.col("__sigma"), 4).alias(
+                "z"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# equi-depth histogram without a global sort
+# --------------------------------------------------------------------------
+
+_DECILE_PROBS = [i / 10 for i in range(1, 10)]
+
+_DECILES_ORACLE = f"""
+    with b as (
+        select [{", ".join(f"quantile_cont(o_totalprice, {p})" for p in _DECILE_PROBS)}]
+            as bounds
+        from orders
+    )
+    select len(list_filter(b.bounds, x -> o.o_totalprice > x)) + 1 as decile,
+           count(*) as n,
+           round(min(o.o_totalprice), 2) as lo,
+           round(max(o.o_totalprice), 2) as hi,
+           round(sum(o.o_totalprice), 2) as total
+    from orders o cross join b
+    group by 1
+    order by decile
+"""
+
+
+@register("order_price_deciles", _DECILES_ORACLE)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram of order prices WITHOUT ``ntile``'s
+    global sort: exact interpolated boundaries from one aggregate
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, bit-compatible —
+    swap in ``approx_percentile`` at 100 TB), broadcast back for a
+    map-side bucket assignment, then a 10-group aggregate. The fact
+    table is never sorted or single-tasked."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = ", ".join(str(p) for p in _DECILE_PROBS)
+    bounds = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({probs}))").alias("__bounds")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.size(
+                    F.filter(
+                        F.col("__bounds"), lambda b: F.col("o_totalprice") > b
+                    )
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+# --------------------------------------------------------------------------
 # data-quality constraint report (Deequ-style validation)
 # --------------------------------------------------------------------------
 

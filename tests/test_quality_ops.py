@@ -94,6 +94,34 @@ def test_pii_redaction_clean_text_untouched(spark):
 
 
 # --------------------------------------------------------------------------
+# contiguous ids
+# --------------------------------------------------------------------------
+
+
+def test_contiguous_ids_match_global_row_number(spark):
+    import random
+
+    from flight_radar_pipeline_spark.operators.ids import contiguous_ids
+
+    keys = random.Random(7).sample(range(10_000), 500)
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(13)
+    got = {r["k"]: r["row_id"] for r in contiguous_ids(df, "k", buckets=8).collect()}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
+
+
+def test_contiguous_ids_survive_degenerate_buckets(spark):
+    from flight_radar_pipeline_spark.operators.ids import contiguous_ids
+
+    # fewer rows than buckets → most buckets empty; ids must stay dense
+    df = spark.createDataFrame([(k,) for k in (5, 3, 9)], ["k"])
+    got = sorted(
+        map(tuple, contiguous_ids(df, "k", buckets=64).select("k", "row_id").collect())
+    )
+    assert got == [(3, 0), (5, 1), (9, 2)]
+
+
+# --------------------------------------------------------------------------
 # count-min sketch
 # --------------------------------------------------------------------------
 
