@@ -90,6 +90,8 @@ _TAIL = [
     "doc_contiguous_ids",
     "event_value_zscore",
     "order_price_deciles",
+    "doc_incremental_dedup",
+    "signup_click_purchase_funnel",
 ]
 CHECKED_WINDOW = 50
 

@@ -52,6 +52,51 @@ def dedup_exact(
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    history_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus without
+    re-scanning the corpus text: ``history_fps`` is the fingerprint table
+    the previous runs wrote (one 128-bit md5 per kept document — the only
+    state incremental ingestion needs). Returns one decision row per new
+    document: (id, keep, reason) with reason ∈ {'dup_of_history',
+    'dup_in_batch', 'kept'} — history precedence, then keep-min within
+    the batch.
+
+    Scale: one fingerprint-keyed join against the history table (hash
+    keys are uniform — no skew; at 100 TB this is the join a bloom/
+    partition-pruned fingerprint index accelerates) plus one window over
+    the batch's own fingerprints. The historical TEXT is never read.
+    """
+    fps = new_docs.select(
+        F.col(id_col), fingerprint(text_col).alias("__fp")
+    )
+    hist = history_fps.select(F.col(fp_col).alias("__fp")).distinct().select(
+        "__fp", F.lit(True).alias("__in_hist")
+    )
+    w = Window.partitionBy("__fp")
+    marked = (
+        fps.join(hist, "__fp", "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__in_hist"), F.lit(False)).alias("__dup_hist"),
+            (F.col(id_col) != F.min(id_col).over(w)).alias("__dup_batch"),
+        )
+    )
+    return marked.select(
+        id_col,
+        (~F.col("__dup_hist") & ~F.col("__dup_batch")).alias("keep"),
+        F.when(F.col("__dup_hist"), F.lit("dup_of_history"))
+        .when(F.col("__dup_batch"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+    )
+
+
 # --------------------------------------------------------------------------
 # shingling + MinHash + LSH
 # --------------------------------------------------------------------------

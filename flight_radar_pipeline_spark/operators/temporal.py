@@ -17,6 +17,8 @@ semantics force it — here they don't):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,4 +121,54 @@ def range_join_bucketed(
         ev.join(iv, "__bucket")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
         .drop("__bucket")
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Ordered-sequence funnel progress per user → (user_col, stage):
+    stage k means the user performed steps[0..k-1] at strictly increasing
+    timestamps, earliest-first matching (the first qualifying event of
+    each step advances the machine).
+
+    One pass, one user-keyed shuffle: per-user events are collected into
+    a time-sorted array and folded through a (stage, last_ts) state
+    machine — no per-step self-join cascade over the fact table, which is
+    the textbook SQL spelling and re-scans the facts once per step.
+    Per-user arrays are bounded by user activity; for unbounded/streaming
+    input the stateful sessionizer surface is the right tool.
+    """
+    per_user = events.groupBy(user_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(ts_col, order_tiebreak, type_col))
+        ).alias("__seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("t"),
+    )
+
+    def advance(acc, e):
+        # branches are mutually exclusive (each tests a distinct stage
+        # value against the PRE-event acc), so one event advances at
+        # most one stage
+        out = acc
+        for k, step in enumerate(steps):
+            out = F.when(
+                (acc["stage"] == k)
+                & (e[type_col] == step)
+                & (e[ts_col] > acc["t"]),
+                F.struct(F.lit(k + 1).alias("stage"), e[ts_col].alias("t")),
+            ).otherwise(out)
+        return out
+
+    return per_user.select(
+        user_col,
+        F.aggregate("__seq", init, advance)["stage"].alias("stage"),
     )

@@ -215,6 +215,122 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# incremental dedup against the already-ingested corpus
+# --------------------------------------------------------------------------
+
+_HIST_SPLIT = 250
+
+_INCR_DEDUP_ORACLE = rf"""
+    with fp as (
+        select doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp
+        from documents
+    ), hist as (
+        select distinct fp from fp where doc_id < {_HIST_SPLIT}
+    ), new as (
+        select doc_id, fp from fp where doc_id >= {_HIST_SPLIT}
+    ), firstnew as (
+        select fp, min(doc_id) as first_id from new group by fp
+    )
+    select n.doc_id,
+           (h.fp is null and n.doc_id = f.first_id) as keep,
+           case when h.fp is not null then 'dup_of_history'
+                when n.doc_id != f.first_id then 'dup_in_batch'
+                else 'kept' end as reason
+    from new n
+    left join hist h using (fp)
+    join firstnew f using (fp)
+    order by n.doc_id
+"""
+
+
+@register("doc_incremental_dedup", _INCR_DEDUP_ORACLE)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the new batch (doc_id ≥ 250 stands in
+    for today's arrivals) is deduped against the FINGERPRINT TABLE of the
+    already-ingested corpus (doc_id < 250) — one fp-keyed join + one
+    batch-local window; the historical text is never re-read. History
+    precedence, then keep-min within the batch
+    (``operators.dedup.incremental_exact_dedup``)."""
+    from flight_radar_pipeline_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") < _HIST_SPLIT).select(
+        T.fingerprint("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") >= _HIST_SPLIT)
+    return incremental_exact_dedup(new, history).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# funnel mining in one pass (array fold, no self-joins)
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+    with s1 as (
+        select user_id, min(ts) as t from events
+        where event_type = 'signup' group by user_id
+    ), s2 as (
+        select e.user_id, min(e.ts) as t
+        from events e join s1 using (user_id)
+        where e.event_type = 'click' and e.ts > s1.t
+        group by e.user_id
+    ), s3 as (
+        select e.user_id, min(e.ts) as t
+        from events e join s2 using (user_id)
+        where e.event_type = 'purchase' and e.ts > s2.t
+        group by e.user_id
+    )
+    select * from (
+        select '1_signup' as stage, count(*) as n_users from s1
+        union all
+        select '2_click', count(*) from s2
+        union all
+        select '3_purchase', count(*) from s3
+    )
+    order by stage
+"""
+
+
+@register("signup_click_purchase_funnel", _FUNNEL_ORACLE)
+def signup_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (signup → click → purchase, strictly
+    increasing timestamps) computed in ONE pass: per-user time-sorted
+    event arrays folded through a stage machine — no per-step self-join
+    cascade over the fact table (the SQL oracle states exactly that
+    cascade). One user-keyed shuffle; per-user state is (stage, last_ts).
+    Sequences are bounded by per-user activity; for unbounded streams the
+    stateful sessionizer surface is the right tool."""
+    from flight_radar_pipeline_spark.operators.temporal import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = list(_FUNNEL_STEPS)
+    stages = funnel_stages(ev, steps).select(F.col("stage").alias("__stage"))
+    counts = stages.agg(
+        *[
+            F.count(F.when(F.col("__stage") > k, 1)).alias(f"__n{k}")
+            for k in range(len(steps))
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(f"{k + 1}_{step}").alias("stage"),
+            F.col(f"__n{k}").alias("n_users"),
+        )
+        for k, step in enumerate(steps)
+    ]
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.stage", "r.n_users")
+        .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
 # contiguous global row ids (no global window)
 # --------------------------------------------------------------------------
 

@@ -94,6 +94,35 @@ def test_pii_redaction_clean_text_untouched(spark):
 
 
 # --------------------------------------------------------------------------
+# funnel stage machine
+# --------------------------------------------------------------------------
+
+
+def test_funnel_requires_order_and_strict_time(spark):
+    from datetime import datetime
+
+    from flight_radar_pipeline_spark.operators.temporal import funnel_stages
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), 1, "signup"), (1, t(2), 2, "click"), (1, t(3), 3, "purchase"),
+        # u2: click BEFORE signup never counts; no click after → stage 1
+        (2, t(1), 4, "click"), (2, t(2), 5, "signup"), (2, t(3), 6, "purchase"),
+        # u3: click at the SAME timestamp as signup does not advance
+        (3, t(1), 7, "signup"), (3, t(1), 8, "click"),
+        # u4: later signup can't resurrect — first signup anchors the chain
+        (4, t(5), 9, "signup"), (4, t(1), 10, "click"), (4, t(6), 11, "click"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(ev, ["signup", "click", "purchase"]).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 2}
+
+
+# --------------------------------------------------------------------------
 # contiguous ids
 # --------------------------------------------------------------------------
 
