@@ -92,6 +92,8 @@ _TAIL = [
     "order_price_deciles",
     "doc_incremental_dedup",
     "signup_click_purchase_funnel",
+    "embedding_int8_quant",
+    "event_key_skew_report",
 ]
 CHECKED_WINDOW = 50
 

@@ -106,3 +106,62 @@ def top_principal_component(
             F.round(F.col("__sgn") * F.col("__val"), decimals).alias("loading"),
         )
     )
+
+
+def int8_quantization_error(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_dims: int = 64,
+    decimals: int = 10,
+) -> DataFrame:
+    """Per-vector reconstruction MSE of symmetric-range int8 scalar
+    quantization → (id, mse): each dimension maps its corpus [min, max]
+    onto 256 levels (floor(v·255 + 0.5) — floor-plus-half instead of
+    round() so the bit pattern is identical across engines' half-rounding
+    modes), is dequantized, and the squared error averages over dims.
+
+    The storage/serving question ANN indexes answer with int8: 4× smaller
+    vectors at what recall-relevant error. Scale: per-dim ranges come
+    from ONE global aggregate (2·n_dims min/max exprs, map-side partials,
+    no shuffle of the table), broadcast back as two array literals-
+    equivalent columns; the quantize/dequantize/error math is pure
+    per-row array expressions at scan speed.
+
+    Degenerate dimensions (min == max) quantize to level 0 and contribute
+    zero error on both engines.
+    """
+    stats = vectors.agg(
+        F.array(
+            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(n_dims)]
+        ).alias("__mn"),
+        F.array(
+            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(n_dims)]
+        ).alias("__mx"),
+    )
+    x = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("__x"),
+    ).crossJoin(F.broadcast(stats))
+
+    def err(xi, mm):
+        mn, mx = mm["__mn"], mm["__mx"]
+        scale = mx - mn
+        q = F.least(
+            F.greatest(
+                F.floor((xi - mn) / scale * 255 + 0.5) - 128, F.lit(-128)
+            ),
+            F.lit(127),
+        )
+        deq = mn + (q + 128).cast("double") / 255.0 * scale
+        e = F.when(scale == 0, F.lit(0.0)).otherwise(xi - deq)
+        return e * e
+
+    sq = F.zip_with("__x", F.arrays_zip("__mn", "__mx"), err)
+    return x.select(
+        id_col,
+        F.round(
+            F.aggregate(sq, F.lit(0.0), lambda acc, e: acc + e) / n_dims,
+            decimals,
+        ).alias("mse"),
+    )

@@ -21,6 +21,7 @@ from flight_radar_pipeline_spark.operators.graph import (
 )
 from flight_radar_pipeline_spark.operators.linalg import (
     _seed_vector,
+    int8_quantization_error,
     top_principal_component,
 )
 from flight_radar_pipeline_spark.operators.lm import bigram_lm_scores
@@ -212,6 +213,119 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return pagerank(edges, iterations=_PR_ITERS, damping=_PR_DAMP).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization error
+# --------------------------------------------------------------------------
+
+_Q_ORACLE = f"""
+    with x as (
+        select vec_id, embedding::DOUBLE[] as x from embeddings
+    ), dims as (
+        select unnest(range(1, {EMB_DIMS} + 1)) as d
+    ), comp as (
+        select d, min(x[d]) as dmn, max(x[d]) as dmx
+        from x cross join dims group by d
+    ), s as (
+        select list(dmn order by d) as mn, list(dmx order by d) as mx from comp
+    )
+    select vec_id,
+           round(list_sum([
+               case when s.mx[i] = s.mn[i] then 0.0
+                    else pow(x[i] - (s.mn[i]
+                         + (least(greatest(floor((x[i] - s.mn[i])
+                               / (s.mx[i] - s.mn[i]) * 255 + 0.5) - 128,
+                               -128), 127) + 128) / 255.0
+                           * (s.mx[i] - s.mn[i])), 2)
+               end
+               for i in range(1, {EMB_DIMS} + 1)]) / {EMB_DIMS}, 10) as mse
+    from x cross join s
+    order by vec_id
+"""
+
+
+@register("embedding_int8_quant", _Q_ORACLE)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error audit: per-dim corpus ranges from
+    ONE shuffle-free wide aggregate, broadcast back for pure array-expr
+    quantize/dequantize/MSE per vector — the 4×-compression question ANN
+    serving answers with int8, here with exact cross-engine error
+    accounting (floor-plus-half rounding keeps the quantized bit pattern
+    identical; see ``operators.linalg.int8_quantization_error``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantization_error(emb, n_dims=EMB_DIMS).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# join-key skew profiler
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+    with c as (
+        select user_id, count(*) as cnt from events group by user_id
+    ), t as (
+        select count(*) as n_rows from events
+    )
+    select * from (
+        select 'max_count' as metric, round(max(cnt)::double, 6) as value from c
+        union all
+        select 'max_share', round(max(cnt)::double / min(t.n_rows), 6)
+        from c cross join t
+        union all
+        select 'n_keys', round(count(*)::double, 6) from c
+        union all
+        select 'p50_count', round(quantile_cont(cnt, 0.5), 6) from c
+        union all
+        select 'p99_count', round(quantile_cont(cnt, 0.99), 6) from c
+    )
+    order by metric
+"""
+
+
+@register("event_key_skew_report", _SKEW_ORACLE)
+def event_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for events.user_id — the diagnostic run
+    BEFORE choosing salted join vs AQE skew handling: key cardinality,
+    heaviest-key count and share, p50/p99 per-key counts. One groupBy
+    collapses the facts to one row per key map-side; every statistic
+    then aggregates that tiny counts table."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    stats = counts.crossJoin(F.broadcast(total)).agg(
+        F.round(F.max("cnt").cast("double"), 6).alias("__max_count"),
+        F.round(
+            F.max("cnt").cast("double") / F.min("__n").cast("double"), 6
+        ).alias("__max_share"),
+        F.round(F.count(F.lit(1)).cast("double"), 6).alias("__n_keys"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("__p50"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("__p99"),
+    )
+    rows = [
+        ("max_count", "__max_count"),
+        ("max_share", "__max_share"),
+        ("n_keys", "__n_keys"),
+        ("p50_count", "__p50"),
+        ("p99_count", "__p99"),
+    ]
+    return (
+        stats.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("metric"),
+                            F.col(c).alias("value"),
+                        )
+                        for name, c in rows
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.metric", "r.value")
+        .orderBy("metric")
+    )
 
 
 # --------------------------------------------------------------------------
