@@ -94,6 +94,8 @@ _TAIL = [
     "signup_click_purchase_funnel",
     "embedding_int8_quant",
     "event_key_skew_report",
+    "multimodal_frame_sample",
+    "event_value_mad_outliers",
 ]
 CHECKED_WINDOW = 50
 

@@ -98,3 +98,51 @@ def decode_image_stub(payload: bytes) -> dict:
             "image decode requires PIL/ffmpeg, not present in this container"
         ) from exc
     raise NotImplementedError("wire PIL decode here when codecs are available")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("frame_idx", LongType(), True),
+        StructField("start_byte", LongType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("head_hex", StringType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = 64,
+    k: int = 4,
+) -> DataFrame:
+    """Evenly-spaced frame sampling over an opaque binary payload — the
+    video-keyframe / audio-window shape: treat the blob as ``frame_size``-
+    byte frames, pick ``k`` evenly spaced indices (deduped when the
+    payload is short), and emit one row per sampled frame with its byte
+    addressing and a head-of-frame probe. The byte SLICING is real
+    (Arrow-batched ``mapInPandas``, zero-copy byte blocks); only the
+    codec that would decode each frame is the documented stub
+    (:func:`decode_image_stub`). Addressing arithmetic is integral, so an
+    SQL oracle restates it exactly.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("doc_id", "frame_idx", "start_byte", "n_bytes", "head_hex")}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                n_frames = -(-len(b) // frame_size)
+                for idx in sorted({(j * n_frames) // k for j in range(k)}):
+                    start = idx * frame_size
+                    frame = b[start : start + frame_size]
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(idx)
+                    out["start_byte"].append(start)
+                    out["n_bytes"].append(len(frame))
+                    out["head_hex"].append(frame[:4].hex())
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

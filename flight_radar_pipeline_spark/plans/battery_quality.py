@@ -216,6 +216,113 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# multimodal frame sampling
+# --------------------------------------------------------------------------
+
+_FRAME_SIZE, _FRAME_K = 64, 4
+
+_FRAMES_ORACLE = f"""
+    with p as (
+        select doc_id, text,
+               octet_length(encode(text))::bigint as blen
+        from documents
+    ), f as (
+        select doc_id, text, blen,
+               (blen + {_FRAME_SIZE - 1}) // {_FRAME_SIZE} as n_frames
+        from p
+    ), idx as (
+        select doc_id, text, blen,
+               unnest(list_distinct(
+                   [(j * n_frames) // {_FRAME_K} for j in range(0, {_FRAME_K})]
+               )) as frame_idx
+        from f
+    )
+    select doc_id, frame_idx,
+           frame_idx * {_FRAME_SIZE} as start_byte,
+           least({_FRAME_SIZE}, blen - frame_idx * {_FRAME_SIZE}) as n_bytes,
+           lower(hex(encode(substr(text, frame_idx * {_FRAME_SIZE} + 1, 4))))
+               as head_hex
+    from idx
+    order by doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-keyframe-style sampling over opaque binary payloads: treat
+    each blob as 64-byte frames, slice 4 evenly-spaced ones per document
+    through Arrow-batched ``mapInPandas`` (real byte slicing; only the
+    frame codec is the documented stub). The oracle restates the integral
+    addressing arithmetic; the head-of-frame probe assumes ASCII text,
+    true of the synthetic corpus (see ``multimodal.binary.sample_frames``)."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_payload(docs), frame_size=_FRAME_SIZE, k=_FRAME_K
+    ).orderBy("doc_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# robust (median/MAD) outlier flagging
+# --------------------------------------------------------------------------
+
+_MAD_SCALE, _MAD_THRESH = 1.4826, 2.0
+
+_MAD_ORACLE = f"""
+    with med as (
+        select event_type, quantile_cont(value, 0.5) as med
+        from events group by event_type
+    ), mad as (
+        select e.event_type,
+               quantile_cont(abs(e.value - m.med), 0.5) as mad
+        from events e join med m using (event_type)
+        group by e.event_type
+    )
+    select e.event_id, e.event_type,
+           round((e.value - m.med) / ({_MAD_SCALE} * d.mad), 4) as robust_z
+    from events e
+    join med m using (event_type)
+    join mad d using (event_type)
+    where d.mad > 0
+      and abs((e.value - m.med) / ({_MAD_SCALE} * d.mad)) > {_MAD_THRESH}
+    order by e.event_id
+"""
+
+
+@register("event_value_mad_outliers", _MAD_ORACLE)
+def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flagging via median/MAD (the estimator that does
+    not let the outliers it hunts inflate its own scale, unlike the
+    mean/stddev z-score in ``event_value_anomalies``): two per-type
+    percentile aggregates (exact ``percentile`` ≡ ``quantile_cont``; at
+    100 TB swap ``approx_percentile``) broadcast back onto the scan, flag
+    |robust z| > 2."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - __med), 0.5)").alias("__mad")
+        )
+    )
+    z = (F.col("value") - F.col("__med")) / (_MAD_SCALE * F.col("__mad"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("__mad") > 0) & (F.abs(z) > _MAD_THRESH))
+        .select("event_id", "event_type", F.round(z, 4).alias("robust_z"))
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # int8 scalar quantization error
 # --------------------------------------------------------------------------
 
