@@ -96,6 +96,7 @@ _TAIL = [
     "event_key_skew_report",
     "multimodal_frame_sample",
     "event_value_mad_outliers",
+    "near_dup_triangles",
 ]
 CHECKED_WINDOW = 50
 

@@ -39,20 +39,27 @@ def pack_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 32,
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """→ (id, bucket, n_tokens, start_offset, pack_id): contiguous-fill
     pack assignment per hash bucket.
 
     ``pack_id`` is globally unique: ``bucket * 2^32 + local_pack`` (local
     pack ordinals are far below 2^32 for any real bucket). Whitespace
-    token counts stand in for trained-tokenizer counts — swap
-    ``token_count`` for a real count column when one exists upstream.
+    token counts of ``text_col`` stand in for trained-tokenizer counts;
+    pass ``token_count_col`` when a real count column exists upstream
+    (e.g. chunk rows that no longer carry text).
     """
     b = hash_bucket(id_col, buckets)
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else token_count(text_col)
+    )
     base = df.select(
         F.col(id_col),
         b.alias("bucket"),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
     )
     w = Window.partitionBy("bucket").orderBy(
         F.md5(F.col(id_col).cast("string")), id_col

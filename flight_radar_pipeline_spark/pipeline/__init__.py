@@ -7,10 +7,13 @@ from flight_radar_pipeline_spark.pipeline.silver import (
     merge_snapshot,
     scd2_apply,
 )
+from flight_radar_pipeline_spark.pipeline.corpus import CorpusResult, run_corpus_prep
 from flight_radar_pipeline_spark.pipeline.gold import build_gold
 from flight_radar_pipeline_spark.pipeline.runner import PipelineResult, run_pipeline
 
 __all__ = [
+    "CorpusResult",
+    "run_corpus_prep",
     "build_silver",
     "build_gold",
     "dedup_by_key",

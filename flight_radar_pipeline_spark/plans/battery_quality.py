@@ -216,6 +216,55 @@ def entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# triangle enumeration over the near-dup graph
+# --------------------------------------------------------------------------
+
+_TRIANGLES_ORACLE = f"""
+    with pairs as (
+        {_MINHASH_ORACLE.replace("order by id_a, id_b", "")}
+    ), e as (
+        select least(id_a, id_b) as u, greatest(id_a, id_b) as v from pairs
+    )
+    select e1.u as a, e1.v as b, e2.v as c
+    from e e1
+    join e e2 on e2.u = e1.v
+    join e e3 on e3.u = e1.u and e3.v = e2.v
+    order by a, b, c
+"""
+
+
+@register("near_dup_triangles", _TRIANGLES_ORACLE)
+def near_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-duplicate pair graph (a < b < c
+    via canonically-oriented edges — each triangle emitted exactly once):
+    the density signal distinguishing mutually-similar CLIQUES (template
+    families) from chains of pairwise borderline matches. Two node-keyed
+    joins over the canonical edge list; consumes the shared materialized
+    pair table. Completes the graph family: components, PageRank,
+    triangles."""
+    pairs = _shared_near_dup_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .orderBy("a", "b", "c")
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal frame sampling
 # --------------------------------------------------------------------------
 

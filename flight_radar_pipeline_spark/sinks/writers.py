@@ -139,3 +139,66 @@ def latest_snapshot(spark: SparkSession, path: str, fmt: str = "parquet") -> Dat
         & (F.col("month") == latest["month"])
         & (F.col("day") == latest["day"])
     )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str] | None = None,
+    target_records_per_file: int = 1_000_000,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction: rewrite a dataset so each file holds up to
+    ``target_records_per_file`` rows → {"files_before", "files_after",
+    "rows"}.
+
+    The operational problem: incremental appends (per-batch, per-stream-
+    trigger) accumulate thousands of KB-sized files per partition, and at
+    100 TB scan cost becomes file-open dominated (driver-side listing,
+    footer reads, no row-group parallelism). The rewrite clusters rows
+    back into full files: partitioned data repartitions by its partition
+    columns so each partition lands in the fewest tasks; unpartitioned
+    data repartitions into ceil(rows/target) even chunks;
+    ``maxRecordsPerFile`` caps file size either way.
+
+    Spark refuses to overwrite a path its own plan is reading, so the
+    rewrite goes to a sibling temp directory and swaps in via two
+    filesystem renames (driver metadata ops only — no data movement on a
+    real object store with directory semantics; on S3-like stores use a
+    committer/table format for the swap). File counts come from
+    ``input_file_name`` — no driver directory walking.
+    """
+    import math
+
+    df = spark.read.format(fmt).load(path)
+    rows = df.count()
+    files_before = (
+        df.select(F.input_file_name().alias("__f")).distinct().count()
+    )
+
+    base = path.rstrip("/")
+    tmp, old = base + ".compact-tmp", base + ".compact-old"
+    writer = (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        if partition_cols
+        else df.repartition(max(1, math.ceil(rows / target_records_per_file)))
+    ).write.format(fmt).mode("overwrite").option(
+        "maxRecordsPerFile", target_records_per_file
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(tmp)
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.rename(hpath(base), hpath(old))
+    fs.rename(hpath(tmp), hpath(base))
+    fs.delete(hpath(old), True)
+
+    compacted = spark.read.format(fmt).load(path)
+    files_after = (
+        compacted.select(F.input_file_name().alias("__f")).distinct().count()
+    )
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}

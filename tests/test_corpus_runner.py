@@ -1,0 +1,67 @@
+"""End-to-end corpus-assembly runner: stage invariants over real test
+data, written output queryable, metrics consistent with the data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.pipeline.corpus import run_corpus_prep
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus") / "packed")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    res = run_corpus_prep(docs, out_dir=out, token_budget=128, pack_buckets=4)
+    return res, out, docs
+
+
+def test_stage_metrics_monotone_and_consistent(result):
+    res, _, docs = result
+    m = res.metrics
+    n_docs = docs.count()
+    # each gate only removes rows; chunking can only expand kept docs
+    assert n_docs >= m["quality_kept"] >= m["exact_kept"] >= m["near_dup_kept"] > 0
+    assert m["packed_chunks"] >= m["near_dup_kept"]
+
+
+def test_written_corpus_is_dedup_clean_and_packed(result, spark):
+    res, out, _ = result
+    packed = spark.read.parquet(out)
+    assert packed.count() == res.metrics["packed_chunks"]
+    # no surviving duplicate chunk assignment
+    assert (
+        packed.groupBy("chunk_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    # contiguous packing: every (bucket, pack) except a bucket's last is
+    # filled past budget only by its straddling tail chunk
+    per_pack = packed.groupBy("bucket", "pack_id").agg(
+        F.sum("n_tokens").alias("tok")
+    )
+    assert per_pack.count() > 0
+    # pack ids embed their bucket
+    bad = packed.filter(
+        (F.col("pack_id") - F.col("bucket") * F.lit(2**32)) < 0
+    ).count()
+    assert bad == 0
+
+
+def test_near_dup_losers_absent(result, spark):
+    res, out, docs = result
+    from flight_radar_pipeline_spark.operators import dedup as D
+    from flight_radar_pipeline_spark.operators.graph import connected_components
+
+    packed = spark.read.parquet(out)
+    kept_docs = {r["src_doc_id"] for r in packed.select("src_doc_id").distinct().collect()}
+    exact = D.dedup_exact(docs, "text", "doc_id").drop("dup_count")
+    losers = {
+        r["doc_id"]
+        for r in connected_components(D.near_dup_pairs(exact, "text", "doc_id"))
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .collect()
+    }
+    assert kept_docs.isdisjoint(losers)

@@ -39,3 +39,48 @@ def test_sets_storage_levels_identical(spark):
             map(tuple, ngram_jaccard_pairs(docs, sets_storage=level, **kw).collect())
         )
         assert got == base, f"sets_storage={level} changed results"
+
+
+# --------------------------------------------------------------------------
+# small-file compaction
+# --------------------------------------------------------------------------
+
+
+def test_compact_unpartitioned_reduces_files_preserves_rows(spark, tmp_path):
+    from flight_radar_pipeline_spark.sinks.writers import compact_dataset
+
+    path = str(tmp_path / "frag")
+    # simulate incremental appends: 3 batches x 10 tasks = 30 tiny files
+    for _ in range(3):
+        spark.range(1000).repartition(10).write.mode("append").parquet(path)
+    before = sorted(
+        r["id"] for r in spark.read.parquet(path).collect()
+    )
+
+    report = compact_dataset(spark, path, target_records_per_file=10_000)
+    assert report["files_before"] >= 30
+    assert report["files_after"] == 1
+    assert report["rows"] == 3000
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_compact_partitioned_respects_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flight_radar_pipeline_spark.sinks.writers import compact_dataset
+
+    path = str(tmp_path / "fragp")
+    df = spark.range(900).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("v")
+    )
+    for _ in range(4):
+        df.repartition(5).write.mode("append").partitionBy("p").parquet(path)
+
+    report = compact_dataset(spark, path, partition_cols=["p"])
+    assert report["files_before"] > report["files_after"]
+    assert report["files_after"] <= 3  # one file per partition value
+    got = spark.read.parquet(path)
+    assert got.count() == 3600
+    # partition layout survives: pruning still sees the partition column
+    assert got.filter(F.col("p") == 1).count() == 1200
