@@ -36,15 +36,23 @@ def read_csv(spark: SparkSession, path: str, schema: StructType, header: bool = 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic test table, normalizing physical quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` (set in the session
-    factory) it arrives as int64 nanos, converted here to a real timestamp
-    (integer division — a double division would lose precision above 2^53).
+    ``events.ts`` has been written two ways across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (arrives as int64 nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong=true``, set in the session
+    factory) and plain TIMESTAMP(MICROS) (arrives as timestamp /
+    timestamp_ntz). Normalize both to session-local TimestampType so every
+    downstream plan and oracle sees one type regardless of generation:
+    int64 nanos → integer-divide to micros (a double division would lose
+    precision above 2^53); timestamp_ntz → reinterpret in the session zone
+    (UTC) to match DuckDB's naive-timestamp presentation.
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

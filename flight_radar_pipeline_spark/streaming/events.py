@@ -29,7 +29,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# physical schema of events.parquet under nanosAsLong (see sources/readers.py)
+# legacy physical schema of events.parquet under nanosAsLong (older driver
+# testdata generations; see sources/readers.py for the normalization story)
 EVENTS_PHYSICAL = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -43,20 +44,31 @@ EVENTS_PHYSICAL = StructType(
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet, with the nanos→timestamp
-    normalization applied.
+    """File-source stream over the events parquet, with the ts
+    normalization applied (int64 nanos or timestamp_ntz → TimestampType,
+    matching sources/readers.load_table).
+
+    The stream source needs an explicit schema; it is sniffed from the
+    parquet footer with a batch read so the reader tracks whichever
+    physical ts encoding the current testdata generation uses.
 
     The file source requires a *directory* (its PartitioningAwareFileIndex
     insists basePath is a directory even when handed one concrete file), so
     a bare-file path is staged as a symlink inside a scratch directory —
     exactly how a production feed presents an append-only drop folder.
     """
+    physical = spark.read.parquet(path).schema
     if os.path.isfile(path):
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(stage, os.path.basename(path)))
         path = stage
-    stream = spark.readStream.schema(EVENTS_PHYSICAL).parquet(path)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = spark.readStream.schema(physical).parquet(path)
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -33,6 +33,13 @@ ALLOWED_BNLJ = {
     "embedding_topk_bruteforce",  # exact baseline: broadcast query set, != cond
     "doc_tfidf_top_terms",        # 1-row corpus-size broadcast
     "doc_bm25_query",             # 1-row corpus-stats broadcast
+    "doc_lm_perplexity",          # 1-row vocab-size broadcast
+    "entity_pagerank",            # 1-row node-count broadcast (init ranks)
+    "embedding_int8_quant",       # 1-row per-dim min/max broadcast
+    "embedding_top_component",    # 1-row current-eigenvector broadcast/iter
+    "event_key_skew_report",      # 1-row total-count broadcast
+    "order_price_deciles",        # 1-row decile-bounds-array broadcast
+    "doc_contiguous_ids",         # <=64-row bucket-bounds broadcast
 }
 
 
