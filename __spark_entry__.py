@@ -50,6 +50,17 @@ def _configure(spark: SparkSession) -> None:
 # length histogram) are oracle-backed additions beyond the
 # 50-slot window — fully hash-checked by the local full-registry sweep.
 #
+# Round-4 rotation: six round-3 families that had never held a DRIVER
+# correctness row (PageRank, bigram-LM perplexity, PII redaction, power-
+# iteration PCA, BM25, SCD2 history) move INTO the window; six window
+# entries whose operator shape stays proven by a sibling green row move
+# out (top_bigrams_per_lang ⊂ top_pmi_collocations' n-gram/broadcast
+# machinery, doc_simhash ⊂ simhash_near_dup_pairs' signature stage,
+# doc_token_classes / doc_rolling_fingerprint / doc_deterministic_sample
+# are pure-column-expr siblings of doc_text_stats + doc_quality_score,
+# customer_running_total is the plain-frame sibling of
+# customer_7d_order_sum's range-frame window).
+#
 # Enforcement: demoted entries are invisible to the driver gate, so
 # tests/test_battery.py's full-registry oracle sweep (ALL entries, tail
 # included, at sf0.001) is the mandatory regression net for them —
@@ -66,10 +77,8 @@ _TAIL = [
     "doc_pack_assignments",
     "doc_stratified_sample",
     "distinct_user_event_types_stream",
-    "orders_scd2_history",
     "doc_pack_firstfit",
     "event_zorder_keys",
-    "doc_bm25_query",
     "incremental_daily_rollup",
     "doc_decontamination",
     "doc_chunk_windows",
@@ -78,12 +87,8 @@ _TAIL = [
     "corpus_mixture_sample",
     "doc_length_histogram",
     "embedding_dim_stats",
-    "doc_lm_perplexity",
-    "doc_pii_redaction",
-    "entity_pagerank",
     "doc_chunk_dedup_rate",
     "doc_dedup_decisions",
-    "embedding_top_component",
     "table_quality_report",
     "user_count_cms_estimates",
     "enriched_events_stream",
@@ -97,6 +102,13 @@ _TAIL = [
     "multimodal_frame_sample",
     "event_value_mad_outliers",
     "near_dup_triangles",
+    # round-4 demotions (shape-duplicates; see rotation note above)
+    "top_bigrams_per_lang",
+    "doc_simhash",
+    "doc_token_classes",
+    "doc_rolling_fingerprint",
+    "doc_deterministic_sample",
+    "customer_running_total",
 ]
 CHECKED_WINDOW = 50
 

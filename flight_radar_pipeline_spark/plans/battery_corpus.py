@@ -420,7 +420,10 @@ _PACKING_ORACLE = f"""
                ) - n_tokens as start_offset
         from base
     )
-    select doc_id, bucket, n_tokens, start_offset,
+    select doc_id, bucket, n_tokens,
+           -- DuckDB's windowed SUM(BIGINT) widens to HUGEINT (→ float64 in
+           -- pandas); pin the offset back to int64 to match Spark's long
+           start_offset::bigint as start_offset,
            bucket * 4294967296 + floor(start_offset / {_PACK_BUDGET})::bigint
                as pack_id
     from cum
