@@ -109,6 +109,13 @@ _TAIL = [
     "doc_rolling_fingerprint",
     "doc_deterministic_sample",
     "customer_running_total",
+    # round-4 additions freed these two slots: hourly_event_counts is a
+    # plain group-count whose shape holds green via revenue_by_nation /
+    # order_priority_count (and its stream twin is locally pinned);
+    # embedding_topk_lsh's bucket-join + exact-ranking machinery holds
+    # green via embedding_topk_ivf + embedding_near_dup_pairs
+    "hourly_event_counts",
+    "embedding_topk_lsh",
 ]
 CHECKED_WINDOW = 50
 

@@ -635,3 +635,83 @@ def topk_neighbors_lsh(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmeans_cluster_assignments(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid cluster table → (id, cell, cosine): each vector's
+    assigned cell and its rounded cosine to that centroid.
+
+    The clustering face of the quantizer (``kmeans_centroids`` for the
+    production centroids, ``collect_centroids`` for the oracle-exact
+    first-N): one ``array_max`` over the centroid-sim structs per row —
+    the same shuffle-free inline-argmax plan shape as ``assign_cell``,
+    here keeping the winning similarity alongside the cell id. At any
+    corpus size the assignment stage is a pure projection over the scan.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    best = F.array_max(_centroid_sim_structs(vd, centroids, decimals))
+    return df.select(
+        F.col(id_col),
+        (-best["neg_id"]).cast("bigint").alias("cell"),
+        best["sim"].alias("cosine"),
+    )
+
+
+def semantic_dedup_decisions(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup decisions, SemDeDup-style (Abbas
+    et al. 2023, public): cluster the corpus with a coarse quantizer,
+    compare vectors ONLY within their cluster, and drop any vector whose
+    cosine to a lower-id cluster-mate reaches ``threshold`` →
+    (id, cell, n_lower_dups, kept).
+
+    Keep-the-lowest-id is the deterministic one-pass variant of the
+    paper's greedy sweep: a vector is dropped iff SOME lower-id neighbor
+    in its cell is near — no iteration-order dependence, exact SQL
+    oracle. Scale posture: the quadratic pair scan is confined inside
+    cells (the SemDeDup contract — k grows with the corpus so cell
+    sizes stay bounded), the cell equi-join replaces any corpus-wide
+    cross product, and vectors are normalized once so each pair verify
+    is a single dot.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(_dot(vd, vd))
+    assigned = df.select(
+        F.col(id_col),
+        assign_cell(vd, centroids, decimals).cast("bigint").alias("cell"),
+        F.transform(vd, lambda x: x / norm).alias("__unit"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col("__unit").alias("__ua")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("__unit").alias("__ub")
+    )
+    near = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(_dot(F.col("__ua"), F.col("__ub")), decimals) >= threshold
+        )
+        .groupBy("id_b")
+        .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return assigned.drop("__unit").join(near, id_col, "left").select(
+        F.col(id_col),
+        "cell",
+        F.coalesce("n_lower_dups", F.lit(0)).cast("bigint").alias("n_lower_dups"),
+        F.col("n_lower_dups").isNull().alias("kept"),
+    )

@@ -615,3 +615,141 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_neighbors_ivf(
         emb, queries, k=_KNN, num_centroids=_NC, nprobe=_NPROBE
     ).orderBy("query_id", "neighbor_id")
+
+
+# --------------------------------------------------------------------------
+# k-means clustering + semantic (embedding-space) dedup
+# --------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_SEED = 8, 3, "kmeans"
+_SEM_T = 0.35
+
+
+def _kmeans_cte_sql(k: int, iters: int, dims: int, seed: str) -> tuple[str, str]:
+    """Unrolled fixed-iteration Lloyd's as DuckDB CTEs (the PageRank/PCA
+    oracle pattern applied to clustering) → (cte_block, final_cents_name).
+
+    Mirrors ``operators.similarity.kmeans_centroids`` exactly: init picks
+    the k rows with the smallest md5(seed-id) and numbers them by source
+    id; each iteration assigns by (rounded cosine desc, cent_id asc) and
+    recomputes per-dim means rounded to 6; empty cells keep their
+    previous centroid via the left-join coalesce."""
+    means = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dims))
+    parts = [
+        f"""e as (
+        select vec_id, embedding::DOUBLE[] as v from embeddings
+    ), seeds as (
+        select vec_id, v from e
+        order by md5('{seed}-' || vec_id), vec_id limit {k}
+    ), c0 as (
+        select row_number() over (order by vec_id) - 1 as cent_id, v as cv
+        from seeds
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} as (
+        select vec_id, v, cent_id as cell from (
+            select e.vec_id, e.v, c.cent_id,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round(list_cosine_similarity(e.v, c.cv), 6)
+                                desc, c.cent_id
+                   ) as rn
+            from e cross join c{i} c
+        ) t where rn = 1
+    ), m{i} as (
+        select cell as cent_id, [{means}] as cv from a{i} group by cell
+    ), c{i + 1} as (
+        select c.cent_id, coalesce(m.cv, c.cv) as cv
+        from c{i} c left join m{i} m using (cent_id)
+    )"""
+        )
+    return ", ".join(parts), f"c{iters}"
+
+
+def _km_assign_sql(cents: str, with_cosine: bool) -> str:
+    cos = (
+        ",\n                   round(list_cosine_similarity(e.v, c.cv), 6) as cosine"
+        if with_cosine
+        else ""
+    )
+    keep = ", cosine" if with_cosine else ""
+    return f"""
+        select vec_id, cell{keep} from (
+            select e.vec_id, c.cent_id as cell,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round(list_cosine_similarity(e.v, c.cv), 6)
+                                desc, c.cent_id
+                   ) as rn{cos}
+            from e cross join {cents} c
+        ) t where rn = 1"""
+
+
+def _kmeans_clusters_oracle() -> str:
+    ctes, cents = _kmeans_cte_sql(_KM_K, _KM_ITERS, EMB_DIMS, _KM_SEED)
+    return f"""
+    with {ctes}, assign as ({_km_assign_sql(cents, with_cosine=True)})
+    select vec_id, cell, cosine from assign
+    order by vec_id
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    ctes, cents = _kmeans_cte_sql(_KM_K, _KM_ITERS, EMB_DIMS, _KM_SEED)
+    return f"""
+    with {ctes}, assign as ({_km_assign_sql(cents, with_cosine=False)}),
+    u as (
+        select vec_id,
+               list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                   as uv
+        from e
+    ), near as (
+        select b.vec_id as vec_id, count(*) as n_lower_dups
+        from assign a
+        join assign b on a.cell = b.cell and a.vec_id < b.vec_id
+        join u ua on ua.vec_id = a.vec_id
+        join u ub on ub.vec_id = b.vec_id
+        where round(list_inner_product(ua.uv, ub.uv), 6) >= {_SEM_T}
+        group by b.vec_id
+    )
+    select s.vec_id, s.cell,
+           coalesce(n.n_lower_dups, 0)::bigint as n_lower_dups,
+           n.vec_id is null as kept
+    from assign s left join near n using (vec_id)
+    order by vec_id
+"""
+
+
+@register("embedding_kmeans_clusters", _kmeans_clusters_oracle())
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (deterministic Lloyd's:
+    md5-seeded init, 3 fixed iterations, rounded means) → each vector's
+    cell and cosine to its centroid. The clustering primitive under IVF
+    cell layout, semantic dedup, and embedding-drift monitoring; every
+    iteration is one corpus scan + a k×dims partial-aggregated mean, and
+    the final assignment is a shuffle-free projection. The oracle unrolls
+    the identical iterations as SQL CTEs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
+    )
+    return S.kmeans_cluster_assignments(emb, cents).orderBy("vec_id")
+
+
+@register("embedding_semantic_dedup", _semantic_dedup_oracle())
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings, SemDeDup-style: k-means cells
+    bound the candidate space, in-cell pairs above cosine 0.35 mark the
+    higher id as a duplicate of the lower → (vec_id, cell, n_lower_dups,
+    kept). The embedding-space sibling of the MinHash/SimHash near-dup
+    family: same bucket-then-verify scale posture, with the quantizer as
+    the bucketing function."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_centroids(
+        emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
+    )
+    return S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T).orderBy(
+        "vec_id"
+    )
