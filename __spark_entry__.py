@@ -109,13 +109,23 @@ _TAIL = [
     "doc_rolling_fingerprint",
     "doc_deterministic_sample",
     "customer_running_total",
-    # round-4 additions freed these two slots: hourly_event_counts is a
+    # round-4 additions freed these slots: hourly_event_counts is a
     # plain group-count whose shape holds green via revenue_by_nation /
     # order_priority_count (and its stream twin is locally pinned);
     # embedding_topk_lsh's bucket-join + exact-ranking machinery holds
-    # green via embedding_topk_ivf + embedding_near_dup_pairs
+    # green via embedding_topk_ivf + embedding_near_dup_pairs;
+    # event_value_anomalies' stats-broadcast-filter shape holds green via
+    # lineitem_price_stats + the mad/zscore locals; doc_text_stats' pure
+    # column exprs via doc_quality_score + doc_lang_id;
+    # edit_distance_near_dup consumes the same shared pair table the
+    # minhash/simhash/ngram rows verify; orders_scd1_stream_merge is the
+    # stream twin of the green orders_scd1_merge row (same oracle)
     "hourly_event_counts",
     "embedding_topk_lsh",
+    "event_value_anomalies",
+    "doc_text_stats",
+    "edit_distance_near_dup",
+    "orders_scd1_stream_merge",
 ]
 CHECKED_WINDOW = 50
 
@@ -125,6 +135,7 @@ def _registry():
         battery,
         battery_corpus,
         battery_ext,
+        battery_lake,
         battery_prep,
         battery_quality,
         battery_temporal,

@@ -1,0 +1,336 @@
+"""Lakehouse-operations battery: snapshot diff (CDC between table
+versions), bloom-style semi-join reduction, leakage-safe corpus splits,
+and a streaming foreachBatch upsert sink.
+
+The reference pipeline rewrites whole snapshots every run
+(``/root/reference/src/main.py:105-152``); these entries are the
+incremental-lakehouse counterparts a 100 TB deployment needs. Same
+contract as every battery module: each Spark plan is paired with a DuckDB
+oracle stating the identical deterministic computation; doubles that
+enter fingerprints or sums are pinned to integer cents first so
+cross-engine float formatting can never leak into a hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# snapshot diff (CDC between two table versions)
+# --------------------------------------------------------------------------
+
+# Two synthetic versions of the orders table, derived deterministically so
+# the diff has all three change classes: version A drops every 13th key
+# (those become 'added' in B), version B drops every 17th key ('removed')
+# and bumps every 10th price ('changed').
+
+_DIFF_FP = (
+    "md5(o_orderkey || '|' || cast(round({p} * 100) as bigint)"
+    " || '|' || o_orderstatus || '|' || o_orderpriority)"
+)
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+    with a as (
+        select o_orderkey, {_DIFF_FP.format(p="o_totalprice")} as fp
+        from orders where o_orderkey % 13 != 0
+    ), b0 as (
+        select o_orderkey, o_orderstatus, o_orderpriority,
+               case when o_orderkey % 10 = 0 then o_totalprice + 1000
+                    else o_totalprice end as p
+        from orders where o_orderkey % 17 != 0
+    ), b as (
+        select o_orderkey, {_DIFF_FP.format(p="p")} as fp from b0
+    )
+    select o_orderkey,
+           case when a.o_orderkey is null then 'added'
+                when b.o_orderkey is null then 'removed'
+                else 'changed' end as change_type
+    from a full outer join b using (o_orderkey)
+    where a.o_orderkey is null or b.o_orderkey is null or a.fp != b.fp
+    order by o_orderkey
+"""
+
+
+def _order_fingerprint(price_col: str) -> F.Column:
+    """Row fingerprint over int-safe renderings: price pinned to bigint
+    cents so double→string formatting can't diverge between engines."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.round(F.col(price_col) * 100).cast("bigint").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+    )
+
+
+@register("snapshot_diff", _SNAPSHOT_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots of a table → (key, change_type in
+    added/removed/changed): the diff a lakehouse emits between versions,
+    or an ingest job uses to turn full re-dumps into increments.
+
+    Scale posture: each side collapses to (key, fingerprint) BEFORE the
+    join, so the shuffle carries two narrow columns however wide the
+    table is; the full-outer join is the one key-keyed exchange.
+    Unchanged rows (the overwhelming majority between real versions)
+    are filtered right after the join, never projected wide again.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey", _order_fingerprint("o_totalprice").alias("fp_a")
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "__p",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select("o_orderkey", _order_fingerprint("__p").alias("fp_b"))
+    )
+    return (
+        a.join(b, "o_orderkey", "full_outer")
+        .filter(
+            F.col("fp_a").isNull()
+            | F.col("fp_b").isNull()
+            | (F.col("fp_a") != F.col("fp_b"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(F.col("fp_a").isNull(), F.lit("added"))
+            .when(F.col("fp_b").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# bloom-style semi-join reduction
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 4096  # 64 words x 64 bits
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+_BLOOM_SEMI_ORACLE = """
+    select o_orderpriority,
+           count(*) as n_orders,
+           -- ::bigint: DuckDB's SUM(BIGINT) widens to HUGEINT (float64 in
+           -- pandas); Spark's stays long
+           sum(cast(round(o_totalprice * 100) as bigint))::bigint as cents
+    from orders o
+    where exists (
+        select 1 from customer c
+        where c.c_custkey = o.o_custkey and c.c_mktsegment = 'BUILDING'
+    )
+    group by o_orderpriority
+    order by o_orderpriority
+"""
+
+
+@register("orders_bloom_semi_join", _BLOOM_SEMI_ORACLE)
+def orders_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a broadcast bit-set: the runtime-filter
+    pattern, built explicitly. Build-side keys (BUILDING customers) fold
+    into a 4096-bit bitmap — one row of 64 ORed words — which broadcasts
+    to prefilter the fact scan BEFORE the exact left-semi join; the
+    bitmap admits no false negatives, and the exact join removes its
+    false positives, so the result (and the oracle) is the plain semi
+    join. At 100 TB the prefilter is the point: non-matching fact rows
+    drop at scan speed instead of crossing the join shuffle — what
+    Spark's own ``runtime.bloomFilter`` rewrite does, here as an
+    explicit, engine-portable operator (md5-derived positions, not a
+    JVM-internal hash).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    words = cust.select(
+        T.hash_bucket(F.col("c_custkey"), _BLOOM_BITS).alias("__pos")
+    ).select(
+        (F.col("__pos") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(__pos % 64 as int))").alias(
+            "mask"
+        ),
+    )
+    bitmap = words.agg(
+        F.array(
+            *[
+                F.bit_or(
+                    F.when(F.col("word") == w, F.col("mask")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                )
+                for w in range(_BLOOM_WORDS)
+            ]
+        ).alias("__words")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    probe = orders.withColumn(
+        "__pos", T.hash_bucket(F.col("o_custkey"), _BLOOM_BITS)
+    )
+    prefiltered = (
+        probe.join(F.broadcast(bitmap))
+        .filter(
+            F.expr(
+                "(__words[cast(__pos / 64 as int)]"
+                " & shiftleft(cast(1 as bigint), cast(__pos % 64 as int))) != 0"
+            )
+        )
+        .drop("__words", "__pos")
+    )
+    return (
+        prefiltered.join(
+            cust.select("c_custkey"),
+            prefiltered["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+    select doc_id, lang,
+           case when b <= 7 then 'train'
+                when b = 8 then 'val'
+                else 'test' end as split
+    from (
+        select doc_id, lang,
+               ('0x' || substr(md5(lang), 1, 12))::bigint % 10 as b
+        from documents
+    )
+    order by doc_id
+"""
+
+
+@register("doc_train_eval_split", _SPLIT_ORACLE)
+def doc_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 corpus split: the split is assigned per
+    GROUP (here ``lang``; in production the url host / source domain),
+    not per row, so near-duplicate documents from one source can never
+    straddle train and eval — the contamination a row-hash split invites.
+    Pure column exprs over the scan (the md5 bucketing of
+    ``hash_bucket``); no shuffle, reproducible on any engine or
+    partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = T.hash_bucket(F.col("lang"), 10)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(b <= 7, F.lit("train"))
+        .when(b == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# streaming foreachBatch upsert (SCD1 merge sink)
+# --------------------------------------------------------------------------
+
+# Identical final state to the batch orders_scd1_merge entry, so the
+# oracle is the same updates-win merge stated in SQL.
+_SCD1_STREAM_ORACLE = """
+    with updates as (
+        select o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000 as o_totalprice,
+               o_orderdate, o_orderpriority
+        from orders where o_orderkey % 10 = 0
+    ), merged as (
+        select * from updates
+        union all
+        select * from orders o
+        where not exists (select 1 from updates u where u.o_orderkey = o.o_orderkey)
+    )
+    select o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') as o_orderdate,
+           o_orderpriority
+    from merged order by o_orderkey
+"""
+
+
+@register("orders_scd1_stream_merge", _SCD1_STREAM_ORACLE)
+def orders_scd1_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink: updates arrive as a file-source stream and
+    ``foreachBatch`` merges each microbatch into a versioned parquet
+    target (read latest version → SCD1 merge → write next version), the
+    exactly-once upsert pattern for sinks without a MERGE primitive. The
+    final table equals the batch merge, which is what the oracle states.
+
+    Scale posture: per-batch work is one key-keyed merge of (target ∪
+    microbatch); on a transactional format the same ``foreachBatch``
+    body becomes MERGE INTO and rewrites only matched files. Versioned
+    directories keep the read-your-own-writes loop safe (never
+    overwriting the version being read) and give checkpoint-replayed
+    batches an idempotent landing spot.
+    """
+    from flight_radar_pipeline_spark.pipeline import merge_snapshot
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="scd1_stream_")
+    versions = [os.path.join(work, "v0")]
+    orders.write.mode("overwrite").parquet(versions[0])
+
+    stage = os.path.join(work, "updates")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(stage, "orders.parquet"),
+    )
+    physical = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    upd_stream = (
+        spark.readStream.schema(physical)
+        .parquet(stage)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+    )
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(versions[-1])
+        nxt = os.path.join(work, f"v{len(versions)}")
+        merge_snapshot(cur, batch, ["o_orderkey"]).write.mode(
+            "overwrite"
+        ).parquet(nxt)
+        versions.append(nxt)
+
+    q = (
+        upd_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+        "o_orderpriority",
+    ).orderBy("o_orderkey")

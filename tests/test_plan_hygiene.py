@@ -40,6 +40,7 @@ ALLOWED_BNLJ = {
     "event_key_skew_report",      # 1-row total-count broadcast
     "order_price_deciles",        # 1-row decile-bounds-array broadcast
     "doc_contiguous_ids",         # <=64-row bucket-bounds broadcast
+    "orders_bloom_semi_join",     # 1-row 64-word bitmap broadcast
 }
 
 
