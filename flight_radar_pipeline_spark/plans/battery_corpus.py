@@ -722,6 +722,30 @@ def _semantic_dedup_oracle() -> str:
 """
 
 
+# Trained-quantizer cache, the centroid analogue of battery_text's
+# _PAIR_CACHE: a real pipeline trains the coarse quantizer once and every
+# consumer (cluster table, semantic dedup, IVF layout) reuses it. Values
+# are tiny driver-side lists (k × dims floats), deterministic for a given
+# (session, sf_dir); clear_kmeans_cache() forces retraining.
+_KM_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+
+
+def clear_kmeans_cache() -> None:
+    _KM_CACHE.clear()
+
+
+def _shared_kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KM_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _KM_CACHE[key] = S.kmeans_centroids(
+            emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
+        )
+    return _KM_CACHE[key]
+
+
 @register("embedding_kmeans_clusters", _kmeans_clusters_oracle())
 def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus (deterministic Lloyd's:
@@ -732,9 +756,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final assignment is a shuffle-free projection. The oracle unrolls
     the identical iterations as SQL CTEs."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroids(
-        emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
-    )
+    cents = _shared_kmeans_centroids(spark, sf_dir)
     return S.kmeans_cluster_assignments(emb, cents).orderBy("vec_id")
 
 
@@ -745,11 +767,10 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher id as a duplicate of the lower → (vec_id, cell, n_lower_dups,
     kept). The embedding-space sibling of the MinHash/SimHash near-dup
     family: same bucket-then-verify scale posture, with the quantizer as
-    the bucketing function."""
+    the bucketing function (trained once per (session, sf_dir) via the
+    shared-centroid cache)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = S.kmeans_centroids(
-        emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
-    )
+    cents = _shared_kmeans_centroids(spark, sf_dir)
     return S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T).orderBy(
         "vec_id"
     )
