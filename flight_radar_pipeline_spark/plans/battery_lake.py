@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators.cdc import (
+    row_fingerprint,
+    snapshot_changes,
+)
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -59,17 +63,17 @@ _SNAPSHOT_DIFF_ORACLE = f"""
 """
 
 
-def _order_fingerprint(price_col: str) -> F.Column:
-    """Row fingerprint over int-safe renderings: price pinned to bigint
-    cents so double→string formatting can't diverge between engines."""
-    return F.md5(
-        F.concat_ws(
-            "|",
-            F.col("o_orderkey").cast("string"),
-            F.round(F.col(price_col) * 100).cast("bigint").cast("string"),
+def _order_fingerprint() -> F.Column:
+    """Order-row fingerprint over int-safe renderings: price pinned to
+    bigint cents so double→string formatting can't diverge between
+    engines (``operators.cdc.row_fingerprint`` contract)."""
+    return row_fingerprint(
+        [
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint"),
             F.col("o_orderstatus"),
             F.col("o_orderpriority"),
-        )
+        ]
     )
 
 
@@ -77,44 +81,20 @@ def _order_fingerprint(price_col: str) -> F.Column:
 def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two snapshots of a table → (key, change_type in
     added/removed/changed): the diff a lakehouse emits between versions,
-    or an ingest job uses to turn full re-dumps into increments.
-
-    Scale posture: each side collapses to (key, fingerprint) BEFORE the
-    join, so the shuffle carries two narrow columns however wide the
-    table is; the full-outer join is the one key-keyed exchange.
-    Unchanged rows (the overwhelming majority between real versions)
-    are filtered right after the join, never projected wide again.
+    or an ingest job uses to turn full re-dumps into increments — see
+    ``operators.cdc.snapshot_changes`` for the narrow-shuffle posture.
     """
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderkey") % 13 != 0).select(
-        "o_orderkey", _order_fingerprint("o_totalprice").alias("fp_a")
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = orders.filter(F.col("o_orderkey") % 17 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000
+        ).otherwise(F.col("o_totalprice")),
     )
-    b = (
-        orders.filter(F.col("o_orderkey") % 17 != 0)
-        .withColumn(
-            "__p",
-            F.when(
-                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 1000
-            ).otherwise(F.col("o_totalprice")),
-        )
-        .select("o_orderkey", _order_fingerprint("__p").alias("fp_b"))
-    )
-    return (
-        a.join(b, "o_orderkey", "full_outer")
-        .filter(
-            F.col("fp_a").isNull()
-            | F.col("fp_b").isNull()
-            | (F.col("fp_a") != F.col("fp_b"))
-        )
-        .select(
-            "o_orderkey",
-            F.when(F.col("fp_a").isNull(), F.lit("added"))
-            .when(F.col("fp_b").isNull(), F.lit("removed"))
-            .otherwise(F.lit("changed"))
-            .alias("change_type"),
-        )
-        .orderBy("o_orderkey")
-    )
+    return snapshot_changes(
+        old, new, "o_orderkey", _order_fingerprint()
+    ).orderBy("o_orderkey")
 
 
 # --------------------------------------------------------------------------
