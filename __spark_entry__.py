@@ -126,6 +126,8 @@ _TAIL = [
     "doc_text_stats",
     "edit_distance_near_dup",
     "orders_scd1_stream_merge",
+    # binary-payload plumbing holds green via multimodal_features
+    "multimodal_modality_route",
 ]
 CHECKED_WINDOW = 50
 

@@ -146,3 +146,59 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# Standard container magic numbers (public file-format signatures). RIFF
+# containers (WAV/AVI/WebP) share the 'RIFF' prefix; the fourth class is
+# plain text with no signature.
+MAGIC_PREFIXES = {
+    "image/jpeg": b"\xff\xd8\xff\xe0",
+    "image/png": b"\x89PNG",
+    "audio/riff": b"RIFF",
+}
+
+
+def with_magic_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a mixed-modality corpus: each document's UTF-8 bytes get
+    a real container signature prepended by ``id % 4`` (jpeg / png / riff /
+    none) — deterministic, so an oracle can state the expected routing
+    while the Spark side genuinely byte-sniffs."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    magics = list(MAGIC_PREFIXES.values())
+    sel = F.col(id_col) % 4
+    payload = F.when(sel == 0, F.concat(F.lit(bytearray(magics[0])), body))
+    for i in (1, 2):
+        payload = payload.when(
+            sel == i, F.concat(F.lit(bytearray(magics[i])), body)
+        )
+    payload = payload.otherwise(body)
+    return df.select(F.col(id_col), payload.alias("payload"))
+
+
+def detect_modality(payload: F.Column | str) -> F.Column:
+    """Modality from the payload's leading bytes (magic-number sniff) as a
+    pure column expression — metadata-only routing that never leaves the
+    JVM and, over Parquet, reads just the first bytes' column pages.
+    Inherent sniffing caveat: content that legitimately begins with a
+    signature (e.g. text starting 'RIFF') routes as that container."""
+    col = F.col(payload) if isinstance(payload, str) else payload
+    head = F.hex(F.substring(col, 1, 4))
+    out = F.lit("text/plain")
+    for mtype, magic in sorted(MAGIC_PREFIXES.items(), reverse=True):
+        out = F.when(head == magic.hex().upper(), F.lit(mtype)).otherwise(out)
+    return out
+
+
+def route_modalities(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """→ (id, modality, byte_len): the routing table a multimodal ingest
+    writes (then ``partitionBy("modality")``) so each decoder fleet reads
+    only its container type. Pure column exprs; scan-speed at any scale."""
+    return df.select(
+        F.col(id_col),
+        detect_modality(payload_col).alias("modality"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("byte_len"),
+    )

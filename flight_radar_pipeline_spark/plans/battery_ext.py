@@ -849,6 +849,37 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_modality_route",
+    """
+    select doc_id,
+           case doc_id % 4 when 0 then 'image/jpeg'
+                when 1 then 'image/png'
+                when 2 then 'audio/riff'
+                else 'text/plain' end as modality,
+           (octet_length(encode(text))
+            + case when doc_id % 4 = 3 then 0 else 4 end)::bigint as byte_len
+    from documents
+    order by doc_id
+    """,
+)
+def multimodal_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing over binary payloads: real container signatures
+    (jpeg/png/RIFF) are prepended deterministically by doc_id, then the
+    router byte-sniffs the magic prefix — the ingest step before
+    ``partitionBy("modality")`` hands each decoder fleet only its
+    container type. The oracle states the expected routing from the
+    construction; the Spark side genuinely sniffs (adversarial-prefix
+    unit tests in tests/test_multimodal_route.py). Pure column exprs."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        route_modalities,
+        with_magic_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return route_modalities(with_magic_payload(docs)).orderBy("doc_id")
+
+
+@register(
     "approx_distinct_users",
     None,  # approximate by construction — rows-only check, by design
 )
