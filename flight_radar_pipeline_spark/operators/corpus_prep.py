@@ -262,3 +262,36 @@ def mixture_sample_report(
             .alias("n_sampled")
         )
     )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Encode every document's tokens to vocabulary ids → (id, ids string)
+    — the tokenize-and-numericalize step feeding a training run, with
+    OOV → ``oov_id``. Ids are 1-based ranks of ``vocab``'s rows in its
+    own (n_occ desc, token asc) order.
+
+    Scale posture: the vocabulary is a bounded driver collect (top-V is
+    KBs — the same class as building any broadcast/literal), folded into
+    the scoring pass as a MAP LITERAL consumed by ``transform`` +
+    ``element_at``. Scoring is therefore a pure projection over the
+    corpus scan: no join, no shuffle, no Python — the explode-and-join
+    alternative shuffles corpus × tokens rows for the same answer. Ids
+    render as a space-joined string so the result hashes identically
+    across engines.
+    """
+    terms = [r[0] for r in vocab.collect()]
+    kv: list[Column] = []
+    for i, t in enumerate(terms):
+        kv.extend([F.lit(t), F.lit(i + 1)])
+    vmap = F.create_map(*kv)
+    ids = F.transform(
+        T.tokens(text_col),
+        lambda t: F.coalesce(F.element_at(vmap, t), F.lit(oov_id)).cast("string"),
+    )
+    return docs.select(F.col(id_col), F.array_join(ids, " ").alias("ids"))

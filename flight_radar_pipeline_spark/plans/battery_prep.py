@@ -329,3 +329,44 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.dim", "r.mean", "r.std")
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# vocabulary encoding (tokenize-and-numericalize)
+# --------------------------------------------------------------------------
+
+_ENCODE_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from documents
+    ), occ as (
+        select unnest(toks) as token from t
+    ), counts as (
+        select token, count(*) as c from occ group by token
+    ), vocab as (
+        select token, row_number() over (order by c desc, token) as id
+        from counts order by c desc, token limit {_VOCAB_V}
+    ), m as (
+        select map(list(token order by id), list(id order by id)) as m
+        from vocab
+    )
+    select doc_id,
+           array_to_string(
+               list_transform(toks, x -> coalesce(m[x][1], 0)::varchar), ' '
+           ) as ids
+    from t cross join m
+    order by doc_id
+"""
+
+
+@register("doc_token_ids", _ENCODE_ORACLE)
+def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding: every document's tokens numericalized against
+    the corpus's own top-150 vocabulary (1-based frequency ranks, OOV→0)
+    — the tokenize-and-numericalize step feeding a training run. The
+    vocab folds into the scoring pass as a map literal, so encoding is a
+    pure projection over the scan (no join, no shuffle, no Python); the
+    oracle builds the same map in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = P.top_vocabulary(docs, _VOCAB_V)
+    return P.vocab_encode(docs, vocab).orderBy("doc_id")
