@@ -130,6 +130,10 @@ _TAIL = [
     "multimodal_modality_route",
     # vocab build + broadcast shape holds locally green via doc_oov_rate
     "doc_token_ids",
+    # sketch-estimator face (CMS/HLL siblings also tail, locally checked)
+    "user_kmv_distinct",
+    # overlapping-window face of the tumbling family
+    "hopping_event_counts",
 ]
 CHECKED_WINDOW = 50
 

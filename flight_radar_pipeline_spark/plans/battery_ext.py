@@ -7,7 +7,7 @@ Registered into the shared REGISTRY on import (see __spark_entry__).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
@@ -897,4 +897,124 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV distinct-count sketch (deterministic → exact oracle)
+# --------------------------------------------------------------------------
+
+_KMV_K = 32
+
+_KMV_ORACLE = f"""
+    with du as (
+        select distinct event_type, user_id from events
+    ), h as (
+        select event_type, user_id,
+               ((('0x' || substr(md5('kmv-' || user_id::varchar), 1, 6))::bigint
+                 + 0.5) / 16777216.0) as hv
+        from du
+    ), r as (
+        select event_type, hv,
+               row_number() over (
+                   partition by event_type order by hv, user_id
+               ) as rn
+        from h
+    ), x as (
+        select event_type, count(*) as n_exact from du group by event_type
+    ), kth as (
+        select event_type, hv as hk from r where rn = {_KMV_K}
+    )
+    select x.event_type, x.n_exact,
+           case when x.n_exact <= {_KMV_K} then x.n_exact::double
+                else round(({_KMV_K} - 1) / k.hk, 3) end as kmv_estimate
+    from x left join kth k using (event_type)
+    order by event_type
+"""
+
+
+@register("user_kmv_distinct", _KMV_ORACLE)
+def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per event type, next
+    to the exact count: estimate = (k−1)/h_k where h_k is the k-th
+    smallest md5-derived unit hash of the distinct users (Bar-Yossef et
+    al.'s classic estimator; groups under k users report exactly).
+    Because the hash family is deterministic (the engine's auditable
+    ``unit_hash``), the sketch has an EXACT SQL oracle — unlike HLL
+    (`approx_distinct_users`, rows-only), this estimator is reproducible
+    bit-for-bit across engines.
+
+    Completes the sketch family: CMS (point counts), HLL (native
+    approx), KMV (mergeable distinct). This demo ranks per group with
+    one window after the distinct; a 100 TB deployment maintains the
+    k-minimum set as a custom mergeable partial aggregate (union the
+    per-partition min-sets, keep the k smallest) — same answer, bounded
+    state, no per-group ranking pass."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type", "user_id", unit_hash("user_id", "kmv").alias("hv")
+    )
+    w = Window.partitionBy("event_type").orderBy("hv", "user_id")
+    kth = (
+        h.select("event_type", "hv", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") == _KMV_K)
+        .select("event_type", F.col("hv").alias("hk"))
+    )
+    exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            F.when(
+                F.col("n_exact") <= _KMV_K, F.col("n_exact").cast("double")
+            )
+            .otherwise(F.round(F.lit(_KMV_K - 1) / F.col("hk"), 3))
+            .alias("kmv_estimate"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# hopping (sliding) event-time windows
+# --------------------------------------------------------------------------
+
+_HOP_ORACLE = """
+    select strftime(date_trunc('hour', ts) - to_hours(off), '%Y-%m-%d %H:%M:%S')
+               as window_start,
+           event_type,
+           count(*) as event_count
+    from events cross join (select unnest([0, 1]) as off)
+    group by 1, 2
+    order by window_start, event_type
+"""
+
+
+@register("hopping_event_counts", _HOP_ORACLE)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation: 2-hour windows sliding by 1 hour, so
+    every event lands in exactly two windows — the overlapping-window
+    face of the event-time family (tumbling: `hourly_event_counts`;
+    session: `user_sessions`). Spark's ``window(ts, '2 hours', '1
+    hour')`` replicates rows into their windows BEFORE the aggregation
+    shuffle (a bounded ×2 map-side multiplier, not a join); the oracle
+    states the same replication as a 2-offset cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "event_count",
+        )
+        .orderBy("window_start", "event_type")
     )
