@@ -36,23 +36,32 @@ def test_battery_query(name, spark, duck):
         "latest_order_per_customer",
         "click_view_attribution",
         "minhash_near_dup_pairs",
+        "embedding_kmeans_clusters",
+        "snapshot_diff",
     ],
 )
 def test_battery_partition_determinism(name, spark):
-    # the shared pair table would satisfy this vacuously for the minhash
-    # entry (both widths reusing one materialization): clear it so each
-    # width recomputes the sketch pipeline from scratch
+    # shared materializations would satisfy this vacuously (both widths
+    # reusing one cached result): clear the pair table AND the trained
+    # k-means centroids so each width recomputes from scratch
+    from flight_radar_pipeline_spark.plans.battery_corpus import (
+        clear_kmeans_cache,
+    )
     from flight_radar_pipeline_spark.plans.battery_text import clear_pair_cache
+
+    def clear_caches():
+        clear_pair_cache()
+        clear_kmeans_cache()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        clear_pair_cache()
+        clear_caches()
         spark.conf.set("spark.sql.shuffle.partitions", "1")
         one = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
-        clear_pair_cache()
+        clear_caches()
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         many = sorted(map(tuple, QUERIES[name](spark, SF_DIR).collect()))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-        clear_pair_cache()
+        clear_caches()
     assert one == many

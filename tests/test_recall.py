@@ -163,3 +163,58 @@ def test_kmeans_arrow_expr_impls_identical(emb):
     a = S.kmeans_centroids(emb, k=8, iters=3, n_dims=64, impl="arrow")
     e = S.kmeans_centroids(emb, k=8, iters=3, n_dims=64, impl="expr")
     assert a == e
+
+
+def test_semantic_dedup_recall_vs_all_pairs(emb):
+    """SemDeDup characterization at the battery constants (k=8, iters=3,
+    t=0.35): (1) the decision table drops EXACTLY the higher ids of the
+    in-cell true pairs — the operator's contract; (2) in-cell recall of
+    the exact all-pairs truth is pinned as a deterministic constant.
+
+    The recall floor is deliberately modest: this synthetic corpus has NO
+    pairs above cosine 0.5, so t=0.35 sits at the random-similarity noise
+    floor where borderline pairs scatter across cells. Real near-dup
+    corpora are deduped at t≈0.9+, where duplicates are near-identical
+    vectors that co-cluster almost surely — the regime the operator is
+    built for."""
+    from flight_radar_pipeline_spark.operators.similarity import (
+        assign_cell,
+        cosine_similarity,
+        kmeans_centroids,
+        semantic_dedup_decisions,
+    )
+
+    t = 0.35
+    cents = kmeans_centroids(emb, k=8, iters=3, n_dims=64)
+    vd = F.col("embedding").cast("array<double>")
+    a = emb.select(F.col("vec_id").alias("id_a"), vd.alias("__va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), vd.alias("__vb"))
+    true_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6) >= t
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert true_pairs, "threshold found no pairs — test data changed?"
+
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", assign_cell(vd, cents).alias("cell")
+        ).collect()
+    }
+    in_cell = {p for p in true_pairs if cells[p[0]] == cells[p[1]]}
+    recall = len(in_cell) / len(true_pairs)
+    assert recall >= 0.3, f"in-cell recall {recall:.2f} below floor"
+
+    # the decision table drops exactly the higher ids of in-cell pairs
+    dropped = {
+        r["vec_id"]
+        for r in semantic_dedup_decisions(emb, cents, threshold=t)
+        .filter(~F.col("kept"))
+        .collect()
+    }
+    assert dropped == {hi for _, hi in in_cell}
