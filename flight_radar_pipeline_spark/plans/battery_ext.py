@@ -7,7 +7,7 @@ Registered into the shared REGISTRY on import (see __spark_entry__).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
@@ -945,11 +945,13 @@ def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit across engines.
 
     Completes the sketch family: CMS (point counts), HLL (native
-    approx), KMV (mergeable distinct). This demo ranks per group with
-    one window after the distinct; a 100 TB deployment maintains the
-    k-minimum set as a custom mergeable partial aggregate (union the
-    per-partition min-sets, keep the k smallest) — same answer, bounded
-    state, no per-group ranking pass."""
+    approx), KMV (mergeable distinct). The k-minimum set is maintained
+    as a two-level tournament — per (type, user-hash-bucket) min-k
+    arrays, then a per-type merge of ≤256 bounded arrays — NOT a window
+    partitioned by the 5-value event_type, which would funnel every
+    distinct user through 5 tasks at 100 TB. Level-2 state is bounded
+    (256 × k values per group); level-1 subgroups are uniform-hash
+    split, so no skew."""
     from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
 
     ev = load_table(spark, sf_dir, "events")
@@ -957,11 +959,22 @@ def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = du.select(
         "event_type", "user_id", unit_hash("user_id", "kmv").alias("hv")
     )
-    w = Window.partitionBy("event_type").orderBy("hv", "user_id")
-    kth = (
-        h.select("event_type", "hv", F.row_number().over(w).alias("__rn"))
-        .filter(F.col("__rn") == _KMV_K)
-        .select("event_type", F.col("hv").alias("hk"))
+    l1 = h.groupBy("event_type", (F.col("user_id") % 256).alias("__b")).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("hv", "user_id"))),
+            1,
+            _KMV_K,
+        ).alias("__mins")
+    )
+    l2 = l1.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__mins"))), 1, _KMV_K
+        ).alias("__mins")
+    )
+    # element_at is null when the group holds fewer than k users — the
+    # exact-report branch of the estimator covers that case
+    kth = l2.select(
+        "event_type", F.element_at("__mins", _KMV_K)["hv"].alias("hk")
     )
     exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     return (
