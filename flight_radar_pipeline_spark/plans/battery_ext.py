@@ -971,10 +971,10 @@ def user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.flatten(F.collect_list("__mins"))), 1, _KMV_K
         ).alias("__mins")
     )
-    # element_at is null when the group holds fewer than k users — the
-    # exact-report branch of the estimator covers that case
+    # try_element_at is null when the group holds fewer than k users —
+    # the exact-report branch of the estimator covers that case
     kth = l2.select(
-        "event_type", F.element_at("__mins", _KMV_K)["hv"].alias("hk")
+        "event_type", F.try_element_at("__mins", F.lit(_KMV_K))["hv"].alias("hk")
     )
     exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     return (
