@@ -134,6 +134,8 @@ _TAIL = [
     "user_kmv_distinct",
     # overlapping-window face of the tumbling family
     "hopping_event_counts",
+    # deep multi-join sibling of the green revenue_by_nation row
+    "nation_year_widget_revenue",
 ]
 CHECKED_WINDOW = 50
 

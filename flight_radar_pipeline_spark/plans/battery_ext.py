@@ -1031,3 +1031,66 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# deep multi-join profit rollup (TPC-H Q9 shape, adapted to these tables)
+# --------------------------------------------------------------------------
+
+# revenue accumulates in integer cents: a double sum's partial order
+# differs between engines and lands within rounding distance of a
+# half-cent boundary at sf0.01
+_PROFIT_ORACLE = """
+    select n.n_name as nation,
+           year(o.o_orderdate)::bigint as o_year,
+           round(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          as bigint))::bigint / 100.0, 2) as revenue
+    from lineitem l
+    join part p on p.p_partkey = l.l_partkey and p.p_name like '%widget%'
+    join supplier s on s.s_suppkey = l.l_suppkey
+    join nation n on n.n_nationkey = s.s_nationkey
+    join orders o on o.o_orderkey = l.l_orderkey
+    group by 1, 2
+    order by nation, o_year
+"""
+
+
+@register("nation_year_widget_revenue", _PROFIT_ORACLE)
+def nation_year_widget_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table profit rollup (the TPC-H Q9 shape on these tables):
+    widget-part revenue per supplier nation per order year. The
+    join-reordering showcase — part/supplier/nation are broadcast dims,
+    the p_name filter pushes into the part scan BEFORE its join prunes
+    the fact, and the lineitem⋈orders equi-join is the only big-big
+    exchange; Catalyst+AQE pick the order, nothing is hand-scheduled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy("nation", "o_year")
+    )
