@@ -136,6 +136,8 @@ _TAIL = [
     "hopping_event_counts",
     # deep multi-join sibling of the green revenue_by_nation row
     "nation_year_widget_revenue",
+    # quantization-audit sibling of the locally-green embedding_int8_quant
+    "embedding_pq_audit",
 ]
 CHECKED_WINDOW = 50
 

@@ -165,3 +165,65 @@ def int8_quantization_error(
             decimals,
         ).alias("mse"),
     )
+
+
+def pq_reconstruction_error(
+    vectors: DataFrame,
+    n_dims: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization audit → (id, code0..code{m-1}, mse): the
+    vector splits into ``m`` subspaces, each quantized to one of ``k``
+    codewords from a deterministic spherical k-means codebook
+    (``similarity.kmeans_centroids`` per subspace — cosine assignment,
+    matching the engine's cosine ANN stack), and the L2 reconstruction
+    error averages over all dims. log2(k)·m bits per vector — the
+    compression step after int8 (``int8_quantization_error``) in an ANN
+    serving stack.
+
+    Scale posture: codebooks are m bounded driver collects (k × sub-dim
+    floats each, the broadcast-literal class); codes and reconstruction
+    are pure per-row array expressions against codeword literals — the
+    audit runs at scan speed with NO shuffle, exactly like the IVF
+    assignment stage.
+    """
+    from flight_radar_pipeline_spark.operators.similarity import (
+        assign_cell,
+        kmeans_centroids,
+    )
+
+    sub = n_dims // m
+    vd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    out_cols = [F.col(id_col)]
+    err_total = None
+    for s in range(m):
+        subdf = vectors.select(
+            F.col(id_col).alias("__id"),
+            F.slice(vd, s * sub + 1, sub).alias("__v"),
+        )
+        cents = kmeans_centroids(
+            subdf,
+            k=k,
+            iters=iters,
+            id_col="__id",
+            vec_col="__v",
+            n_dims=sub,
+            seed=f"pq{s}",
+        )
+        subvec = F.slice(vd, s * sub + 1, sub)
+        cell = assign_cell(subvec, cents, decimals)
+        cents_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in v]) for _, v in cents]
+        )
+        recon = F.element_at(cents_arr, (cell + 1).cast("int"))
+        sq = F.zip_with(subvec, recon, lambda a, b: (a - b) * (a - b))
+        e_s = F.aggregate(sq, F.lit(0.0), lambda acc, e: acc + e)
+        err_total = e_s if err_total is None else err_total + e_s
+        out_cols.append(cell.cast("bigint").alias(f"code{s}"))
+    out_cols.append(F.round(err_total / n_dims, decimals).alias("mse"))
+    return vectors.select(*out_cols)

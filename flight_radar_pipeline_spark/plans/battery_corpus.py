@@ -774,3 +774,105 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T).orderBy(
         "vec_id"
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization audit
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_ITERS = 4, 8, 2
+_PQ_SUB = EMB_DIMS // _PQ_M
+
+
+def _pq_chain_sql(s: int) -> str:
+    """One subspace's prefixed CTE chain: sliced vectors → unrolled
+    spherical k-means (seed 'pq{s}') → final assignment carrying the
+    winning codeword vector. Mirrors _kmeans_cte_sql with every CTE name
+    prefixed so m chains coexist in one WITH block."""
+    p = f"s{s}_"
+    lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    means = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(_PQ_SUB))
+    parts = [
+        f"""{p}e as (
+        select vec_id, (embedding::DOUBLE[])[{lo}:{hi}] as v from embeddings
+    ), {p}seeds as (
+        select vec_id, v from {p}e
+        order by md5('pq{s}-' || vec_id), vec_id limit {_PQ_K}
+    ), {p}c0 as (
+        select row_number() over (order by vec_id) - 1 as cent_id, v as cv
+        from {p}seeds
+    )"""
+    ]
+    for i in range(_PQ_ITERS):
+        parts.append(
+            f"""{p}a{i} as (
+        select vec_id, v, cent_id as cell from (
+            select e.vec_id, e.v, c.cent_id,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round(list_cosine_similarity(e.v, c.cv), 6)
+                                desc, c.cent_id
+                   ) as rn
+            from {p}e e cross join {p}c{i} c
+        ) t where rn = 1
+    ), {p}m{i} as (
+        select cell as cent_id, [{means}] as cv from {p}a{i} group by cell
+    ), {p}c{i + 1} as (
+        select c.cent_id, coalesce(m.cv, c.cv) as cv
+        from {p}c{i} c left join {p}m{i} m using (cent_id)
+    )"""
+        )
+    parts.append(
+        f"""{p}fin as (
+        select vec_id, cell, cv, v from (
+            select e.vec_id, e.v, c.cent_id as cell, c.cv,
+                   row_number() over (
+                       partition by e.vec_id
+                       order by round(list_cosine_similarity(e.v, c.cv), 6)
+                                desc, c.cent_id
+                   ) as rn
+            from {p}e e cross join {p}c{_PQ_ITERS} c
+        ) t where rn = 1
+    )"""
+    )
+    return ", ".join(parts)
+
+
+def _pq_oracle() -> str:
+    chains = ", ".join(_pq_chain_sql(s) for s in range(_PQ_M))
+    sq = lambda p: " + ".join(  # noqa: E731 — local SQL codegen helper
+        f"({p}.v[{d + 1}] - {p}.cv[{d + 1}]) * ({p}.v[{d + 1}] - {p}.cv[{d + 1}])"
+        for d in range(_PQ_SUB)
+    )
+    errs = " + ".join(f"({sq(f's{s}_fin')})" for s in range(_PQ_M))
+    codes = ", ".join(f"s{s}_fin.cell as code{s}" for s in range(_PQ_M))
+    joins = " ".join(
+        f"join s{s}_fin using (vec_id)" for s in range(1, _PQ_M)
+    )
+    return f"""
+    with {chains}
+    select vec_id, {codes},
+           round(({errs}) / {EMB_DIMS}, 6) as mse
+    from s0_fin {joins}
+    order by vec_id
+"""
+
+
+@register("embedding_pq_audit", _pq_oracle())
+def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization audit: 4 subspaces × 8 spherical-k-means
+    codewords (12 bits per 64-dim vector) with per-vector codes and L2
+    reconstruction MSE — the compression step after int8 in an ANN
+    serving stack, on the same cosine codebooks the IVF layout uses.
+    Codebooks are bounded driver collects folded in as literals; the
+    audit itself is a shuffle-free scan (``operators.linalg.
+    pq_reconstruction_error``). The oracle unrolls all four k-means
+    chains as prefixed CTE blocks."""
+    from flight_radar_pipeline_spark.operators.linalg import (
+        pq_reconstruction_error,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_reconstruction_error(
+        emb, n_dims=EMB_DIMS, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+    ).orderBy("vec_id")
