@@ -176,6 +176,7 @@ def pq_reconstruction_error(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Product-quantization audit → (id, code0..code{m-1}, mse): the
     vector splits into ``m`` subspaces, each quantized to one of ``k``
@@ -187,10 +188,15 @@ def pq_reconstruction_error(
     serving stack.
 
     Scale posture: codebooks are m bounded driver collects (k × sub-dim
-    floats each, the broadcast-literal class); codes and reconstruction
-    are pure per-row array expressions against codeword literals — the
-    audit runs at scan speed with NO shuffle, exactly like the IVF
-    assignment stage.
+    floats each, the broadcast-literal class); the audit is one
+    shuffle-free scan. ``impl="arrow"`` (default) computes codes +
+    reconstruction as numpy per Arrow batch — one matmul-class pass, the
+    production path (interpreted HOF folds cost ~m·k·sub lambda calls
+    per row); ``impl="expr"`` is the pure-expression reference,
+    bit-portable to the SQL oracle's stated fold order. Same
+    association-order safety argument as ``similarity._rounded_sims``:
+    rounding quanta sit ten orders above matmul reordering noise, and
+    the impls are asserted identical in tests.
     """
     from flight_radar_pipeline_spark.operators.similarity import (
         assign_cell,
@@ -199,26 +205,67 @@ def pq_reconstruction_error(
 
     sub = n_dims // m
     vd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
-    out_cols = [F.col(id_col)]
-    err_total = None
+    books: list[list[tuple[int, list[float]]]] = []
     for s in range(m):
         subdf = vectors.select(
             F.col(id_col).alias("__id"),
             F.slice(vd, s * sub + 1, sub).alias("__v"),
         )
-        cents = kmeans_centroids(
-            subdf,
-            k=k,
-            iters=iters,
-            id_col="__id",
-            vec_col="__v",
-            n_dims=sub,
-            seed=f"pq{s}",
+        books.append(
+            kmeans_centroids(
+                subdf,
+                k=k,
+                iters=iters,
+                id_col="__id",
+                vec_col="__v",
+                n_dims=sub,
+                seed=f"pq{s}",
+            )
         )
+
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        import numpy as np
+
+        mats = [np.array([v for _, v in b], dtype=np.float64) for b in books]
+        norms = [np.sqrt((c * c).sum(axis=1)) for c in mats]
+        scale = 10.0**decimals
+        fields = ", ".join(f"code{s} bigint" for s in range(m))
+
+        @pandas_udf(f"struct<{fields}, mse double>")
+        def audit(vecs):
+            import pandas as pd
+
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            out = {}
+            err = np.zeros(len(x))
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                vn = np.sqrt((xs * xs).sum(axis=1))
+                sims = (xs @ mats[s].T) / (vn[:, None] * norms[s][None, :])
+                sims = np.floor(sims * scale + 0.5) / scale
+                codes = np.argmax(sims, axis=1)
+                out[f"code{s}"] = codes
+                diff = xs - mats[s][codes]
+                err += (diff * diff).sum(axis=1)
+            out["mse"] = np.floor(err / n_dims * scale + 0.5) / scale
+            return pd.DataFrame(out)
+
+        q = audit(F.col(vec_col))
+        return vectors.select(
+            F.col(id_col),
+            *[q[f"code{s}"].alias(f"code{s}") for s in range(m)],
+            q["mse"].alias("mse"),
+        )
+
+    out_cols = [F.col(id_col)]
+    err_total = None
+    for s in range(m):
         subvec = F.slice(vd, s * sub + 1, sub)
-        cell = assign_cell(subvec, cents, decimals)
+        cell = assign_cell(subvec, books[s], decimals)
         cents_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in v]) for _, v in cents]
+            *[F.array(*[F.lit(float(x)) for x in v]) for _, v in books[s]]
         )
         recon = F.element_at(cents_arr, (cell + 1).cast("int"))
         sq = F.zip_with(subvec, recon, lambda a, b: (a - b) * (a - b))

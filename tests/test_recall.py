@@ -218,3 +218,22 @@ def test_semantic_dedup_recall_vs_all_pairs(emb):
         .collect()
     }
     assert dropped == {hi for _, hi in in_cell}
+
+
+def test_pq_arrow_expr_impls_identical(emb):
+    """The PQ audit's numpy fast path must agree exactly with the
+    pure-expression reference (codes AND rounded MSE) — the same
+    contract the sign-LSH / IVF arrow paths hold."""
+    from flight_radar_pipeline_spark.operators.linalg import (
+        pq_reconstruction_error,
+    )
+
+    rows = lambda impl: sorted(  # noqa: E731
+        map(
+            tuple,
+            pq_reconstruction_error(
+                emb, n_dims=64, m=4, k=8, iters=2, impl=impl
+            ).collect(),
+        )
+    )
+    assert rows("arrow") == rows("expr")
