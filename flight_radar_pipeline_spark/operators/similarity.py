@@ -670,6 +670,7 @@ def semantic_dedup_decisions(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Semantic (embedding-space) dedup decisions, SemDeDup-style (Abbas
     et al. 2023, public): cluster the corpus with a coarse quantizer,
@@ -699,12 +700,33 @@ def semantic_dedup_decisions(
     b = assigned.select(
         F.col(id_col).alias("id_b"), "cell", F.col("__unit").alias("__ub")
     )
+    if impl == "arrow":
+        # numpy row-wise dot per Arrow batch — the pair verify is the
+        # dominant cost (|cell|²/2 dots of dim-length folds) and the
+        # interpreted HOF fold pays ~dim lambda calls per pair; same
+        # rounding (floor-plus-half) and association-order safety
+        # argument as _rounded_sims, equality asserted in tests.
+        from pyspark.sql.functions import pandas_udf
+
+        scale = 10.0**decimals
+
+        @pandas_udf("double")
+        def pair_dot(ua, ub):
+            import numpy as np
+            import pandas as pd
+
+            x = np.array(ua.tolist(), dtype=np.float64)
+            y = np.array(ub.tolist(), dtype=np.float64)
+            d = (x * y).sum(axis=1)
+            return pd.Series(np.floor(d * scale + 0.5) / scale)
+
+        cos = pair_dot(F.col("__ua"), F.col("__ub"))
+    else:
+        cos = F.round(_dot(F.col("__ua"), F.col("__ub")), decimals)
     near = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(_dot(F.col("__ua"), F.col("__ub")), decimals) >= threshold
-        )
+        .filter(cos >= threshold)
         .groupBy("id_b")
         .agg(F.count(F.lit(1)).alias("n_lower_dups"))
         .withColumnRenamed("id_b", id_col)

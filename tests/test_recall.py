@@ -237,3 +237,21 @@ def test_pq_arrow_expr_impls_identical(emb):
         )
     )
     assert rows("arrow") == rows("expr")
+
+
+def test_semantic_dedup_arrow_expr_impls_identical(emb):
+    from flight_radar_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup_decisions,
+    )
+
+    cents = kmeans_centroids(emb, k=8, iters=3, n_dims=64)
+    rows = lambda impl: sorted(  # noqa: E731
+        map(
+            tuple,
+            semantic_dedup_decisions(
+                emb, cents, threshold=0.35, impl=impl
+            ).collect(),
+        )
+    )
+    assert rows("arrow") == rows("expr")
