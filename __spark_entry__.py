@@ -138,6 +138,8 @@ _TAIL = [
     "nation_year_widget_revenue",
     # quantization-audit sibling of the locally-green embedding_int8_quant
     "embedding_pq_audit",
+    # grouping-family sibling of the green order_status_cube row
+    "status_month_grouping_sets",
 ]
 CHECKED_WINDOW = 50
 

@@ -1094,3 +1094,46 @@ def nation_year_widget_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# explicit GROUPING SETS (the general form under cube/rollup)
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = """
+    select coalesce(o_orderstatus, 'ALL') as status,
+           coalesce(strftime(date_trunc('month', o_orderdate), '%Y-%m'), 'ALL')
+               as month,
+           count(*) as n_orders,
+           round(sum(o_totalprice), 2) as revenue
+    from orders
+    group by grouping sets ((o_orderstatus, date_trunc('month', o_orderdate)),
+                            (o_orderstatus), ())
+    order by status, month
+"""
+
+
+@register("status_month_grouping_sets", _GSETS_ORACLE)
+def status_month_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form cube and rollup expand
+    into, here with a hand-picked set list ((status, month), (status),
+    ()) that neither cube nor rollup produces: per-month detail plus a
+    per-status subtotal plus a grand total, WITHOUT the month-only slice
+    a cube would also pay for. Spark expands the sets with partial
+    aggregation per set, exactly one pass over the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gsets_orders")
+    return spark.sql(
+        """
+        select coalesce(o_orderstatus, 'ALL') as status,
+               coalesce(date_format(date_trunc('month', o_orderdate),
+                                    'yyyy-MM'), 'ALL') as month,
+               count(*) as n_orders,
+               round(sum(o_totalprice), 2) as revenue
+        from __gsets_orders
+        group by grouping sets
+            ((o_orderstatus, date_trunc('month', o_orderdate)),
+             (o_orderstatus), ())
+        order by status, month
+        """
+    )
