@@ -140,6 +140,8 @@ _TAIL = [
     "embedding_pq_audit",
     # grouping-family sibling of the green order_status_cube row
     "status_month_grouping_sets",
+    # sequence-analytics sibling of the green user_sessions / funnel rows
+    "event_type_transitions",
 ]
 CHECKED_WINDOW = 50
 

@@ -1137,3 +1137,63 @@ def status_month_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         order by status, month
         """
     )
+
+
+# --------------------------------------------------------------------------
+# event-type transition matrix (Markov chain estimation)
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    with seq as (
+        select user_id, event_type,
+               lag(event_type) over (
+                   partition by user_id order by ts, event_id
+               ) as prev_type
+        from events
+    ), pairs as (
+        select prev_type, event_type, count(*) as n
+        from seq where prev_type is not null
+        group by prev_type, event_type
+    ), totals as (
+        select prev_type, sum(n) as tot from pairs group by prev_type
+    )
+    select p.prev_type, p.event_type, p.n,
+           round(p.n / t.tot, 6) as p
+    from pairs p join totals t using (prev_type)
+    order by prev_type, event_type
+"""
+
+
+@register("event_type_transitions", _MARKOV_ORACLE)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next type | current type) with observation counts — the
+    behavioral-model estimate under funnel analysis and anomalous-
+    session detection. One user-keyed window builds the lag pairs
+    (sequences live inside user partitions — uniform key, no global
+    sort), one hash aggregate counts them, and the per-row normalizer is
+    a broadcast of the |types|² pair table. Total order (ts, event_id)
+    makes tied timestamps deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
