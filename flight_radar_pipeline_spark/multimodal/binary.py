@@ -157,6 +157,15 @@ MAGIC_PREFIXES = {
     "audio/riff": b"RIFF",
 }
 
+# Sniffing table: JPEG is recognized on the 3-byte SOI+marker prefix
+# ff d8 ff so Exif (ff d8 ff e1) and other APPn variants route as
+# image/jpeg, not just the JFIF payloads MAGIC_PREFIXES synthesizes.
+SNIFF_PREFIXES = {
+    "image/jpeg": b"\xff\xd8\xff",
+    "image/png": b"\x89PNG",
+    "audio/riff": b"RIFF",
+}
+
 
 def with_magic_payload(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -184,9 +193,9 @@ def detect_modality(payload: F.Column | str) -> F.Column:
     Inherent sniffing caveat: content that legitimately begins with a
     signature (e.g. text starting 'RIFF') routes as that container."""
     col = F.col(payload) if isinstance(payload, str) else payload
-    head = F.hex(F.substring(col, 1, 4))
     out = F.lit("text/plain")
-    for mtype, magic in sorted(MAGIC_PREFIXES.items(), reverse=True):
+    for mtype, magic in sorted(SNIFF_PREFIXES.items(), reverse=True):
+        head = F.hex(F.substring(col, 1, len(magic)))
         out = F.when(head == magic.hex().upper(), F.lit(mtype)).otherwise(out)
     return out
 

@@ -285,7 +285,20 @@ def vocab_encode(
     render as a space-joined string so the result hashes identically
     across engines.
     """
-    terms = [r[0] for r in vocab.collect()]
+    rows = vocab.collect()
+    terms = [r[0] for r in rows]
+    if len(set(terms)) != len(terms):
+        raise ValueError(
+            "vocab_encode: vocabulary tokens must be unique "
+            "(duplicate keys would hit create_map's duplicate-key policy)"
+        )
+    if "n_occ" in vocab.columns:
+        # Re-derive the documented (n_occ desc, token asc) ranking here so
+        # ids don't depend on the incoming frame's collect order.
+        order = sorted(
+            range(len(rows)), key=lambda i: (-rows[i]["n_occ"], terms[i])
+        )
+        terms = [terms[i] for i in order]
     kv: list[Column] = []
     for i, t in enumerate(terms):
         kv.extend([F.lit(t), F.lit(i + 1)])

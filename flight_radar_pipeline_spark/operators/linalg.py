@@ -29,6 +29,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .rounding import np_round_half_up
+
 
 def _seed_vector(n_dims: int, salt: str = "pca") -> list[float]:
     """Deterministic unit-norm init: component i is the first md5 nibble
@@ -230,7 +232,6 @@ def pq_reconstruction_error(
 
         mats = [np.array([v for _, v in b], dtype=np.float64) for b in books]
         norms = [np.sqrt((c * c).sum(axis=1)) for c in mats]
-        scale = 10.0**decimals
         fields = ", ".join(f"code{s} bigint" for s in range(m))
 
         @pandas_udf(f"struct<{fields}, mse double>")
@@ -244,12 +245,12 @@ def pq_reconstruction_error(
                 xs = x[:, s * sub : (s + 1) * sub]
                 vn = np.sqrt((xs * xs).sum(axis=1))
                 sims = (xs @ mats[s].T) / (vn[:, None] * norms[s][None, :])
-                sims = np.floor(sims * scale + 0.5) / scale
+                sims = np_round_half_up(sims, decimals)
                 codes = np.argmax(sims, axis=1)
                 out[f"code{s}"] = codes
                 diff = xs - mats[s][codes]
                 err += (diff * diff).sum(axis=1)
-            out["mse"] = np.floor(err / n_dims * scale + 0.5) / scale
+            out["mse"] = np_round_half_up(err / n_dims, decimals)
             return pd.DataFrame(out)
 
         q = audit(F.col(vec_col))

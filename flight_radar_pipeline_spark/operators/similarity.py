@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .rounding import np_round_half_up
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -93,12 +95,17 @@ def _plane_component_value(plane: int, dim: int) -> float:
     return float(nib) - 7.5
 
 
-def _n_dims(df: DataFrame, vec_col: str) -> int:
-    """Dimensionality probe — a driver-side ``first()``, so it is only the
-    FALLBACK when the caller does not pass ``n_dims``. Production callers
-    (and every battery entry) pass the known width; the scan exists so the
-    operators still work on ad-hoc frames."""
-    return df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first().d
+def _require_n_dims(n_dims, caller: str) -> int:
+    """Operators take the embedding width as an argument so no plan ever
+    needs a driver-side probe scan (the round-4 ``first()`` fallback is
+    gone — a silent driver action on every ad-hoc call was the wrong
+    default at any scale)."""
+    if n_dims is None:
+        raise ValueError(
+            f"{caller}: pass n_dims (the embedding width) explicitly — "
+            "e.g. n_dims=64 for the testdata embeddings table"
+        )
+    return int(n_dims)
 
 
 def _plane_bits(vec: Column, planes: list[list[float]]) -> list[Column]:
@@ -182,9 +189,9 @@ def hyperplane_signatures(
     (``_plane_bits``) — bit-portable to the SQL oracle's stated sum
     order and null-tolerant; both impls are asserted identical in tests.
     Neither shuffles: the signature stage is a pure projection. Pass
-    ``n_dims`` (the embedding width) to keep the build free of driver
-    actions; omitted, a one-row scan probes it."""
-    n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
+    ``n_dims`` (the embedding width) — required, so the build is free of
+    driver actions."""
+    n_dims = _require_n_dims(n_dims, "sign_lsh_signatures")
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)]
         for p in range(num_planes)
@@ -221,7 +228,7 @@ def multitable_signatures(
     reference); with arrow, per-table signatures are substring slices of
     the one bit string.
     """
-    n_dims = n_dims if n_dims is not None else _n_dims(df, vec_col)
+    n_dims = _require_n_dims(n_dims, "multitable_signatures")
     total = num_tables * planes_per_table
     planes = [
         [_plane_component_value(p, d) for d in range(n_dims)] for p in range(total)
@@ -378,8 +385,8 @@ def _centroid_arrays(centroids: list[tuple[int, list[float]]]):
 
 def _rounded_sims(vecs, cids, cmat, cnorm, decimals: int):
     """n×k rounded-cosine matrix for a pandas Series of vectors — one
-    numpy matmul per Arrow batch. Rounding is floor(x·10^d + 0.5)/10^d
-    (HALF_UP for the positive sims that decide rankings); the association
+    numpy matmul per Arrow batch. Rounding is half-up away from
+    zero via ``np_round_half_up`` (matches F.round / DuckDB for all signs); the association
     order differs from the expression fold by ~1e-15, ten orders below
     the rounding quantum — same safety argument as
     ``_arrow_bit_signatures``, equality with the expr impl asserted in
@@ -389,8 +396,7 @@ def _rounded_sims(vecs, cids, cmat, cnorm, decimals: int):
     mat = np.array(vecs.tolist(), dtype=np.float64)
     vnorm = np.sqrt((mat * mat).sum(axis=1))
     sims = (mat @ cmat.T) / (vnorm[:, None] * cnorm[None, :])
-    scale = 10.0**decimals
-    return np.floor(sims * scale + 0.5) / scale
+    return np_round_half_up(sims, decimals)
 
 
 def _arrow_cell_udf(centroids: list[tuple[int, list[float]]], decimals: int):
@@ -560,8 +566,7 @@ def kmeans_centroids(
     into the next iteration's expressions. Iteration count is fixed (no
     convergence collect); empty cells keep their previous centroid.
     """
-    if n_dims is None:
-        n_dims = _n_dims(df, vec_col)
+    n_dims = _require_n_dims(n_dims, "kmeans_centroids")
     vd = F.col(vec_col).cast("array<double>")
     seed_rows = (
         df.select(F.col(id_col).alias("__id"), vd.alias("__v"))
@@ -704,11 +709,9 @@ def semantic_dedup_decisions(
         # numpy row-wise dot per Arrow batch — the pair verify is the
         # dominant cost (|cell|²/2 dots of dim-length folds) and the
         # interpreted HOF fold pays ~dim lambda calls per pair; same
-        # rounding (floor-plus-half) and association-order safety
+        # rounding (np_round_half_up) and association-order safety
         # argument as _rounded_sims, equality asserted in tests.
         from pyspark.sql.functions import pandas_udf
-
-        scale = 10.0**decimals
 
         @pandas_udf("double")
         def pair_dot(ua, ub):
@@ -718,7 +721,7 @@ def semantic_dedup_decisions(
             x = np.array(ua.tolist(), dtype=np.float64)
             y = np.array(ub.tolist(), dtype=np.float64)
             d = (x * y).sum(axis=1)
-            return pd.Series(np.floor(d * scale + 0.5) / scale)
+            return pd.Series(np_round_half_up(d, decimals))
 
         cos = pair_dot(F.col("__ua"), F.col("__ub"))
     else:

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 
-from bench import _STDOUT_LINE_BUDGET, _fit_line
+from bench import _STDOUT_LINE_BUDGET, _fit_line, _time_with_retry
 
 
 def _payload():
@@ -57,3 +57,32 @@ def test_line_is_single_line_json():
     line = _fit_line(_payload(), warm)
     assert "\n" not in line
     json.loads(line)
+
+
+def test_warm_stall_retries_once_and_keeps_better_warm():
+    seq = iter([3.0, 9.2, 1.2])  # cold, stalled warm, retry
+    cold, warm = _time_with_retry(lambda: next(seq))
+    assert (cold, warm) == (3.0, 1.2)
+
+
+def test_clean_warm_does_not_retry():
+    calls = []
+
+    def run():
+        calls.append(1)
+        return [3.0, 1.5][len(calls) - 1]
+
+    cold, warm = _time_with_retry(run)
+    assert (cold, warm) == (3.0, 1.5)
+    assert len(calls) == 2
+
+
+def test_error_short_circuits():
+    cold, warm = _time_with_retry(lambda: -1.0)
+    assert (cold, warm) == (-1.0, -1.0)
+
+
+def test_both_warm_passes_slower_clamps_to_cold():
+    seq = iter([3.0, 4.0, 5.0])
+    cold, warm = _time_with_retry(lambda: next(seq))
+    assert (cold, warm) == (3.0, 3.0)  # warm can never exceed cold

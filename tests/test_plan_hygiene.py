@@ -74,8 +74,8 @@ def test_lsh_signature_stage_is_shuffle_free(spark):
 
     emb = load_table(spark, SF_DIR, "embeddings")
     for sigs in (
-        hyperplane_signatures(emb, num_planes=8),
-        multitable_signatures(emb, num_tables=4, planes_per_table=4),
+        hyperplane_signatures(emb, num_planes=8, n_dims=64),
+        multitable_signatures(emb, num_tables=4, planes_per_table=4, n_dims=64),
     ):
         plan = _plan(sigs)
         assert "Exchange" not in plan, f"shuffle in signature stage:\n{plan}"

@@ -40,7 +40,7 @@ def test_lsh_recall_knob(emb, exact):
     queries = emb.filter(F.col("vec_id") < 10)
     r = {}
     for planes in (4, 8):
-        got = _pairs(S.topk_neighbors_lsh(emb, queries, k=5, num_planes=planes))
+        got = _pairs(S.topk_neighbors_lsh(emb, queries, k=5, num_planes=planes, n_dims=64))
         r[planes] = len(got & exact) / len(exact)
     assert r[4] >= r[8], f"recall should not drop with fewer planes: {r}"
     assert r[4] >= 0.05, f"sign-LSH recall {r} collapsed"
@@ -110,7 +110,7 @@ def test_signature_impls_identical(emb):
     """The arrow (numpy matmul) and expr (left-to-right fold) signature
     impls must produce byte-identical signatures — the association-order
     margin argument (min |dot| ~1e-4 vs ~1e-14 noise) made executable."""
-    for kwargs in ({"num_planes": 8},):
+    for kwargs in ({"num_planes": 8, "n_dims": 64},):
         a = {
             (r["vec_id"], r["signature"])
             for r in S.hyperplane_signatures(emb, impl="arrow", **kwargs).collect()
@@ -122,11 +122,11 @@ def test_signature_impls_identical(emb):
         assert a == b
     at = {
         (r["vec_id"], r["table"], r["signature"])
-        for r in S.multitable_signatures(emb, 4, 4, impl="arrow").collect()
+        for r in S.multitable_signatures(emb, 4, 4, n_dims=64, impl="arrow").collect()
     }
     bt = {
         (r["vec_id"], r["table"], r["signature"])
-        for r in S.multitable_signatures(emb, 4, 4, impl="expr").collect()
+        for r in S.multitable_signatures(emb, 4, 4, n_dims=64, impl="expr").collect()
     }
     assert at == bt
 
