@@ -93,6 +93,12 @@ def main() -> int:
     ).save()
 
     queries = entrymod.queries()
+    # Optional subset filter (comma-separated names) for targeted runs,
+    # e.g. the sf1 scale-up of the expensive families; unset = full battery.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        queries = {n: queries[n] for n in names if n in queries}
     warm: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in queries.items():

@@ -1,0 +1,112 @@
+"""Byte-pair-encoding merge training, expressed relationally.
+
+BPE (Sennrich et al. 2016, "Neural Machine Translation of Rare Words
+with Subword Units" — the public algorithm behind GPT/Llama tokenizers)
+learns a merge table: repeatedly find the most frequent adjacent symbol
+pair across the corpus vocabulary and fuse it into a new symbol. Here
+each merge iteration is pure DataFrame algebra:
+
+- The corpus collapses ONCE to a (word, freq) vocabulary — the only
+  corpus-sized aggregate; Zipf makes this table tiny relative to the
+  corpus, and every iteration after it touches only the vocabulary.
+- A word's symbol sequence is carried as a wrapped string
+  ``(h)(e)(l)(l)(o)``. Wrapping makes greedy left-to-right
+  non-overlapping pair fusion EXACTLY a literal string replace
+  (``(a)(b)`` → ``(ab)``) — no boundary sharing, identical semantics in
+  any engine — and the pair instances re-derive from the string by one
+  regexp extract.
+- The winning pair per iteration is an (count desc, pair asc)-argmax of
+  a pair-count aggregate over the vocabulary — collected as ONE bounded
+  driver row (the broadcast-literal class), because the next iteration's
+  replace pattern has to fold into the expression tree.
+
+Scale posture: iterations = fixed small N (a real tokenizer run does
+~30k merges over a ~10M-word vocab — still vocabulary-sized, not
+corpus-sized; the per-iteration shuffle is the pair-count groupBy whose
+key cardinality Zipf bounds). Nothing per-row leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions import text as T
+
+_SYM_RE_SQL = r"\\(([^)]+)\\)"  # doubled: survives SQL-literal unescaping
+
+
+def word_vocabulary(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, freq, seq): whitespace-token vocabulary with each word's
+    initial character-symbol sequence in wrapped form."""
+    words = (
+        docs.select(F.explode(T.tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.split(F.col("word"), "")
+    seq = F.array_join(
+        F.transform(chars, lambda c: F.concat(F.lit("("), c, F.lit(")"))), ""
+    )
+    return words.select("word", "freq", seq.alias("seq"))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(lhs, rhs, n): frequency-weighted adjacent-pair counts over the
+    vocabulary's current symbol sequences."""
+    syms = F.expr(f"regexp_extract_all(seq, '{_SYM_RE_SQL}', 1)")
+    pairs = F.expr(
+        "transform(sequence(0, size(__syms) - 2),"
+        " i -> struct(__syms[i] as lhs, __syms[i + 1] as rhs))"
+    )
+    return (
+        vocab.select("freq", syms.alias("__syms"))
+        .filter(F.size("__syms") >= 2)
+        .select("freq", F.explode(pairs).alias("__p"))
+        .groupBy("__p.lhs", "__p.rhs")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges → (merge_rank, lhs, rhs, n).
+
+    Each iteration: pair-count aggregate over the vocabulary, argmax by
+    (n desc, lhs asc, rhs asc) — fully deterministic — then fuse the
+    winner into every word via one literal replace. The 1-row winner
+    collect per iteration is the bounded driver action that folds the
+    next replace pattern into the plan."""
+    spark = docs.sparkSession
+    base = word_vocabulary(docs, text_col, id_col).persist()
+    vocab = base
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        win = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            break
+        lhs, rhs, n = win[0]["lhs"], win[0]["rhs"], win[0]["n"]
+        out.append((rank, lhs, rhs, int(n)))
+        vocab = vocab.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"({lhs})({rhs})"),
+                F.lit(f"({lhs}{rhs})"),
+            ),
+        )
+    base.unpersist()  # iterations already ran (one collect each)
+    return spark.createDataFrame(
+        out, "merge_rank int, lhs string, rhs string, n bigint"
+    )

@@ -637,3 +637,31 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def keep_best_decisions(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware dedup policy: within each near-dup cluster keep the
+    HIGHEST-scoring member (ties to the lowest id) instead of the
+    keep-lowest-id default → (id, cluster, score, kept). What a
+    production dedup actually ships: when near-duplicates differ in
+    quality, discard the worse copies, not the higher-numbered ones.
+
+    One broadcast-free equi-join (clusters ⋈ scores on id) and one
+    cluster-partitioned window — group sizes are near-dup cluster sizes,
+    inherently small, so the window never sees a skewed partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        clusters.join(scores, id_col)
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select(id_col, cluster_col, score_col, "kept")
+    )

@@ -21,6 +21,7 @@ from flight_radar_pipeline_spark.streaming.events import (
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
+    sessionize_stream_native,
 )
 
 
@@ -101,6 +102,56 @@ def closed_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched group function — no Python row loop."""
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
     closed = sessionize_stream(events, gap_minutes=30)
+    return run_stream_to_memory(
+        closed, output_mode="append", state_partitions=8
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "closed_sessions_stream_native",
+    # Same lag+cumsum sessionization as closed_sessions_stream, but the
+    # emitted set is the native append-mode one: sessions finalized by the
+    # GLOBAL final watermark (= max ts over the feed at delay 0), boundary
+    # inclusive — not "all but each user's trailing session".
+    """
+    with d as (
+        select user_id, ts,
+               lag(ts) over (partition by user_id order by ts) as prev
+        from events
+    ), m as (
+        select user_id, ts,
+               case when prev is null or ts - prev > interval 30 minute
+                    then 1 else 0 end as new_s
+        from d
+    ), s as (
+        select user_id, ts,
+               sum(new_s) over (
+                   partition by user_id order by ts
+                   rows unbounded preceding
+               ) as sid
+        from m
+    ), agg as (
+        select user_id, sid,
+               min(ts) as st, max(ts) as en, count(*) as n_events
+        from s group by user_id, sid
+    )
+    select user_id,
+           strftime(st, '%Y-%m-%d %H:%M:%S') as session_start,
+           strftime(en, '%Y-%m-%d %H:%M:%S') as session_end,
+           n_events
+    from agg
+    where en + interval 30 minute <= (select max(ts) from events)
+    order by user_id, session_start
+    """,
+)
+def closed_sessions_stream_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the BUILT-IN ``session_window`` streaming
+    aggregate — the engine-native sibling of ``closed_sessions_stream``'s
+    ``applyInPandasWithState`` operator (same gap, same merge boundary,
+    different finalization rule: global-watermark closure, stated exactly
+    by the oracle's WHERE clause). JVM-only plan, no Python workers."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    closed = sessionize_stream_native(events, gap_minutes=30)
     return run_stream_to_memory(
         closed, output_mode="append", state_partitions=8
     ).orderBy("user_id", "session_start")
@@ -1197,3 +1248,62 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# per-group closed-form OLS (value ~ hour-of-day per event type)
+# --------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    with p as (
+        select event_type,
+               date_part('hour', ts)::double as x,
+               value as y
+        from events
+    )
+    select event_type,
+           count(*) as n,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) as slope,
+           round((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (count(*) * sum(x * x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 6) as intercept
+    from p
+    group by event_type
+    order by event_type
+"""
+
+
+@register("event_value_hourly_trend", _OLS_ORACLE)
+def event_value_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit as pure aggregation: closed-form OLS of event
+    value on hour-of-day, one regression per event type → (type, n,
+    slope, intercept). The fit-a-model-per-group shape (feature drift /
+    diurnal-trend monitoring) with NO iterative solver: five
+    partial-aggregable sums per group and the normal-equation arithmetic
+    on top — one shuffle at event_type cardinality, scan-speed at any
+    scale. The oracle states the identical sums and formula."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    a = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return a.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("event_type")

@@ -320,6 +320,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _MAD_SCALE, _MAD_THRESH = 1.4826, 2.0
+# approx_percentile accuracy knob for the *_approx twins: error bound is
+# 1/accuracy of rank (10000 → 0.01% of rows per queried quantile)
+_APPROX_ACC = 10000
 
 _MAD_ORACLE = f"""
     with med as (
@@ -347,9 +350,9 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier flagging via median/MAD (the estimator that does
     not let the outliers it hunts inflate its own scale, unlike the
     mean/stddev z-score in ``event_value_anomalies``): two per-type
-    percentile aggregates (exact ``percentile`` ≡ ``quantile_cont``; at
-    100 TB swap ``approx_percentile``) broadcast back onto the scan, flag
-    |robust z| > 2."""
+    percentile aggregates (exact ``percentile`` ≡ ``quantile_cont``;
+    ``event_value_mad_outliers_approx`` is the 100 TB sketch form)
+    broadcast back onto the scan, flag |robust z| > 2."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("__med")
@@ -359,6 +362,38 @@ def event_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.expr("percentile(abs(value - __med), 0.5)").alias("__mad")
+        )
+    )
+    z = (F.col("value") - F.col("__med")) / (_MAD_SCALE * F.col("__mad"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter((F.col("__mad") > 0) & (F.abs(z) > _MAD_THRESH))
+        .select("event_id", "event_type", F.round(z, 4).alias("robust_z"))
+        .orderBy("event_id")
+    )
+
+
+@register("event_value_mad_outliers_approx", None)  # sketch-valued: rows-only
+def event_value_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production form of ``event_value_mad_outliers``: both
+    percentile aggregates swap to ``approx_percentile`` (KLL-class sketch,
+    mergeable map-side partials — no per-group sorted buffer, unlike exact
+    ``percentile``). The estimate is engine-specific so there is no SQL
+    oracle; the exact twin IS the accuracy reference —
+    ``tests/test_approx_percentile.py`` bounds the flag-set disagreement
+    between the two at sf0.01."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {_APPROX_ACC})").alias("__med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(abs(value - __med), 0.5, {_APPROX_ACC})"
+            ).alias("__mad")
         )
     )
     z = (F.col("value") - F.col("__med")) / (_MAD_SCALE * F.col("__mad"))
@@ -699,14 +734,56 @@ _DECILES_ORACLE = f"""
 def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth decile histogram of order prices WITHOUT ``ntile``'s
     global sort: exact interpolated boundaries from one aggregate
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, bit-compatible —
-    swap in ``approx_percentile`` at 100 TB), broadcast back for a
-    map-side bucket assignment, then a 10-group aggregate. The fact
-    table is never sorted or single-tasked."""
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, bit-compatible;
+    ``order_price_deciles_approx`` is the 100 TB sketch form), broadcast
+    back for a map-side bucket assignment, then a 10-group aggregate.
+    The fact table is never sorted or single-tasked."""
     orders = load_table(spark, sf_dir, "orders")
     probs = ", ".join(str(p) for p in _DECILE_PROBS)
     bounds = orders.agg(
         F.expr(f"percentile(o_totalprice, array({probs}))").alias("__bounds")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.size(
+                    F.filter(
+                        F.col("__bounds"), lambda b: F.col("o_totalprice") > b
+                    )
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register("order_price_deciles_approx", None)  # sketch-valued: rows-only
+def order_price_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``order_price_deciles`` with ``approx_percentile`` boundaries — the
+    form that survives 100 TB (the sketch merges map-side; exact
+    ``percentile`` holds each group's values in a sorted buffer). Bucket
+    populations stay within sketch error of equi-depth; that tolerance is
+    asserted against the exact twin in
+    ``tests/test_approx_percentile.py``, so the driver row is rows-only by
+    design (estimates are engine-specific)."""
+    orders = load_table(spark, sf_dir, "orders")
+    probs = ", ".join(str(p) for p in _DECILE_PROBS)
+    bounds = orders.agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array({probs}), {_APPROX_ACC})"
+        ).alias("__bounds")
     )
     return (
         orders.crossJoin(F.broadcast(bounds))
@@ -1093,3 +1170,54 @@ def doc_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# quality-aware keep-best dedup decisions
+# --------------------------------------------------------------------------
+
+def _keep_best_oracle() -> str:
+    from flight_radar_pipeline_spark.plans.battery_corpus import _QUALITY_SQL
+
+    return f"""
+    with recursive pairs as (
+        {_MINHASH_ORACLE.replace("order by id_a, id_b", "")}
+    ), und as (
+        select id_a as u, id_b as v from pairs
+        union
+        select id_b as u, id_a as v from pairs
+    ), reach(u, v) as (
+        select u, u from und
+        union
+        select r.u, e.v from reach r join und e on r.v = e.u
+    ), clusters as (
+        select u as doc_id, min(v) as cluster_id from reach group by u
+    ), {_QUALITY_SQL}
+    select c.doc_id, c.cluster_id, q.quality,
+           row_number() over (
+               partition by c.cluster_id
+               order by q.quality desc, c.doc_id
+           ) = 1 as kept
+    from clusters c join q using (doc_id)
+    order by doc_id
+"""
+
+
+@register("doc_keep_best_dedup", _keep_best_oracle())
+def doc_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decisions: near-dup clusters (the shared
+    MinHash pair table → connected components) keep their HIGHEST
+    quality-scored member instead of the lowest id
+    (``operators.dedup.keep_best_decisions``) — the policy composition of
+    two green families. Oracle: recursive-CTE transitive closure + the
+    shared quality-score SQL + the same window argmax."""
+    from flight_radar_pipeline_spark.functions import text as T
+    from flight_radar_pipeline_spark.operators.dedup import (
+        keep_best_decisions,
+    )
+
+    pairs = _shared_near_dup_pairs(spark, sf_dir)
+    clusters = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.select("doc_id", T.quality_score("text").alias("quality"))
+    return keep_best_decisions(clusters, scores).orderBy("doc_id")

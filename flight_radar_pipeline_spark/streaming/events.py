@@ -267,6 +267,46 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_stream_native(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Built-in ``session_window`` sessionizer (public Spark 3.2+ API) —
+    the cheap sibling of ``sessionize_stream``: no Python workers, state
+    merge handled by the engine's SessionWindowStateStore.
+
+    Emission semantics differ from the custom operator: append mode
+    finalizes a session when the GLOBAL watermark passes its window end
+    (``last_ts + gap``), boundary INCLUSIVE (a session ending exactly at
+    the final watermark IS emitted — pinned by
+    ``tests/test_session_boundary.py``). With delay 0 over a replayed
+    file the emitted set is exactly the sessions whose
+    ``last_ts + gap <= max(ts over the whole feed)``, which is what the
+    SQL oracle states. The custom operator instead withholds each user's
+    trailing open session regardless of other users' clocks.
+
+    Scale: state is bounded by the watermark horizon; the whole plan is
+    JVM-native (one stateful exchange on user_id, no Arrow transfer).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("__w"),
+        )
+        .agg(
+            F.min("ts").alias("__first"),
+            F.max("ts").alias("__last"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("__first", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("__last", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     result: DataFrame,
     output_mode: str = "complete",

@@ -39,6 +39,7 @@ ALLOWED_BNLJ = {
     "embedding_top_component",    # 1-row current-eigenvector broadcast/iter
     "event_key_skew_report",      # 1-row total-count broadcast
     "order_price_deciles",        # 1-row decile-bounds-array broadcast
+    "order_price_deciles_approx",  # 1-row approx-bounds-array broadcast
     "doc_contiguous_ids",         # <=64-row bucket-bounds broadcast
     "orders_bloom_semi_join",     # 1-row 64-word bitmap broadcast
 }

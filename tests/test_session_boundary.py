@@ -117,3 +117,31 @@ def test_stream_sessionizer_boundary(spark):
     for r in out:
         got.setdefault(r.user_id, []).append(r.n_events)
     assert got == EXPECTED
+
+
+def test_native_stream_emits_inclusive_of_watermark_boundary(spark):
+    """Append-mode session_window finalization is boundary-INCLUSIVE: a
+    session whose window end (last_ts + gap) equals the final watermark
+    (max feed ts at delay 0) IS emitted. Constructed so user 1's lone
+    session ends exactly 30:00 before the global max ts."""
+    import tempfile
+
+    from flight_radar_pipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        sessionize_stream_native,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0)),  # window end 00:30 == watermark
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0)),  # sets max ts; own session open
+    ]
+    src = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    with tempfile.TemporaryDirectory() as d:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{d}/in")
+        out = run_stream_to_memory(
+            sessionize_stream_native(stream, gap_minutes=GAP_MIN),
+            output_mode="append",
+            state_partitions=2,
+        ).collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(1, 1)]
