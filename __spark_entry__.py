@@ -33,51 +33,54 @@ def _configure(spark: SparkSession) -> None:
             pass  # non-runtime conf on this build — defaults still correct
 
 
-# The driver's correctness gate checks the FIRST 50 registry entries only.
-# Demote shape-duplicates so every distinct operator gets a checked slot:
-# the stream variants re-verify oracles their batch twins already hold green
-# (hourly_event_counts, user_sessions — plus boundary-semantics coverage in
-# tests/test_session_boundary.py and full-registry oracle checks in
-# tests/test_battery.py), rollup duplicates cube's grouping-sets machinery,
-# nations_with_customers duplicates order_priority_count's left-semi shape,
-# approx_distinct_users is rows-only by design (HLL has no exact SQL oracle;
-# accuracy pinned in tests/test_hll_accuracy.py),
-# customer_weighted_price_udaf re-demonstrates priority_weighted_price's
-# weighted-mean shape through the grouped-agg pandas-UDAF surface, and the
-# round-3 corpus extensions (repetition ratio, TF-IDF top terms, sequence
-# packing, stratified sampling, plus the corpus-assembly batch:
-# decontamination, chunking, weighted/mixture sampling, OOV profiling,
-# length histogram) are oracle-backed additions beyond the
-# 50-slot window — fully hash-checked by the local full-registry sweep.
+# The driver's correctness gate checks the FIRST 50 registry entries only,
+# so the window below is an EXPLICIT list (registration order stopped being
+# a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-4 rotation: six round-3 families that had never held a DRIVER
-# correctness row (PageRank, bigram-LM perplexity, PII redaction, power-
-# iteration PCA, BM25, SCD2 history) move INTO the window; six window
-# entries whose operator shape stays proven by a sibling green row move
-# out (top_bigrams_per_lang ⊂ top_pmi_collocations' n-gram/broadcast
-# machinery, doc_simhash ⊂ simhash_near_dup_pairs' signature stage,
-# doc_token_classes / doc_rolling_fingerprint / doc_deterministic_sample
-# are pure-column-expr siblings of doc_text_stats + doc_quality_score,
-# customer_running_total is the plain-frame sibling of
-# customer_7d_order_sum's range-frame window).
+# Round-5 rotation — close the never-driver-checked gap in one pass: the
+# 43 oracled entries that have never held a driver correctness row in
+# CORRECTNESS_r01-r04 ALL move into the window (round-4/5 additions like
+# the KMV sketch, hopping windows, PQ-era quantization audits, GROUPING
+# SETS, Markov transitions, modality routing, vocab encoding, BPE merges,
+# native session windows, keep-best dedup, per-group OLS, stream-merge
+# SCD1 — plus every round-3 corpus/prep extension that had only
+# local-sweep coverage: decontamination, chunking, weighted/mixture/
+# stratified sampling, OOV, packing, z-order keys, dim stats, CMS grid,
+# skew report, MAD outliers, funnel, triangles, ...). The other 7 slots
+# are a proven spine: the flagship (pricing_summary), the only-coverage
+# operators pinned by tests/test_registry_order.py (as-of join, range
+# join, exact percentiles, multimodal decode), one deep-join anchor
+# (revenue_by_nation) and one dedup anchor (minhash_near_dup_pairs).
 #
-# Enforcement: demoted entries are invisible to the driver gate, so
-# tests/test_battery.py's full-registry oracle sweep (ALL entries, tail
-# included, at sf0.001) is the mandatory regression net for them —
-# tests/test_registry_order.py pins the window/tail composition.
-_TAIL = [
-    "nations_with_customers",
-    "region_nation_rollup",
-    "hourly_event_counts_stream",
-    "closed_sessions_stream",
-    "approx_distinct_users",
+# Demoted entries all held green driver rows in r1-r4 (see
+# CORRECTNESS_r0*.json) and/or are shape-siblings of window members;
+# tests/test_battery.py's full-registry oracle sweep (ALL entries at
+# sf0.001) remains the mandatory regression net for everything outside
+# the window. Entries WITHOUT an oracle stay in the tail by policy
+# (embedding_opq_audit + the approx-percentile twins + HLL + first-fit
+# packing: non-SQL-expressible; each pinned by a dedicated local test —
+# tests/test_opq.py, test_approx_percentile.py, test_hll_accuracy.py).
+_WINDOW = [
+    # proven spine
+    "pricing_summary",
+    "revenue_by_nation",
+    "minhash_near_dup_pairs",
+    "click_view_attribution",
+    "event_window_density",
+    "event_value_percentiles",
+    "multimodal_features",
+    # never driver-checked until round 5 (43 = every oracled entry with
+    # no green row in CORRECTNESS_r01-r04)
+    "doc_bpe_merges",
+    "closed_sessions_stream_native",
+    "event_value_hourly_trend",
+    "doc_keep_best_dedup",
     "customer_weighted_price_udaf",
     "doc_repetition_ratio",
     "doc_tfidf_top_terms",
     "doc_pack_assignments",
     "doc_stratified_sample",
     "distinct_user_event_types_stream",
-    "doc_pack_firstfit",
     "event_zorder_keys",
     "incremental_daily_rollup",
     "doc_decontamination",
@@ -102,45 +105,14 @@ _TAIL = [
     "multimodal_frame_sample",
     "event_value_mad_outliers",
     "near_dup_triangles",
-    # round-4 demotions (shape-duplicates; see rotation note above)
-    "top_bigrams_per_lang",
-    "doc_simhash",
-    "doc_token_classes",
-    "doc_rolling_fingerprint",
-    "doc_deterministic_sample",
-    "customer_running_total",
-    # round-4 additions freed these slots: hourly_event_counts is a
-    # plain group-count whose shape holds green via revenue_by_nation /
-    # order_priority_count (and its stream twin is locally pinned);
-    # embedding_topk_lsh's bucket-join + exact-ranking machinery holds
-    # green via embedding_topk_ivf + embedding_near_dup_pairs;
-    # event_value_anomalies' stats-broadcast-filter shape holds green via
-    # lineitem_price_stats + the mad/zscore locals; doc_text_stats' pure
-    # column exprs via doc_quality_score + doc_lang_id;
-    # edit_distance_near_dup consumes the same shared pair table the
-    # minhash/simhash/ngram rows verify; orders_scd1_stream_merge is the
-    # stream twin of the green orders_scd1_merge row (same oracle)
-    "hourly_event_counts",
-    "embedding_topk_lsh",
-    "event_value_anomalies",
-    "doc_text_stats",
-    "edit_distance_near_dup",
     "orders_scd1_stream_merge",
-    # binary-payload plumbing holds green via multimodal_features
     "multimodal_modality_route",
-    # vocab build + broadcast shape holds locally green via doc_oov_rate
     "doc_token_ids",
-    # sketch-estimator face (CMS/HLL siblings also tail, locally checked)
     "user_kmv_distinct",
-    # overlapping-window face of the tumbling family
     "hopping_event_counts",
-    # deep multi-join sibling of the green revenue_by_nation row
     "nation_year_widget_revenue",
-    # quantization-audit sibling of the locally-green embedding_int8_quant
     "embedding_pq_audit",
-    # grouping-family sibling of the green order_status_cube row
     "status_month_grouping_sets",
-    # sequence-analytics sibling of the green user_sessions / funnel rows
     "event_type_transitions",
 ]
 CHECKED_WINDOW = 50
@@ -159,9 +131,18 @@ def _registry():
     )
 
     reg = battery.REGISTRY
-    head = {n: s for n, s in reg.items() if n not in _TAIL}
-    tail = {n: reg[n] for n in _TAIL if n in reg}
+    missing = [n for n in _WINDOW if n not in reg]
+    if missing:
+        raise RuntimeError(f"_WINDOW names absent from REGISTRY: {missing}")
+    head = {n: reg[n] for n in _WINDOW}
+    tail = {n: s for n, s in reg.items() if n not in head}
     return {**head, **tail}
+
+
+# tail = everything outside the explicit window, in registration order
+# (kept as a module attribute so tests can pin the composition)
+def _tail_names():
+    return [n for n in _registry() if n not in _WINDOW]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -3,9 +3,16 @@
 entry inside the window carries an oracle and that the operators the round-1
 gate missed (as-of join, range join, percentiles, multimodal) now sit inside
 it — so adding queries can never silently push an only-coverage entry out.
+
+Round-5 window policy: the explicit ``_WINDOW`` list holds every oracled
+entry that had never held a driver correctness row in CORRECTNESS_r01–r04,
+plus a proven 7-entry spine.
 """
 
 from __future__ import annotations
+
+import json
+import pathlib
 
 import __spark_entry__ as entrymod
 
@@ -25,16 +32,37 @@ def test_checked_window_is_fully_oracled():
     assert not missing, f"oracle-less queries inside the checked window: {missing}"
 
 
-def test_unique_operator_coverage_inside_window():
+def test_window_is_exactly_the_explicit_list():
     names = list(entrymod._registry())
-    window = set(names[: entrymod.CHECKED_WINDOW])
+    assert names[: entrymod.CHECKED_WINDOW] == entrymod._WINDOW
+    assert len(entrymod._WINDOW) == entrymod.CHECKED_WINDOW
+    assert len(set(entrymod._WINDOW)) == entrymod.CHECKED_WINDOW
+
+
+def test_unique_operator_coverage_inside_window():
+    window = set(entrymod._WINDOW)
     out = [n for n in MUST_BE_CHECKED if n not in window]
     assert not out, f"only-coverage queries outside the checked window: {out}"
 
 
-def test_tail_entries_exist_and_are_redundant_or_rows_only():
+def test_round5_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01–r04 must be in the
+    round-5 window — this is the rotation contract from VERDICT r4 item 2."""
+    root = pathlib.Path(__file__).resolve().parent.parent
+    checked_ever: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r0[1-4].json")):
+        d = json.loads(p.read_text())
+        qs = d.get("queries", d)
+        if isinstance(qs, dict):
+            checked_ever |= set(qs)
+    oracles = entrymod.oracle_sql()
+    never = [n for n in entrymod._registry() if n not in checked_ever and n in oracles]
+    out = [n for n in never if n not in set(entrymod._WINDOW)]
+    assert not out, f"never-driver-checked oracled entries outside window: {out}"
+
+
+def test_tail_entries_are_outside_window():
     names = list(entrymod._registry())
-    assert names[-len(entrymod._TAIL):] == entrymod._TAIL
-    # every tail entry either lacks an oracle by design or duplicates a
-    # shape that holds a green row inside the window
-    assert set(entrymod._TAIL) & set(names[: entrymod.CHECKED_WINDOW]) == set()
+    tail = entrymod._tail_names()
+    assert names[entrymod.CHECKED_WINDOW:] == tail
+    assert set(tail) & set(entrymod._WINDOW) == set()
