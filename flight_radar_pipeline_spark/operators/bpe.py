@@ -110,3 +110,55 @@ def train_bpe_merges(
     return spark.createDataFrame(
         out, "merge_rank int, lhs string, rhs string, n bigint"
     )
+
+
+def encode_token_counts(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply trained BPE merges to the corpus → (id, n_words, n_subwords).
+
+    The "tokenize with a trained tokenizer" half of the BPE story
+    (train_bpe_merges is the other): each DISTINCT word is encoded once —
+    merges applied in rank order as literal replaces over the wrapped
+    symbol string, then the surviving symbol count read off with one
+    regexp extract — and the corpus-sized side only explodes to words and
+    joins word → n_sym. n_subwords is the post-merge token budget a
+    packing/costing stage consumes.
+
+    Scale posture: encoding work is vocabulary-sized (Zipf-bounded), not
+    corpus-sized; the merge table collects as ``n_merges`` bounded driver
+    rows (broadcast-literal class — the replace chain must fold into the
+    expression tree); the word→n_sym join is keyed on word and Zipf makes
+    the vocab side broadcastable far beyond this SF (falls back to a
+    word-keyed shuffle join under AQE when it isn't).
+    """
+    merges = train_bpe_merges(docs, n_merges, text_col, id_col).orderBy(
+        "merge_rank"
+    )
+    mrows = merges.collect()  # ≤ n_merges rows — broadcast-literal class
+    vocab = word_vocabulary(docs, text_col, id_col)
+    seq = F.col("seq")
+    for r in mrows:
+        seq = F.replace(
+            seq,
+            F.lit(f"({r['lhs']})({r['rhs']})"),
+            F.lit(f"({r['lhs']}{r['rhs']})"),
+        )
+    n_sym = F.size(F.expr(f"regexp_extract_all({'__seq'}, '{_SYM_RE_SQL}', 1)"))
+    encoded = vocab.select(
+        "word", seq.alias("__seq")
+    ).select("word", n_sym.alias("n_sym"))
+    words = docs.select(
+        F.col(id_col), F.explode(T.tokens(text_col)).alias("word")
+    )
+    return (
+        words.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_subwords"),
+        )
+    )

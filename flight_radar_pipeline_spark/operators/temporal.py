@@ -172,3 +172,71 @@ def funnel_stages(
         user_col,
         F.aggregate("__seq", init, advance)["stage"].alias("stage"),
     )
+
+
+def interpolate_gaps(
+    spine: DataFrame,
+    key_col: str,
+    t_col: str,
+    v_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Linear interpolation over a dense per-key time spine → adds
+    ``v_filled`` (and ``fill_kind``: observed / interp / ffill / bfill).
+
+    ``spine`` holds one row per (key, slot) with ``v_col`` NULL where the
+    slot had no observations. Interior gaps fill linearly between the
+    nearest observed anchors (weighted by epoch-second distance, so
+    irregular spines work); leading/trailing gaps carry the nearest
+    anchor (bfill/ffill); all-null keys stay NULL.
+
+    Spark shape: two ``last/first(ignorenulls)`` carry windows per
+    direction, both over the SAME (key, t) ordering — one shuffle, two
+    in-partition sorts, no joins, no UDFs. Scale note: windows partition
+    by ``key_col``; parallelism follows key cardinality (per-sensor /
+    per-entity series at 100 TB — millions of keys), and a single global
+    series should be bucketed by coarse time range first.
+    """
+    t, v = F.col(t_col), F.col(v_col)
+    t_num = t.cast("double")
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(t_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_prev)
+    next_v = F.first(v, ignorenulls=True).over(w_next)
+    prev_t = F.last(F.when(v.isNotNull(), t_num), ignorenulls=True).over(w_prev)
+    next_t = F.first(F.when(v.isNotNull(), t_num), ignorenulls=True).over(w_next)
+    frac = (t_num - prev_t) / (next_t - prev_t)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    kind = (
+        F.when(v.isNotNull(), F.lit("observed"))
+        .when(prev_v.isNull() & next_v.isNull(), F.lit("empty"))
+        .when(prev_v.isNull(), F.lit("bfill"))
+        .when(next_v.isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp"))
+    )
+    from flight_radar_pipeline_spark.operators.rounding import (
+        expr_round_half_up,
+    )
+
+    return spine.select(
+        key_col,
+        t_col,
+        # floor-based half-up rounding, NOT F.round: interpolation lands on
+        # exact half-quanta whenever a gap midpoint splits two anchors, and
+        # engines disagree on F.round/round ties (see rounding.py)
+        expr_round_half_up(filled, decimals).alias("v_filled"),
+        kind.alias("fill_kind"),
+    )

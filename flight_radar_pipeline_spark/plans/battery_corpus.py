@@ -966,3 +966,49 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(docs, n_merges=_BPE_N).orderBy("merge_rank")
+
+
+# --------------------------------------------------------------------------
+# BPE encoding with the trained merges
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    ctes = ", ".join(_bpe_iter_cte(i) for i in range(1, _BPE_N + 1))
+    return rf"""
+    with words as (
+        select word, count(*) as freq from (
+            select unnest(regexp_split_to_array(trim(text), '\s+')) as word
+            from documents
+        ) group by word
+    ), v0 as (
+        select word, freq, regexp_replace(word, '(.)', '(\1)', 'g') as seq
+        from words
+    ), {ctes}, enc as (
+        select word,
+               len(regexp_extract_all(seq, '\(([^)]+)\)', 1)) as n_sym
+        from v{_BPE_N}
+    ), tokd as (
+        select doc_id,
+               unnest(regexp_split_to_array(trim(text), '\s+')) as word
+        from documents
+    )
+    select doc_id, count(*) as n_words, sum(n_sym)::bigint as n_subwords
+    from tokd join enc using (word)
+    group by doc_id order by doc_id
+"""
+
+
+@register("doc_bpe_encode", _bpe_encode_oracle())
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the TRAINED tokenizer — the consuming half of
+    ``doc_bpe_merges``: each distinct word encodes once (merges applied
+    in rank order as literal replaces; vocabulary-sized work), then the
+    corpus explodes to words and joins word → post-merge symbol count,
+    yielding each document's subword token budget. The oracle unrolls the
+    same merge training as CTEs, then applies them relationally
+    (``operators.bpe.encode_token_counts``)."""
+    from flight_radar_pipeline_spark.operators.bpe import encode_token_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encode_token_counts(docs, n_merges=_BPE_N).orderBy("doc_id")

@@ -1307,3 +1307,105 @@ def event_value_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# time-series gap interpolation
+# --------------------------------------------------------------------------
+
+from flight_radar_pipeline_spark.operators.rounding import (  # noqa: E402
+    sql_round_half_up,
+)
+
+_INTERP_V = sql_round_half_up("avg(value)", 4)
+_INTERP_FILL = sql_round_half_up(
+    """case when v is not null then v
+            when prev_v is null then next_v
+            when next_v is null then prev_v
+            else prev_v + (next_v - prev_v)
+                 * ((tn - prev_t) / (next_t - prev_t)) end""",
+    4,
+)
+
+_INTERP_ORACLE = f"""
+    with bounds as (
+        select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+        from events
+    ), hours as (
+        select unnest(generate_series(lo, hi, interval 1 hour)) as hour_start
+        from bounds
+    ), spine as (
+        select t.event_type, h.hour_start
+        from (select distinct event_type from events) t cross join hours h
+    ), obs as (
+        select event_type, date_trunc('hour', ts) as hour_start,
+               {_INTERP_V} as v
+        from events group by 1, 2
+    ), j as (
+        select s.event_type, s.hour_start, o.v,
+               epoch(s.hour_start) as tn
+        from spine s left join obs o using (event_type, hour_start)
+    ), carry as (
+        select event_type, hour_start, v, tn,
+            last_value(v ignore nulls) over (
+                partition by event_type order by hour_start
+                rows between unbounded preceding and current row) as prev_v,
+            first_value(v ignore nulls) over (
+                partition by event_type order by hour_start
+                rows between current row and unbounded following) as next_v,
+            last_value(case when v is not null then tn end ignore nulls) over (
+                partition by event_type order by hour_start
+                rows between unbounded preceding and current row) as prev_t,
+            first_value(case when v is not null then tn end ignore nulls) over (
+                partition by event_type order by hour_start
+                rows between current row and unbounded following) as next_t
+        from j
+    )
+    select event_type,
+           strftime(hour_start, '%Y-%m-%d %H:%M:%S') as hour_start,
+           {_INTERP_FILL} as v_filled,
+           case when v is not null then 'observed'
+                when prev_v is null and next_v is null then 'empty'
+                when prev_v is null then 'bfill'
+                when next_v is null then 'ffill'
+                else 'interp' end as fill_kind
+    from carry
+    order by event_type, hour_start
+"""
+
+
+@register("event_value_interpolated", _INTERP_ORACLE)
+def event_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type hourly mean value on a dense spine with gaps LINEARLY
+    interpolated between the nearest observed anchors (edges carry
+    nearest) — the resample→interpolate primitive of sensor/metric
+    pipelines, as two ignorenulls carry windows over one shuffle
+    (``operators.temporal.interpolate_gaps``)."""
+    from flight_radar_pipeline_spark.operators.temporal import interpolate_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    from flight_radar_pipeline_spark.operators.rounding import (
+        expr_round_half_up,
+    )
+
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(expr_round_half_up(F.avg("value"), 4).alias("v"))
+    dense = spine.join(obs, ["event_type", "hour_start"], "left")
+    out = interpolate_gaps(dense, "event_type", "hour_start", "v")
+    return out.select(
+        "event_type",
+        F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "v_filled",
+        "fill_kind",
+    ).orderBy("event_type", "hour_start")

@@ -644,3 +644,36 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_neighbors_lsh(
         emb, queries, k=5, num_planes=_PLANES, n_dims=EMB_DIMS
     ).orderBy("query_id", "neighbor_id")
+
+
+# --------------------------------------------------------------------------
+# exact heavy hitters (Misra–Gries candidates + verify pass)
+# --------------------------------------------------------------------------
+
+_HH_K = 30
+
+_HH_ORACLE = rf"""
+    with tok as (
+        select unnest(regexp_split_to_array(trim(text), '\s+')) as term
+        from documents
+    ), tot as (select count(*) as n from tok)
+    select term, count(*) as n_occ, (select n from tot) as n_total
+    from tok group by term
+    having count(*) * {_HH_K + 1} > (select n from tot)
+    order by n_occ desc, term
+"""
+
+
+@register("doc_heavy_hitters", _HH_ORACLE)
+def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms via the two-pass Misra–Gries scheme: a
+    map-only k-counter sketch per partition yields a guaranteed-superset
+    candidate set (bounded, folds in as a literal IN-set), then one
+    filtered scan exact-counts just the candidates — the full vocabulary
+    never shuffles. Output is exactly the terms with count > n/(k+1),
+    partition-layout independent, hence the exact SQL oracle
+    (``operators.heavy_hitters``)."""
+    from flight_radar_pipeline_spark.operators.heavy_hitters import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, "text", k=_HH_K)

@@ -42,6 +42,7 @@ ALLOWED_BNLJ = {
     "order_price_deciles_approx",  # 1-row approx-bounds-array broadcast
     "doc_contiguous_ids",         # <=64-row bucket-bounds broadcast
     "orders_bloom_semi_join",     # 1-row 64-word bitmap broadcast
+    "event_value_interpolated",   # spine: tiny key-set × generated hour rows
 }
 
 
