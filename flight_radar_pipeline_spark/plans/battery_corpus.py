@@ -1012,3 +1012,97 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return encode_token_counts(docs, n_merges=_BPE_N).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# staged filter funnel (pipeline yield report)
+# --------------------------------------------------------------------------
+
+_FUNNEL_LANGS = ("de", "en", "es", "fr")
+
+_FFUNNEL_ORACLE = rf"""
+    with d as (
+        select lang,
+               len(regexp_split_to_array(trim(text), '\s+')) as ntok,
+               len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+                   as ndist,
+               length(regexp_replace(text, '\s', '', 'g')) as nonws
+        from documents
+    ), m as (
+        select count(*) as s0,
+               sum(case when lang in {_FUNNEL_LANGS} then 1 else 0 end) as s1,
+               sum(case when lang in {_FUNNEL_LANGS}
+                         and ntok between 20 and 1000 then 1 else 0 end) as s2,
+               sum(case when lang in {_FUNNEL_LANGS}
+                         and ntok between 20 and 1000
+                         and ndist >= 0.3 * ntok then 1 else 0 end) as s3,
+               sum(case when lang in {_FUNNEL_LANGS}
+                         and ntok between 20 and 1000
+                         and ndist >= 0.3 * ntok
+                         and nonws between 3 * ntok and 12 * ntok
+                   then 1 else 0 end) as s4
+        from d
+    )
+    select '0_total' as stage, s0 as n_pass, round(s0 / s0, 4) as pct_of_total from m
+    union all
+    select '1_lang', s1, round(s1 / s0, 4) from m
+    union all
+    select '2_length', s2, round(s2 / s0, 4) from m
+    union all
+    select '3_repetition', s3, round(s3 / s0, 4) from m
+    union all
+    select '4_token_shape', s4, round(s4 / s0, 4) from m
+    order by stage
+"""
+
+
+@register("corpus_filter_funnel", _FFUNNEL_ORACLE)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-pipeline yield report: how many documents survive each
+    cumulative filter stage (language allowlist → length band →
+    repetition → token-shape) — the attrition table every corpus build
+    publishes before training. ONE corpus scan: all stage predicates are
+    row-local expressions, folded into five conditional-sum aggregates
+    that combine map-side to a single row; the long (stage, n_pass, pct)
+    form is exploded from that row, so no second pass and no join at any
+    scale. Stage predicates are nested (each implies the previous), so
+    the funnel is monotone by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.trim("text"), r"\s+")
+    ntok = F.size(ts)
+    ndist = F.size(F.array_distinct(ts))
+    nonws = F.length(F.regexp_replace("text", r"\s", ""))
+    c1 = F.col("lang").isin(*_FUNNEL_LANGS)
+    c2 = c1 & ntok.between(20, 1000)
+    c3 = c2 & (ndist >= 0.3 * ntok)
+    c4 = c3 & nonws.between(3 * ntok, 12 * ntok)
+    m = docs.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum(c1.cast("bigint")).alias("s1"),
+        F.sum(c2.cast("bigint")).alias("s2"),
+        F.sum(c3.cast("bigint")).alias("s3"),
+        F.sum(c4.cast("bigint")).alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("stage"), F.col(col).alias("n_pass")
+            )
+            for label, col in [
+                ("0_total", "s0"),
+                ("1_lang", "s1"),
+                ("2_length", "s2"),
+                ("3_repetition", "s3"),
+                ("4_token_shape", "s4"),
+            ]
+        ]
+    )
+    return (
+        m.select(F.col("s0").alias("__t"), F.explode(stages).alias("r"))
+        .select(
+            "r.stage",
+            "r.n_pass",
+            F.round(F.col("r.n_pass") / F.col("__t"), 4).alias("pct_of_total"),
+        )
+        .orderBy("stage")
+    )

@@ -7,7 +7,7 @@ Registered into the shared REGISTRY on import (see __spark_entry__).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
@@ -1409,3 +1409,361 @@ def event_value_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_filled",
         "fill_kind",
     ).orderBy("event_type", "hour_start")
+
+
+# --------------------------------------------------------------------------
+# winsorization (per-group outlier clipping at exact percentile fences)
+# --------------------------------------------------------------------------
+
+_WINSOR_LO, _WINSOR_HI = 0.05, 0.95
+
+_WINSOR_ORACLE = f"""
+    with fences as (
+        select event_type,
+               quantile_cont(value, {_WINSOR_LO}) as p05,
+               quantile_cont(value, {_WINSOR_HI}) as p95
+        from events group by event_type
+    )
+    select e.event_type,
+           count(*) as n,
+           round(any_value(f.p05), 4) as p05,
+           round(any_value(f.p95), 4) as p95,
+           round(avg(e.value), 4) as mean_raw,
+           round(avg(least(greatest(e.value, f.p05), f.p95)), 4)
+               as mean_winsorized,
+           sum(case when e.value < f.p05 then 1 else 0 end) as clipped_low,
+           sum(case when e.value > f.p95 then 1 else 0 end) as clipped_high
+    from events e join fences f using (event_type)
+    group by e.event_type
+    order by e.event_type
+"""
+
+
+@register("event_value_winsorized", _WINSOR_ORACLE)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip each event's value to its type's
+    exact [p05, p95] fence and report raw-vs-clipped means — the
+    feature-robustification step of an ML feature pipeline. Two passes,
+    no sort: an exact-percentile aggregate at event_type cardinality
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), broadcast back for
+    a map-side clip, then one 5-group aggregate. At 100 TB the fence pass
+    swaps to ``approx_percentile`` exactly as order_price_deciles_approx
+    documents; clipping itself stays a scan-local expression."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {_WINSOR_LO})").alias("p05"),
+        F.expr(f"percentile(value, {_WINSOR_HI})").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        "p05",
+        "p95",
+        F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95")).alias(
+            "__w"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+            F.round(F.avg("__w"), 4).alias("mean_winsorized"),
+            F.sum((F.col("value") < F.col("p05")).cast("bigint")).alias(
+                "clipped_low"
+            ),
+            F.sum((F.col("value") > F.col("p95")).cast("bigint")).alias(
+                "clipped_high"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# exponentially weighted moving average over a bounded trailing window
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 20  # trailing window size: bounds per-row state at any scale
+
+_EWMA_ORACLE = f"""
+    with o as (
+        select user_id, event_id, ts, value,
+               row_number() over (
+                   partition by user_id order by ts, event_id) as rn
+        from events
+    )
+    select a.user_id, a.event_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') as ts,
+           round(a.value, 4) as value,
+           round(
+               sum(b.value * power(1 - {_EWMA_ALPHA}, a.rn - b.rn))
+             / sum(power(1 - {_EWMA_ALPHA}, a.rn - b.rn)), 4) as ewma
+    from o a join o b
+      on a.user_id = b.user_id
+     and b.rn between a.rn - {_EWMA_K - 1} and a.rn
+    group by a.user_id, a.event_id, a.ts, a.value
+    order by a.user_id, a.event_id
+"""
+
+
+@register("user_value_ewma", _EWMA_ORACLE)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (pandas ``ewm(adjust=True)``
+    semantics) over a trailing 20-row window: collect the bounded frame
+    with one ordered window, then fold it with ``F.aggregate`` carrying a
+    (num, den) accumulator — num = num·(1−α) + v, den = den·(1−α) + 1 —
+    entirely JVM-side, no UDF. One shuffle on user_id; per-row state is
+    ≤ 20 doubles regardless of history length, which is what makes the
+    operator safe at 100 TB (an unbounded-history EWMA needs either a
+    sessionized stateful op or this truncation; the (1−α)^20 ≈ 8e-4
+    tail weight makes truncation numerically honest). The oracle states
+    the same weighted sum relationally via a bounded self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_K - 1), 0)
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("num"),
+        F.lit(0.0).alias("den"),
+    )
+    decay = F.lit(1.0 - _EWMA_ALPHA)
+    folded = F.aggregate(
+        F.col("__frame"),
+        acc0,
+        lambda acc, v: F.struct(
+            (acc["num"] * decay + v).alias("num"),
+            (acc["den"] * decay + F.lit(1.0)).alias("den"),
+        ),
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.collect_list("value").over(w).alias("__frame"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round("value", 4).alias("value"),
+            F.round(folded["num"] / folded["den"], 4).alias("ewma"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT OUTER join (conversion attribution with non-converts)
+# --------------------------------------------------------------------------
+
+_VIEW_LO_ORACLE = """
+    with mx as (
+        select least(
+            (select max(ts) from events where event_type = 'view'),
+            (select max(ts) from events where event_type = 'click')) as m
+    ),
+    vv as (select * from events where event_type = 'view'),
+    cc as (select * from events where event_type = 'click'),
+    j as (
+        select v.event_id as view_id, c.event_id as click_id,
+               v.user_id, v.ts as vts
+        from vv v left join cc c
+          on c.user_id = v.user_id
+         and c.ts >= v.ts and c.ts <= v.ts + interval 30 minute
+    )
+    select view_id, click_id, user_id,
+           strftime(vts, '%Y-%m-%d %H:%M:%S') as view_ts
+    from j, mx
+    where click_id is not null or vts + interval 30 minute < mx.m
+    order by view_id, click_id
+"""
+
+
+@register("view_click_left_outer_stream", _VIEW_LO_ORACLE)
+def view_click_left_outer_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: views ⟕ same-user clicks within 30
+    minutes AFTER the view — non-converting views emit null-extended once
+    the watermark proves no click can still arrive. The effective final
+    watermark is the MIN over both sides' event-time maxima (Spark's
+    default multipleWatermarkPolicy), which the oracle's LEAST states;
+    boundary pinned by ``tests/test_session_boundary.py``."""
+    from flight_radar_pipeline_spark.streaming.events import (
+        view_click_left_outer_stream,
+    )
+
+    views = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    out = view_click_left_outer_stream(views, clicks)
+    return run_stream_to_memory(
+        out, output_mode="append", state_partitions=8
+    ).orderBy("view_id", "click_id")
+
+
+# --------------------------------------------------------------------------
+# population-stability-index drift between consecutive months
+# --------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+    with m as (
+        select strftime(date_trunc('month', o_orderdate), '%Y-%m') as month,
+               o_orderstatus as status, count(*) as c
+        from orders group by 1, 2
+    ), p as (
+        select month, status,
+               c / (sum(c) over (partition by month)) as frac
+        from m
+    ), lagged as (
+        select cur.month, cur.status, cur.frac as frac_cur, prev.frac as frac_prev
+        from p cur join p prev
+          on prev.status = cur.status
+         and prev.month = strftime(
+                date_trunc('month', strptime(cur.month || '-01', '%Y-%m-%d'))
+                - interval 1 month, '%Y-%m')
+    )
+    select month,
+           round(sum((frac_cur - frac_prev) * ln(frac_cur / frac_prev)), 6)
+               as psi
+    from lagged
+    group by month
+    order by month
+"""
+
+
+@register("order_status_psi_drift", _PSI_ORACLE)
+def order_status_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month population-stability index of the order-status
+    mix — the drift monitor an ML platform runs on every categorical
+    feature: PSI = Σ (p−q)·ln(p/q) between consecutive months'
+    distributions. The fact table aggregates ONCE to month×status counts
+    (partial-aggregated, tiny); fractions, the month self-join and the
+    PSI fold all happen on that aggregate, so the drift layer costs
+    nothing at any corpus size. Statuses present in only one of the two
+    months would need Laplace smoothing; this domain is closed (F/O/P),
+    so the plain estimator is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("month")
+    p = m.select(
+        "month", "status", (F.col("c") / F.sum("c").over(w)).alias("frac")
+    )
+    prev = p.select(
+        F.date_format(
+            F.add_months(F.to_date(F.concat("month", F.lit("-01"))), 1),
+            "yyyy-MM",
+        ).alias("month"),
+        F.col("status"),
+        F.col("frac").alias("frac_prev"),
+    )
+    return (
+        p.join(prev, ["month", "status"])
+        .groupBy("month")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("frac") - F.col("frac_prev"))
+                    * F.log(F.col("frac") / F.col("frac_prev"))
+                ),
+                6,
+            ).alias("psi")
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# event-type co-occurrence lift (market-basket over user-day baskets)
+# --------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+    with baskets as (
+        select distinct user_id, date_trunc('day', ts) as day, event_type
+        from events
+    ), nb as (
+        select count(distinct (user_id, day)) as n
+        from baskets
+    ), item as (
+        select event_type, count(*) as c from baskets group by event_type
+    ), pair as (
+        select a.event_type as type_a, b.event_type as type_b,
+               count(*) as c_ab
+        from baskets a join baskets b
+          on a.user_id = b.user_id and a.day = b.day
+         and a.event_type < b.event_type
+        group by 1, 2
+    )
+    select p.type_a, p.type_b, p.c_ab,
+           round((p.c_ab * nb.n) / (ia.c * ib.c), 4) as lift
+    from pair p
+    join item ia on ia.event_type = p.type_a
+    join item ib on ib.event_type = p.type_b
+    cross join nb
+    order by type_a, type_b
+"""
+
+
+@register("session_event_type_lift", _LIFT_ORACLE)
+def session_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types co-occurring in the same
+    user-day basket: lift(A,B) = P(A∧B) / (P(A)·P(B)) — the association
+    screen behind "users who error also purchase?" dashboards. The basket
+    self-join is keyed on (user, day) AND restricted to distinct types
+    first, so fan-out per basket is bounded by the CLOSED type domain
+    (≤ C(5,2) = 10 pairs per basket regardless of event volume) — the
+    classic a-priori trick that keeps basket mining linear in baskets.
+    One shuffle to distinct baskets, one co-partitioned self-join on the
+    basket key, then broadcast-sized margins fold in."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_a")
+    )
+    b = baskets.select(
+        "user_id", "day", F.col("event_type").alias("type_b")
+    )
+    pair = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    ib = item.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "type_a")
+        .join(F.broadcast(ib), "type_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.col("n")) / (F.col("ca") * F.col("cb")), 4
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

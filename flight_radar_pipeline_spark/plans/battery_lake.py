@@ -314,3 +314,166 @@ def orders_scd1_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
         "o_orderpriority",
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# referential-integrity audit (orphan foreign keys across the star schema)
+# --------------------------------------------------------------------------
+
+_RI_ORACLE = """
+    with rels as (
+        select 'orders.o_custkey->customer' as relation,
+               (select count(*) from orders) as n_child,
+               (select count(*) from orders o
+                 where not exists (select 1 from customer c
+                                    where c.c_custkey = o.o_custkey)) as n_orphan
+        union all
+        select 'lineitem.l_orderkey->orders',
+               (select count(*) from lineitem),
+               (select count(*) from lineitem l
+                 where not exists (select 1 from orders o
+                                    where o.o_orderkey = l.l_orderkey))
+        union all
+        select 'lineitem.l_partkey->part',
+               (select count(*) from lineitem),
+               (select count(*) from lineitem l
+                 where not exists (select 1 from part p
+                                    where p.p_partkey = l.l_partkey))
+        union all
+        select 'lineitem.l_suppkey->supplier',
+               (select count(*) from lineitem),
+               (select count(*) from lineitem l
+                 where not exists (select 1 from supplier s
+                                    where s.s_suppkey = l.l_suppkey))
+        union all
+        select 'nation.n_regionkey->region',
+               (select count(*) from nation),
+               (select count(*) from nation n
+                 where not exists (select 1 from region r
+                                    where r.r_regionkey = n.n_regionkey))
+    )
+    select relation, n_child, n_orphan,
+           round(n_orphan / n_child, 6) as orphan_pct
+    from rels order by relation
+"""
+
+
+@register("referential_integrity_audit", _RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit — the constraint-validation pass a
+    lakehouse runs after every load (Deequ-style "is referenced" checks):
+    orphan counts for all five FK relations of the star schema in one
+    result. Each relation is a LEFT ANTI join counted against the child
+    total; dimension parents (customer, part, supplier, region) broadcast,
+    so only lineitem→orders shuffles — and that one co-partitions on the
+    join key. At 100 TB each audit is one pass over the child table; the
+    five audits share nothing, so AQE schedules them independently."""
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for rel, child, ck, parent, pk in checks:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        parts.append(
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan")))
+            .select(
+                F.lit(rel).alias("relation"),
+                "n_child",
+                "n_orphan",
+                F.round(F.col("n_orphan") / F.col("n_child"), 6).alias(
+                    "orphan_pct"
+                ),
+            )
+        )
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("relation")
+
+
+# --------------------------------------------------------------------------
+# user-erasure (right-to-be-forgotten) purge audit
+# --------------------------------------------------------------------------
+
+_ERASE_DAYS = 1
+
+_ERASE_ORACLE = f"""
+    with mx as (select max(ts) as m from events),
+    tomb as (
+        select user_id
+        from events, mx
+        group by user_id, mx.m
+        having max(ts) < mx.m - interval {_ERASE_DAYS} day
+    )
+    select 'events' as table_name,
+           (select count(*) from events) as rows_total,
+           (select count(*) from events e
+             where exists (select 1 from tomb t where t.user_id = e.user_id))
+               as rows_to_delete,
+           (select count(*) from tomb) as n_users
+    union all
+    select 'orders',
+           (select count(*) from orders),
+           (select count(*) from orders o
+             where exists (select 1 from tomb t where t.user_id = o.o_custkey)),
+           (select count(*) from tomb)
+    order by table_name
+"""
+
+
+@register("user_erasure_audit", _ERASE_ORACLE)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten dry run: the tombstone set is every user
+    inactive for 1+ day (last event older than max feed ts − 1d
+    — the synthetic feed spans 30 days with near-daily user activity, so
+    day-scale inactivity is the non-trivial churn boundary),
+    and the audit reports how many rows a hard delete would purge from
+    each fact table keyed by that user — the pre-flight report a GDPR
+    erasure job publishes before rewriting files. The tombstone build is
+    one groupBy at user cardinality; each table audit is a broadcast
+    LEFT SEMI join counted against the table total (tombstones are
+    always ≪ facts — at 100 TB they stay broadcast-sized or become a
+    bloom semi-join exactly like ``orders_bloom_semi_join``)."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    mx = ev.agg(F.max("ts").alias("m"))
+    tomb = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("__last"),
+            F.first("m").alias("__m"),
+        )
+        .filter(F.col("__last") < F.col("__m") - F.expr(f"INTERVAL {_ERASE_DAYS} DAYS"))
+        .select("user_id")
+    )
+    n_tomb = tomb.agg(F.count(F.lit(1)).alias("n_users"))
+
+    def audit(df: DataFrame, key: str, label: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(tomb), df[key] == tomb["user_id"], "left_semi"
+        )
+        return (
+            df.agg(F.count(F.lit(1)).alias("rows_total"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("rows_to_delete")))
+            .crossJoin(F.broadcast(n_tomb))
+            .select(
+                F.lit(label).alias("table_name"),
+                "rows_total",
+                "rows_to_delete",
+                "n_users",
+            )
+        )
+
+    return (
+        audit(ev, "user_id", "events")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .orderBy("table_name")
+    )

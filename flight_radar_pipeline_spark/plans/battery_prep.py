@@ -370,3 +370,52 @@ def doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     vocab = P.top_vocabulary(docs, _VOCAB_V)
     return P.vocab_encode(docs, vocab).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# per-group embedding centroids
+# --------------------------------------------------------------------------
+
+@register(
+    "embedding_group_centroids",
+    """
+    with c as (
+        select label,
+               unnest(embedding::DOUBLE[]) as x,
+               unnest(range(0, len(embedding))) as dim
+        from embeddings
+    )
+    select label, dim::bigint as dim,
+           round(avg(x), 6) as mean_val
+    from c group by label, dim order by label, dim
+    """,
+)
+def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per class label — the class-prototype /
+    nearest-centroid-classifier primitive (and the bulk step of any
+    labeled-cluster refresh). Same shuffle-free-scan shape as
+    ``embedding_dim_stats`` but grouped: 64 per-dimension ``avg``
+    aggregates keyed by label, so the corpus is scanned once, partials
+    combine map-side, and the shuffle carries only |labels| × 64 cells —
+    never a posexplode of corpus × dims rows. Unpivot to (label, dim,
+    mean_val) happens after the aggregate, at |labels| rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.col("embedding").cast("array<double>")
+    n_dims = 64
+    wide = emb.groupBy("label").agg(
+        *[F.round(F.avg(vd[d]), 6).alias(f"m{d}") for d in range(n_dims)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("dim"),
+                F.col(f"m{d}").alias("mean_val"),
+            )
+            for d in range(n_dims)
+        ]
+    )
+    return (
+        wide.select("label", F.explode(rows).alias("r"))
+        .select("label", "r.dim", "r.mean_val")
+        .orderBy("label", "dim")
+    )

@@ -1221,3 +1221,87 @@ def doc_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scores = docs.select("doc_id", T.quality_score("text").alias("quality"))
     return keep_best_decisions(clusters, scores).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# weight-of-evidence / information-value feature binning
+# --------------------------------------------------------------------------
+
+_WOE_PROBS = [i / 10 for i in range(1, 10)]
+
+_WOE_ORACLE = f"""
+    with b as (
+        select [{", ".join(f"quantile_cont(value, {p})" for p in _WOE_PROBS)}]
+            as bounds
+        from events
+    ), binned as (
+        select len(list_filter(b.bounds, x -> e.value > x)) + 1 as bin,
+               case when e.event_type = 'purchase' then 1 else 0 end as y
+        from events e cross join b
+    ), agg as (
+        select bin, count(*) as n,
+               sum(y) as n_good, count(*) - sum(y) as n_bad
+        from binned group by bin
+    ), tot as (
+        select sum(n_good) as tg, sum(n_bad) as tb from agg
+    )
+    select a.bin, a.n, a.n_good, a.n_bad,
+           round(ln(((a.n_good + 0.5) / (t.tg + 0.5))
+                  / ((a.n_bad + 0.5) / (t.tb + 0.5))), 6) as woe,
+           round(((a.n_good + 0.5) / (t.tg + 0.5)
+                 - (a.n_bad + 0.5) / (t.tb + 0.5))
+                 * ln(((a.n_good + 0.5) / (t.tg + 0.5))
+                    / ((a.n_bad + 0.5) / (t.tb + 0.5))), 6) as iv_contrib
+    from agg a cross join tot t
+    order by a.bin
+"""
+
+
+@register("event_value_woe_bins", _WOE_ORACLE)
+def event_value_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of ``value`` as a
+    predictor of purchase events — the classic credit-scoring feature
+    screen, and the binned-target-statistics shape every feature store
+    computes. Three broadcast-sized aggregates stacked on ONE fact scan
+    lineage: exact decile fences (``percentile``, the
+    ``order_price_deciles`` pattern), a 10-bin good/bad aggregate, and
+    the global totals folded back by broadcast — the fact table is never
+    sorted and never shuffled wider than 10 groups. Laplace-smoothed
+    (+0.5) so a pure bin can't produce an infinite WOE at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    probs = ", ".join(str(p) for p in _WOE_PROBS)
+    bounds = ev.agg(
+        F.expr(f"percentile(value, array({probs}))").alias("__bounds")
+    )
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.size(F.filter(F.col("__bounds"), lambda b: F.col("value") > b))
+            + 1
+        )
+        .cast("bigint")
+        .alias("bin"),
+        (F.col("event_type") == "purchase").cast("bigint").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_bad"),
+    )
+    tot = agg.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    g = (F.col("n_good") + 0.5) / (F.col("tg") + 0.5)
+    b = (F.col("n_bad") + 0.5) / (F.col("tb") + 0.5)
+    woe = F.log(g / b)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((g - b) * woe, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )

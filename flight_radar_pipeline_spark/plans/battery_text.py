@@ -677,3 +677,167 @@ def doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, "text", k=_HH_K)
+
+
+# --------------------------------------------------------------------------
+# exact-substring boilerplate detection (shared n-token spans)
+# --------------------------------------------------------------------------
+
+_SPAN_N = 8       # span length in tokens
+_SPAN_MIN_DOCS = 3
+_SPAN_TOP = 20
+
+_BOILER_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as ts
+        from documents
+    ), spans as (
+        select doc_id, array_to_string(ts[i:i+{_SPAN_N - 1}], ' ') as span
+        from t, lateral (
+            select unnest(range(1, greatest(len(ts) - {_SPAN_N - 2}, 1))) as i
+        )
+    ), agg as (
+        select span,
+               count(distinct doc_id) as n_docs,
+               count(*) as n_occurrences
+        from spans group by span
+    )
+    select span, n_docs, n_occurrences
+    from agg
+    where n_docs >= {_SPAN_MIN_DOCS}
+    order by n_docs desc, n_occurrences desc, span
+    limit {_SPAN_TOP}
+"""
+
+
+@register("doc_boilerplate_spans", _BOILER_ORACLE)
+def doc_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring boilerplate mining (the C4/RefinedWeb "repeated
+    span" pass): every 8-token span of every document, counted by how
+    many DISTINCT documents contain it; spans above the document
+    threshold are the boilerplate candidates a cleaning pass would strip.
+    Fan-out is one span per token — linear in corpus size — and the
+    aggregate combines map-side, so the shuffle carries one row per
+    distinct span. At 100 TB the group key would be ``xxhash64(span)``
+    with a ``min(span)`` exemplar (identical shuffle width, 8-byte keys);
+    the plain-text key here keeps the oracle exactly relational. Top-k
+    is fully tiebroken (n_docs, n_occurrences, span)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ts")
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("ts") - F.lit(_SPAN_N - 2), F.lit(1)),
+            )
+        ).alias("i"),
+        "ts",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("ts", F.col("i"), _SPAN_N), " ").alias("span"),
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= _SPAN_MIN_DOCS)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+        )
+        .limit(_SPAN_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source corpus report (lang entropy + dup rate)
+# --------------------------------------------------------------------------
+
+_SOURCE_ORACLE = r"""
+    with d as (
+        select source, lang,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) as fp,
+               n_chars
+        from documents
+    ), sl as (
+        select source, lang, count(*) as c from d group by source, lang
+    ), ent as (
+        select source,
+               round(-sum((c / t) * ln(c / t)), 4) as lang_entropy,
+               count(*) as n_langs
+        from (select source, lang, c,
+                     sum(c) over (partition by source) as t from sl)
+        group by source
+    ), base as (
+        select source,
+               count(*) as n_docs,
+               count(distinct fp) as n_unique,
+               round(avg(n_chars), 2) as avg_chars
+        from d group by source
+    )
+    select b.source, b.n_docs, e.n_langs, e.lang_entropy,
+           round(1.0 - b.n_unique / b.n_docs, 4) as dup_rate,
+           b.avg_chars
+    from base b join ent e using (source)
+    order by b.source
+"""
+
+
+@register("doc_source_report", _SOURCE_ORACLE)
+def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health report — the domain-level triage table a
+    web-crawl pipeline ranks sources by before mixing: document count,
+    language entropy (−Σ p·ln p over the source's language mix), exact
+    duplicate rate (1 − distinct fingerprints / docs) and mean length.
+    Two aggregations, both keyed (or partially keyed) on source: a
+    (source, lang) count rolled up to entropy, and a per-source
+    distinct-fingerprint count — every shuffle is at source or
+    source×lang cardinality; the fingerprint distinct-count partial-
+    aggregates per source. At 100 TB distinct fingerprints per source
+    would swap to HLL (approx_count_distinct) exactly like
+    ``approx_distinct_users``."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("fp"),
+        "n_chars",
+    )
+    sl = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = sl.groupBy("source").agg(F.sum("c").alias("t"))
+    ent = (
+        sl.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("t")) * F.log(F.col("c") / F.col("t"))),
+                4,
+            ).alias("lang_entropy"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    return (
+        base.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "lang_entropy",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 4).alias(
+                "dup_rate"
+            ),
+            "avg_chars",
+        )
+        .orderBy("source")
+    )

@@ -131,6 +131,60 @@ def click_view_pairs_stream(
     )
 
 
+def view_click_left_outer_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    lookforward_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view paired with the same
+    user's clicks in the ``lookforward_minutes`` after it — and views
+    with NO such click still emitted (click columns null) once the
+    watermark proves no match can arrive. The outer side is what makes
+    this the streaming "did the impression convert?" operator; an inner
+    join would silently drop the non-converting majority.
+
+    Emission semantics (pinned by ``tests/test_session_boundary.py``):
+    matched pairs emit like the inner join; an unmatched view emits
+    null-extended only when the GLOBAL watermark passes the end of its
+    match window. The global watermark is the MIN over every source's
+    event-time watermark (Spark's default ``multipleWatermarkPolicy``),
+    so with delay 0 over a replayed feed the emitted unmatched set is
+    exactly the views with ``v_ts + lookforward <
+    min(max view ts, max click ts)`` — boundary EXCLUSIVE (a view whose
+    window ends exactly at the final watermark stays in state,
+    unemitted). The SQL oracle states both parts directly.
+
+    Scale: state per side is bounded by watermark + lookforward exactly
+    as in the inner join; the outer rows add no state, only deferred
+    emission. Without the time-range condition Spark would (rightly)
+    reject the outer join as unbounded.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    lf = f"INTERVAL {int(lookforward_minutes)} MINUTES"
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(lf)),
+        "leftOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
 def enrich_events_stream(
     events: DataFrame,
     dim: DataFrame,

@@ -43,6 +43,10 @@ ALLOWED_BNLJ = {
     "doc_contiguous_ids",         # <=64-row bucket-bounds broadcast
     "orders_bloom_semi_join",     # 1-row 64-word bitmap broadcast
     "event_value_interpolated",   # spine: tiny key-set × generated hour rows
+    "event_value_woe_bins",       # 1-row decile-bounds + totals broadcasts
+    "referential_integrity_audit",  # 1-row count × 1-row count per relation
+    "user_erasure_audit",         # 1-row max-ts / count broadcasts
+    "session_event_type_lift",    # 1-row basket-total broadcast
 }
 
 

@@ -51,6 +51,16 @@ POST_FREEZE: set[str] = {
     "doc_heavy_hitters",
     "event_value_interpolated",
     "doc_bpe_encode",
+    "event_value_winsorized",
+    "user_value_ewma",
+    "embedding_group_centroids",
+    "doc_source_report",
+    "corpus_filter_funnel",
+    "referential_integrity_audit",
+    "user_erasure_audit",
+    "event_value_woe_bins",
+    "order_status_psi_drift",
+    "session_event_type_lift",
 }
 
 

@@ -145,3 +145,50 @@ def test_native_stream_emits_inclusive_of_watermark_boundary(spark):
             state_partitions=2,
         ).collect()
     assert [(r.user_id, r.n_events) for r in out] == [(1, 1)]
+
+
+def test_left_outer_stream_emission_boundary(spark):
+    """Left-outer stream-stream join: unmatched left rows emit
+    null-extended only when the final GLOBAL watermark — the MIN over
+    both sides' event-time maxima (multipleWatermarkPolicy default) —
+    passes the END of their match window EXCLUSIVELY. Both sides' maxima
+    are pinned to 00:31 (late view D, late click 999), so the final
+    watermark is 00:31: view A's window end 00:30 < 00:31 emits, view
+    B's 00:31 equals it exactly (stays in state), view C has a real
+    click match (emits immediately regardless of watermark), and D
+    itself (window end 01:01) stays open."""
+    import tempfile
+
+    from flight_radar_pipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        view_click_left_outer_stream,
+    )
+
+    rows = [
+        # (event_id, user_id, event_type, ts)
+        (100, 1, "view", dt.datetime(2024, 1, 1, 0, 0, 0)),   # A: end 00:30 < max
+        (200, 2, "view", dt.datetime(2024, 1, 1, 0, 1, 0)),   # B: end 00:31 == max
+        (300, 3, "view", dt.datetime(2024, 1, 1, 0, 2, 0)),   # C: matched
+        (301, 3, "click", dt.datetime(2024, 1, 1, 0, 10, 0)),
+        (400, 8, "view", dt.datetime(2024, 1, 1, 0, 31, 0)),   # D: sets view wm
+        (999, 9, "click", dt.datetime(2024, 1, 1, 0, 31, 0)),  # sets click wm
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+
+        def stream():
+            return spark.readStream.schema(src.schema).parquet(f"{d}/in")
+
+        out = run_stream_to_memory(
+            view_click_left_outer_stream(
+                stream().filter(F.col("event_type") == "view"),
+                stream().filter(F.col("event_type") == "click"),
+            ),
+            output_mode="append",
+            state_partitions=2,
+        ).collect()
+    got = sorted((r.view_id, r.click_id) for r in out)
+    assert got == [(100, None), (300, 301)]

@@ -128,6 +128,38 @@ def main() -> int:
         }
         print(f"{name}: sf0.1 {w01}s  sf1 {w1}s  ratio {ratio}", flush=True)
 
+    # sign-LSH plane-scaling confirmation at sf1 (10× corpus): the battery
+    # entry's 4 tables × 4 planes keeps bucket occupancy ∝ corpus, so the
+    # in-bucket verify grows super-linearly; growing planes_per_table by
+    # ~log2(10) ≈ 3 restores flat occupancy. Both variants run at sf1.
+    def _lsh_at(planes: int):
+        from flight_radar_pipeline_spark.operators import similarity as S
+        from flight_radar_pipeline_spark.sources.readers import load_table
+
+        emb = load_table(spark, sf1, "embeddings")
+        return S.cosine_near_dup_pairs(
+            emb, threshold=0.35, num_tables=4, planes_per_table=planes,
+            n_dims=64,
+        )
+
+    for label, planes in (("cosine_lsh_sf1_fixed_p4", 4),
+                          ("cosine_lsh_sf1_scaled_p7", 7)):
+        def one_run(planes=planes) -> float:
+            t0 = time.perf_counter()
+            try:
+                _lsh_at(planes).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"# scale_run error {label}: {exc}", file=sys.stderr)
+                return -1.0
+
+        cold, warm = _warm_of_2(one_run)
+        spark.catalog.clearCache()
+        report[label] = {"sf1_warm": warm, "sf1_cold": cold}
+        print(f"{label}: warm {warm}s cold {cold}s", flush=True)
+
     # semantic-dedup k-scaling confirmation at sf1 (10× corpus):
     # fixed k=8 (battery parity) vs k=80 (k grown with corpus)
     for label, k in (("semantic_dedup_sf1_fixed_k8", 8),
