@@ -1767,3 +1767,131 @@ def session_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# sliding-window mean-shift changepoint detection
+# --------------------------------------------------------------------------
+
+_SHIFT_H = 24 * 3600  # comparison window: 24 hours each side, in seconds
+_SHIFT_Z = 0.9        # flag threshold in pooled-std units
+
+_SHIFT_ORACLE = f"""
+    with hourly as (
+        select event_type, date_trunc('hour', ts) as hour_start,
+               avg(value) as v, count(*) as c
+        from events group by 1, 2
+    ), stats as (
+        select event_type, hour_start, v,
+               avg(v) over w_before as mu_b,
+               stddev_pop(v) over w_before as sd_b,
+               count(*) over w_before as n_b,
+               avg(v) over w_after as mu_a,
+               stddev_pop(v) over w_after as sd_a,
+               count(*) over w_after as n_a
+        from hourly
+        window
+            w_before as (partition by event_type order by epoch(hour_start)
+                range between {_SHIFT_H} preceding and 1 preceding),
+            w_after as (partition by event_type order by epoch(hour_start)
+                range between current row and {_SHIFT_H - 1} following)
+    )
+    select event_type,
+           strftime(hour_start, '%Y-%m-%d %H:%M:%S') as hour_start,
+           round(mu_a - mu_b, 4) as shift,
+           round(abs(mu_a - mu_b)
+                 / sqrt((sd_b * sd_b + sd_a * sd_a) / 2 + 1e-9), 4) as zscore
+    from stats
+    where n_b >= 4 and n_a >= 4
+      and abs(mu_a - mu_b)
+          / sqrt((sd_b * sd_b + sd_a * sd_a) / 2 + 1e-9) > {_SHIFT_Z}
+    order by event_type, hour_start
+"""
+
+
+@register("event_hourly_mean_shift", _SHIFT_ORACLE)
+def event_hourly_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window changepoint detector: for every hour, compare the
+    mean of the 24 hours BEFORE against the 24 hours AT-AND-AFTER (RANGE
+    frames over epoch seconds, so missing hours don't distort the
+    window) and flag level shifts above 0.9 pooled standard deviations (tuned to
+    the synthetic feed's sparse per-type hourly coverage) —
+    the streaming-metrics drift alarm, computed batch. The fact table
+    collapses to type×hour means first (partial-aggregated, tiny), and
+    BOTH directional windows run over that aggregate in one shuffle at
+    event_type cardinality; a 100 TB feed adds nothing to the window
+    stage. Both sides guard degenerate windows (≥ 4 populated hours)
+    and share the ε-stabilized pooled std."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.avg("value").alias("v"))
+    sec = F.unix_timestamp("hour_start")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-_SHIFT_H, -1)
+    )
+    wa = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(0, _SHIFT_H - 1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_start",
+        F.avg("v").over(wb).alias("mu_b"),
+        F.stddev_pop("v").over(wb).alias("sd_b"),
+        F.count(F.lit(1)).over(wb).alias("n_b"),
+        F.avg("v").over(wa).alias("mu_a"),
+        F.stddev_pop("v").over(wa).alias("sd_a"),
+        F.count(F.lit(1)).over(wa).alias("n_a"),
+    )
+    pooled = F.sqrt(
+        (F.col("sd_b") * F.col("sd_b") + F.col("sd_a") * F.col("sd_a")) / 2
+        + 1e-9
+    )
+    z = F.abs(F.col("mu_a") - F.col("mu_b")) / pooled
+    return (
+        stats.filter(
+            (F.col("n_b") >= 4) & (F.col("n_a") >= 4) & (z > _SHIFT_Z)
+        )
+        .select(
+            "event_type",
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            F.round(F.col("mu_a") - F.col("mu_b"), 4).alias("shift"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "hour_start")
+    )
+
+
+@register(
+    "distinct_user_event_types_within_wm_stream",
+    """
+    select distinct user_id, event_type from events
+    order by user_id, event_type
+    """,
+)
+def distinct_user_event_types_within_wm_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``
+    — the production sibling of ``distinct_user_event_types_stream``
+    (whose per-key state never ages out). The 40-day horizon exceeds the
+    replayed feed's 30-day span, so no key can be evicted before
+    end-of-stream and the emitted key set equals batch DISTINCT — same
+    oracle, different (bounded-state) machinery."""
+    from flight_radar_pipeline_spark.streaming.events import (
+        dedup_keys_within_watermark_stream,
+    )
+
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = dedup_keys_within_watermark_stream(
+        events, ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(
+        out, output_mode="append", state_partitions=8
+    ).orderBy("user_id", "event_type")

@@ -477,3 +477,85 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(orders, "o_custkey", "orders"))
         .orderBy("table_name")
     )
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance of a join-aggregate view (signed deltas)
+# --------------------------------------------------------------------------
+
+# upsert batch: every 10th order arrives re-stated with a bumped price —
+# maintenance must RETRACT the old contribution and add the new one.
+
+_IVM_ORACLE = """
+    with upserted as (
+        select o_custkey,
+               case when o_orderkey % 10 = 0 then o_totalprice + 1000
+                    else o_totalprice end as p
+        from orders
+    )
+    select n.n_name as nation,
+           round(sum(u.p), 2) as revenue,
+           count(*) as n_orders
+    from upserted u
+    join customer c on c.c_custkey = u.o_custkey
+    join nation n on n.n_nationkey = c.c_nationkey
+    group by n.n_name
+    order by nation
+"""
+
+
+@register("nation_revenue_view_ivm", _IVM_ORACLE)
+def nation_revenue_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a join-aggregate materialized view
+    (revenue per nation over orders ⋈ customer ⋈ nation) under an UPSERT
+    batch, via signed deltas: the maintained view is
+    V ⊎ agg(Δ_new) ⊎ (−1)·agg(old rows at Δ's keys) — the textbook IVM
+    retraction trick, so the 100 TB base table is touched only at the
+    delta keys' partial aggregates and the view merge is
+    |nations|-sized. Here the base view and both signed deltas compute
+    from the same scan lineage (no stored view in the sandbox), but the
+    maintenance algebra — union of +/− signed partials, one final merge
+    aggregate — is exactly the production shape, and the oracle proves
+    it equals the full recompute over the upserted table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+
+    def enriched(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), df["o_custkey"] == cust["c_custkey"])
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == nation["n_nationkey"],
+            )
+        )
+
+    is_delta = F.col("o_orderkey") % 10 == 0
+    # base view partials: ALL current rows, weight +1
+    base = enriched(orders).select(
+        "nation", F.col("o_totalprice").alias("p"), F.lit(1).alias("w")
+    )
+    # retraction partials: old versions at the upsert keys, weight −1
+    retract = enriched(orders.filter(is_delta)).select(
+        "nation", F.col("o_totalprice").alias("p"), F.lit(-1).alias("w")
+    )
+    # insertion partials: re-stated rows, weight +1
+    insert = enriched(
+        orders.filter(is_delta).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000
+        )
+    ).select("nation", F.col("o_totalprice").alias("p"), F.lit(1).alias("w"))
+    return (
+        base.unionByName(retract)
+        .unionByName(insert)
+        .groupBy("nation")
+        .agg(
+            F.round(F.sum(F.col("p") * F.col("w")), 2).alias("revenue"),
+            F.sum("w").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("nation")
+    )

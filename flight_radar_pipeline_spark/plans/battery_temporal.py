@@ -105,3 +105,85 @@ def event_window_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("window_id")
     )
+
+
+# --------------------------------------------------------------------------
+# multi-touch attribution (time-decay credit over the click path)
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_MIN = 30
+_ATTR_HALFLIFE_S = 600.0  # 10-minute credit half-life
+
+_MTA_ORACLE = f"""
+    with p as (
+        select event_id as purchase_id, user_id, ts as pts
+        from events where event_type = 'purchase'
+    ), c as (
+        select event_id as click_id, user_id, ts as cts
+        from events where event_type = 'click'
+    ), touch as (
+        select p.purchase_id, c.click_id,
+               exp(-ln(2) * (floor(epoch(p.pts)) - floor(epoch(c.cts)))
+                   / {_ATTR_HALFLIFE_S}) as w
+        from p join c
+          on c.user_id = p.user_id
+         and c.cts <= p.pts
+         and c.cts >= p.pts - interval {_ATTR_LOOKBACK_MIN} minute
+    )
+    select purchase_id, click_id,
+           round(w / sum(w) over (partition by purchase_id), 4) as credit
+    from touch
+    order by purchase_id, click_id
+"""
+
+
+@register("purchase_multitouch_attribution", _MTA_ORACLE)
+def purchase_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every click in the 30 minutes
+    before a same-user purchase receives exponentially-decayed weight
+    (10-minute half-life), normalized so each purchase distributes
+    exactly 1.0 credit over its touch path — the marketing-attribution
+    shape (and the general "distribute a label over contributing
+    events" pattern). One shuffle: the purchase↔click range join keys on
+    user_id with the time band bounding state, exactly like the
+    streaming click/view join; normalization is a window sum over
+    purchase_id, whose group is the (small) per-purchase touch set. The
+    decay uses epoch-second differences so both engines exponentiate
+    identical integers."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    import math
+
+    gap_s = F.unix_timestamp("pts") - F.unix_timestamp("cts")
+    touch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (
+            F.col("cts")
+            >= F.col("pts") - F.expr(f"INTERVAL {_ATTR_LOOKBACK_MIN} MINUTES")
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.exp(F.lit(-math.log(2)) * gap_s / F.lit(_ATTR_HALFLIFE_S)).alias(
+            "w"
+        ),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("purchase_id")
+    return touch.select(
+        "purchase_id",
+        "click_id",
+        F.round(F.col("w") / F.sum("w").over(wp), 4).alias("credit"),
+    ).orderBy("purchase_id", "click_id")

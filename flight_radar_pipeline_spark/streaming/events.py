@@ -219,6 +219,27 @@ def dedup_keys_stream(events: DataFrame, keys: list[str]) -> DataFrame:
     return events.select(*keys).dropDuplicates(keys)
 
 
+def dedup_keys_within_watermark_stream(
+    events: DataFrame, keys: list[str], watermark: str = "40 days"
+) -> DataFrame:
+    """Production form of :func:`dedup_keys_stream`:
+    ``dropDuplicatesWithinWatermark`` bounds state by evicting keys once
+    the watermark passes them — the trade an unbounded feed requires
+    (duplicates separated by MORE than the horizon are re-emitted).
+    With a horizon at least as long as the replayed feed's span, no key
+    can age out before end-of-stream, so the emitted key set equals the
+    batch DISTINCT exactly — which is what lets the same SQL oracle
+    check the bounded-state operator. The watermark column must be one
+    of the dedup keys' frame columns, so ``ts`` rides along in the
+    projection and the caller drops it after."""
+    return (
+        events.select("ts", *keys)
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
 SESSION_OUT = StructType(
     [
         StructField("user_id", LongType(), True),

@@ -61,6 +61,10 @@ POST_FREEZE: set[str] = {
     "event_value_woe_bins",
     "order_status_psi_drift",
     "session_event_type_lift",
+    "nation_revenue_view_ivm",
+    "event_hourly_mean_shift",
+    "distinct_user_event_types_within_wm_stream",
+    "purchase_multitouch_attribution",
 }
 
 
