@@ -80,6 +80,22 @@ def _build_parser() -> argparse.ArgumentParser:
         "continent is derived)",
     )
     p.add_argument("--master", default="local[*]")
+
+    c = sub.add_parser(
+        "corpus-prep",
+        help="assemble a packed training corpus from a documents parquet "
+        "(language/quality gates, exact+near dedup, optional "
+        "decontamination, chunk, pack)",
+    )
+    c.add_argument("--docs", required=True, help="documents parquet path")
+    c.add_argument("--out", required=True, help="output directory (packed parquet)")
+    c.add_argument("--langs", help="comma-separated language allowlist")
+    c.add_argument(
+        "--eval-docs", help="held-out eval parquet for decontamination"
+    )
+    c.add_argument("--quality-threshold", type=float, default=0.5)
+    c.add_argument("--token-budget", type=int, default=512)
+    c.add_argument("--master", default="local[*]")
     return parser
 
 
@@ -126,6 +142,24 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "run-pipeline":
             _run_pipeline_cmd(spark, args)
+        elif args.command == "corpus-prep":
+            from flight_radar_pipeline_spark.pipeline.corpus import (
+                run_corpus_prep,
+            )
+
+            res = run_corpus_prep(
+                spark.read.parquet(args.docs),
+                out_dir=args.out,
+                quality_threshold=args.quality_threshold,
+                langs=args.langs.split(",") if args.langs else None,
+                eval_docs=(
+                    spark.read.parquet(args.eval_docs)
+                    if args.eval_docs
+                    else None
+                ),
+                token_budget=args.token_budget,
+            )
+            print(json.dumps({"out": args.out, "metrics": res.metrics}))
         else:
             gold = (
                 latest_snapshot(spark, args.gold)

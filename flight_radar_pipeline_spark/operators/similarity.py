@@ -255,6 +255,39 @@ def multitable_signatures(
     )
 
 
+def recommended_planes(
+    n_vectors: int, target_bucket_occupancy: int = 400, floor: int = 4
+) -> int:
+    """Sizing rule for ``planes_per_table``: enough hyperplanes that the
+    EXPECTED bucket occupancy n / 2^planes stays near
+    ``target_bucket_occupancy``, i.e. ceil(log2(n / target)).
+
+    Why it matters (measured, SCALE_RUN.json round 5): at a 10× corpus
+    with planes FIXED at 4, bucket occupancy grows 10× and the in-bucket
+    quadratic verify made the dedup 13× slower; growing planes by
+    log2(10) ≈ 3 restored linear scaling (20.4 s → 3.2 s at sf1). More
+    planes cost per-table recall; recover it by raising ``num_tables``
+    (candidates are the union over tables)."""
+    import math
+
+    if n_vectors <= target_bucket_occupancy:
+        return floor
+    return max(floor, math.ceil(math.log2(n_vectors / target_bucket_occupancy)))
+
+
+def recommended_semantic_k(
+    n_vectors: int, target_cell_size: int = 1000, floor: int = 8
+) -> int:
+    """Sizing rule for the semantic-dedup k-means cell count: k ≈
+    n / target_cell_size, so the O(cell²) in-cell verify stays constant
+    per cell as the corpus grows (the SemDeDup contract "k grows with
+    corpus"). Measured (SCALE_RUN.json round 5): at 10× corpus, k grown
+    10× ran the dedup 2.7× faster than fixed k (19.6 s vs 52.5 s)."""
+    import math
+
+    return max(floor, math.ceil(n_vectors / target_cell_size))
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -5,9 +5,11 @@ the curation operators this engine provides into the standard assembly
 line a pretraining-data pipeline runs —
 
     raw documents
+      → language gate  (optional allowlist, pushdown-eligible)
       → quality gate   (heuristic score threshold, scan-speed)
       → exact dedup    (keep-min per canonical fingerprint)
       → near-dup gate  (MinHash-LSH pairs → components → keep cluster min)
+      → decontamination (optional: n-gram overlap vs a held-out eval set)
       → chunking       (sliding token windows, row-local)
       → packing        (contiguous-fill to a token budget, per-bucket)
       → partitioned parquet write (one directory per pack bucket)
@@ -34,7 +36,10 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions import text as T
 from flight_radar_pipeline_spark.operators import dedup as D
-from flight_radar_pipeline_spark.operators.corpus_prep import chunk_documents
+from flight_radar_pipeline_spark.operators.corpus_prep import (
+    chunk_documents,
+    contamination_report,
+)
 from flight_radar_pipeline_spark.operators.graph import connected_components
 from flight_radar_pipeline_spark.operators.packing import pack_documents
 
@@ -53,6 +58,10 @@ def run_corpus_prep(
     docs: DataFrame,
     out_dir: str | None = None,
     quality_threshold: float = 0.5,
+    langs: list[str] | None = None,
+    lang_col: str = "lang",
+    eval_docs: DataFrame | None = None,
+    contamination_threshold: float = 0.2,
     near_dup_pairs: DataFrame | None = None,
     token_budget: int = 512,
     pack_buckets: int = 8,
@@ -65,6 +74,10 @@ def run_corpus_prep(
     docstring for the stage chain. Returns the packed-chunk DataFrame
     (chunk rows carrying pack assignments) and, once written, per-stage
     counts."""
+    # language gate — optional allowlist, pushdown-eligible predicate
+    if langs is not None:
+        docs = docs.filter(F.col(lang_col).isin(*langs))
+
     # quality gate — pure column exprs on the scan
     quality = docs.filter(
         T.quality_score(text_col) >= F.lit(quality_threshold)
@@ -91,6 +104,19 @@ def run_corpus_prep(
     )
     obs_k = Observation("near_dup_kept")
     kept = kept.observe(obs_k, F.count(F.lit(1)).alias("rows"))
+
+    # decontamination gate — optional: drop docs whose distinct-n-gram
+    # overlap with the held-out eval corpus exceeds the threshold (eval
+    # grams broadcast; see operators.corpus_prep.contamination_report)
+    if eval_docs is not None:
+        contaminated = (
+            contamination_report(kept, eval_docs, id_col=id_col, text_col=text_col)
+            .filter(F.col("contamination") > F.lit(contamination_threshold))
+            .select(F.col(id_col))
+        )
+        kept = kept.join(contaminated, id_col, "left_anti")
+    obs_d = Observation("decontaminated_kept")
+    kept = kept.observe(obs_d, F.count(F.lit(1)).alias("rows"))
 
     # chunk → pack (chunks become the packable units, keyed by a stable
     # synthetic chunk id folding doc and index)
@@ -128,6 +154,7 @@ def run_corpus_prep(
             ("quality_kept", obs_q),
             ("exact_kept", obs_e),
             ("near_dup_kept", obs_k),
+            ("decontaminated_kept", obs_d),
             ("packed_chunks", obs_p),
         ):
             metrics[name] = int(obs.get["rows"])

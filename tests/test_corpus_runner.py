@@ -65,3 +65,43 @@ def test_near_dup_losers_absent(result, spark):
         .collect()
     }
     assert kept_docs.isdisjoint(losers)
+
+
+def test_language_and_decontamination_gates(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    out = str(tmp_path / "packed_decon")
+    res = run_corpus_prep(
+        docs,
+        out_dir=out,
+        langs=["en", "es"],
+        eval_docs=eval_docs,
+        contamination_threshold=0.2,
+        token_budget=128,
+        pack_buckets=4,
+    )
+    m = res.metrics
+    # the language gate ran before quality: nothing outside the allowlist
+    # survives to the written output's source docs
+    kept_docs = (
+        spark.read.parquet(out)
+        .select("src_doc_id")
+        .distinct()
+        .join(
+            docs.select(F.col("doc_id").alias("src_doc_id"), "lang"),
+            "src_doc_id",
+        )
+    )
+    assert kept_docs.filter(~F.col("lang").isin("en", "es")).count() == 0
+    # decontamination is a gate: it can only remove
+    assert m["near_dup_kept"] >= m["decontaminated_kept"] > 0
+    # eval-heavy docs (doc_id % 50 == 0 ARE the eval set -> contamination
+    # 1.0) must be gone wherever they passed the earlier gates
+    assert (
+        spark.read.parquet(out)
+        .filter((F.col("src_doc_id") % 50) == 0)
+        .count()
+        == 0
+    )

@@ -255,3 +255,19 @@ def test_semantic_dedup_arrow_expr_impls_identical(emb):
         )
     )
     assert rows("arrow") == rows("expr")
+
+
+def test_recommended_planes_monotone_and_floor():
+    from flight_radar_pipeline_spark.operators.similarity import (
+        recommended_planes,
+        recommended_semantic_k,
+    )
+
+    assert recommended_planes(100) == 4           # floor
+    assert recommended_planes(400 * 16) == 4      # 2^4 buckets of 400
+    assert recommended_planes(400 * 16 * 10) == 8  # 10x corpus -> more planes
+    ks = [recommended_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ks == sorted(ks)
+    assert recommended_semantic_k(5_000) == 8     # floor at bench scale
+    assert recommended_semantic_k(50_000) == 50
+    assert recommended_semantic_k(500_000) == 500
