@@ -1895,3 +1895,124 @@ def distinct_user_event_types_within_wm_stream(
     return run_stream_to_memory(
         out, output_mode="append", state_partitions=8
     ).orderBy("user_id", "event_type")
+
+
+# --------------------------------------------------------------------------
+# two-sample A/B test per metric (z-test on means)
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+    with assigned as (
+        select event_type, value,
+               case when user_id % 2 = 0 then 'A' else 'B' end as arm
+        from events
+    ), sides as (
+        select event_type,
+               count(*) filter (arm = 'A') as n_a,
+               avg(value) filter (arm = 'A') as mu_a,
+               var_samp(value) filter (arm = 'A') as var_a,
+               count(*) filter (arm = 'B') as n_b,
+               avg(value) filter (arm = 'B') as mu_b,
+               var_samp(value) filter (arm = 'B') as var_b
+        from assigned group by event_type
+    )
+    select event_type, n_a, n_b,
+           round(mu_a, 4) as mean_a,
+           round(mu_b, 4) as mean_b,
+           round((mu_b - mu_a)
+                 / sqrt(var_a / n_a + var_b / n_b), 4) as zstat,
+           case when abs((mu_b - mu_a)
+                 / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+                then 1 else 0 end as significant_95
+    from sides
+    order by event_type
+"""
+
+
+@register("ab_test_event_value", _AB_ORACLE)
+def ab_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B analysis per metric: users hash-split into arms
+    (even/odd id — deterministic, the md5-bucket assignment of
+    ``doc_deterministic_sample`` at production), then Welch z-statistic
+    on the per-arm means of each event type — the experimentation
+    readout every growth team runs. ONE scan: per-(type, arm) moments
+    via conditional aggregates, the test statistic computed on the
+    |types|-row aggregate. Partial-aggregable everywhere; a 100 TB
+    event log adds nothing but the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    arm_a = F.col("user_id") % 2 == 0
+    sides = ev.groupBy("event_type").agg(
+        F.count(F.when(arm_a, 1)).alias("n_a"),
+        F.avg(F.when(arm_a, F.col("value"))).alias("mu_a"),
+        F.var_samp(F.when(arm_a, F.col("value"))).alias("var_a"),
+        F.count(F.when(~arm_a, 1)).alias("n_b"),
+        F.avg(F.when(~arm_a, F.col("value"))).alias("mu_b"),
+        F.var_samp(F.when(~arm_a, F.col("value"))).alias("var_b"),
+    )
+    se = F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b"))
+    z = (F.col("mu_b") - F.col("mu_a")) / se
+    return sides.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mu_a", 4).alias("mean_a"),
+        F.round("mu_b", 4).alias("mean_b"),
+        F.round(z, 4).alias("zstat"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# top session paths (3-step event-type sequences)
+# --------------------------------------------------------------------------
+
+_PATH_TOP = 15
+
+_PATHS_ORACLE = f"""
+    with o as (
+        select user_id, event_type, ts, event_id,
+               row_number() over (
+                   partition by user_id order by ts, event_id) as rn
+        from events
+    ), tri as (
+        select a.event_type || '>' || b.event_type || '>' || c.event_type
+                   as path
+        from o a
+        join o b on b.user_id = a.user_id and b.rn = a.rn + 1
+        join o c on c.user_id = a.user_id and c.rn = a.rn + 2
+    )
+    select path, count(*) as n
+    from tri group by path
+    order by n desc, path
+    limit {_PATH_TOP}
+"""
+
+
+@register("top_session_paths", _PATHS_ORACLE)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step event-type paths across user activity — the
+    navigation-mining extension of the bigram Markov matrix
+    (``event_type_transitions``) to variable-length sequence windows.
+    One shuffle on user_id: both lookahead steps are LEAD windows over
+    the same (ts, event_id)-ordered frame (no self-joins — the oracle
+    states the identical trigrams relationally via rn joins), then a
+    map-side-combined count at path cardinality (≤ |types|³)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_TOP)
+    )

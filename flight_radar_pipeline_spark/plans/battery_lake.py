@@ -559,3 +559,81 @@ def nation_revenue_view_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming incremental rollup maintenance (foreachBatch + merge_rollup)
+# --------------------------------------------------------------------------
+
+_ROLLUP_STREAM_ORACLE = """
+    select strftime(date_trunc('day', ts), '%Y-%m-%d') as day,
+           event_type,
+           count(*) as n_events,
+           cast(round(sum(round(value * 100))) as bigint) as value_cents
+    from events
+    group by 1, 2
+    order by day, event_type
+"""
+
+
+@register("daily_rollup_stream_merge", _ROLLUP_STREAM_ORACLE)
+def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate-table maintenance: each microbatch aggregates
+    to (day, type) partials and ``foreachBatch`` merges them into a
+    versioned rollup table via ``merge_rollup`` — the streaming face of
+    ``incremental_daily_rollup``, and the foreachBatch sibling of the
+    windowed-agg entries: instead of the state store holding windows,
+    the DURABLE TABLE is the state, so the rollup survives restarts and
+    is queryable mid-stream. Values are pinned to integer cents before
+    summing (mergeable partials must be exact across arbitrary batch
+    splits). The final table equals the one-shot batch rollup, which
+    the oracle states."""
+    from flight_radar_pipeline_spark.pipeline.silver import merge_rollup
+    from flight_radar_pipeline_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="rollup_stream_")
+    feed = read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+    versions: list[str] = []
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        delta = batch.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100)).cast("bigint").alias(
+                "value_cents"
+            ),
+        )
+        if versions:
+            cur = spark.read.parquet(versions[-1])
+            delta = merge_rollup(
+                cur, delta, ["day", "event_type"], ["n_events", "value_cents"]
+            )
+        nxt = os.path.join(work, f"v{len(versions)}")
+        delta.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    q = (
+        feed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(versions[-1])
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+        )
+        .orderBy("day", "event_type")
+    )

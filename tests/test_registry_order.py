@@ -65,6 +65,9 @@ POST_FREEZE: set[str] = {
     "event_hourly_mean_shift",
     "distinct_user_event_types_within_wm_stream",
     "purchase_multitouch_attribution",
+    "ab_test_event_value",
+    "top_session_paths",
+    "daily_rollup_stream_merge",
 }
 
 
