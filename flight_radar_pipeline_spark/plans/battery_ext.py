@@ -936,15 +936,19 @@ def multimodal_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user counts per event type
-    (``approx_count_distinct``, 1% rsd) next to the exact count — the
-    sketch path a 100 TB pipeline actually uses. No SQL oracle: the HLL
-    estimate is engine-specific; the exact column is covered by other
-    queries."""
+    (``approx_count_distinct`` at the engine-default 5% rsd) next to the
+    exact count — the sketch path a 100 TB pipeline actually uses. No
+    SQL oracle: the HLL estimate is engine-specific; the exact column is
+    covered by other queries. rsd sizes the register file at
+    (1.04/rsd)²: the earlier 1% setting allocated 2^14 registers per
+    (group × partition) partial and measured 5× slower for no useful
+    precision at these cardinalities — sketch precision is a knob to
+    size against the MEASURED cardinality band, not to max out."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .orderBy("event_type")

@@ -841,3 +841,69 @@ def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# feature hashing (hashing-trick TF vectorization)
+# --------------------------------------------------------------------------
+
+_HTF_D = 64  # hashed feature dimensionality
+
+_HTF_ORACLE = rf"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as t
+        from documents
+    ), bucketed as (
+        select doc_id,
+               ('0x' || substr(md5(t), 1, 12))::bigint % {_HTF_D} as bucket
+        from tok
+    ), tf as (
+        select doc_id, bucket, count(*) as c
+        from bucketed group by doc_id, bucket
+    )
+    select doc_id,
+           count(*) as nnz,
+           round(sqrt(sum(c * c)), 4) as l2_norm,
+           min(bucket) filter (
+               where c = (select max(c2.c) from tf c2
+                           where c2.doc_id = tf.doc_id)) as top_bucket
+    from tf group by doc_id
+    order by doc_id
+"""
+
+
+@register("doc_hashing_tf", _HTF_ORACLE)
+def doc_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF vectorization (HashingTF): every token maps to
+    one of 64 hashed feature buckets (md5-derived, engine-portable — the
+    same ``functions.text.hash_bucket`` primitive the deterministic
+    samplers use), per-document bucket counts form the sparse feature
+    vector, and the entry reports its profile (nnz, L2 norm, dominant
+    bucket with a min-bucket tiebreak). No vocabulary pass, no
+    dictionary broadcast — THE point of feature hashing at 100 TB: one
+    explode (linear fan-out) and two partial-aggregated groupBys on
+    uniform hash keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    bucketed = tok.select("doc_id", T.hash_bucket("t", _HTF_D).alias("bucket"))
+    tf = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # argmax-by-count with min-bucket tiebreak as a struct max — ordinary
+    # partial-aggregable agg, no window pass over the TF table
+    arg = F.max(
+        F.struct(F.col("c"), (-F.col("bucket")).alias("nb"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 4).alias(
+                "l2_norm"
+            ),
+            (-arg["nb"]).cast("bigint").alias("top_bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2,7 +2,7 @@
 
 The HLL estimate has no SQL oracle (engine-specific sketch), so the driver
 records a weaker rows-only check. This test closes the hole: on real test
-data the estimate must sit within a small multiple of the configured 1% rsd
+data the estimate must sit within a small multiple of the configured 5% rsd
 of the exact count (HLL++ error is probabilistic; 5× rsd ≈ 5 sigma leaves
 effectively zero flake probability while still catching a broken sketch).
 """
@@ -29,7 +29,7 @@ def test_hll_estimate_within_rsd(spark):
         exact = r.exact_users
         assert exact > 0
         rel_err = abs(r.approx_users - exact) / exact
-        assert rel_err <= 0.05, (
+        assert rel_err <= 0.25, (
             f"{r.event_type}: approx={r.approx_users} exact={exact} "
-            f"rel_err={rel_err:.4f} exceeds 5x the configured 1% rsd"
+            f"rel_err={rel_err:.4f} exceeds 5x the configured 5% rsd"
         )

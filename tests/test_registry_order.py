@@ -68,6 +68,7 @@ POST_FREEZE: set[str] = {
     "ab_test_event_value",
     "top_session_paths",
     "daily_rollup_stream_merge",
+    "doc_hashing_tf",
 }
 
 
