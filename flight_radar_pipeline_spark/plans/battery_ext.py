@@ -2020,3 +2020,112 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(_PATH_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# time-weighted average (TWAP) per user
+# --------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+    with o as (
+        select user_id, value,
+               floor(epoch(ts)) as t,
+               lead(floor(epoch(ts))) over (
+                   partition by user_id order by ts, event_id) as t_next
+        from events
+    )
+    select user_id,
+           count(*) as n_intervals,
+           round(sum(value * (t_next - t)) / sum(t_next - t), 4) as twap,
+           round(avg(value), 4) as plain_avg
+    from o
+    where t_next is not null and t_next > t
+    group by user_id
+    order by user_id
+"""
+
+
+@register("user_value_twap", _TWAP_ORACLE)
+def user_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each reading is weighted by
+    how long it was current (gap to the next event) — the TWAP/sensor
+    semantics where a value that held for an hour outweighs ten ticks in
+    a second, reported against the naive mean it corrects. One shuffle:
+    a single LEAD window keyed on user provides the holding interval,
+    then a plain per-user aggregate; zero-length holds and each user's
+    open-ended last reading are excluded exactly as the oracle states.
+    Epoch arithmetic is floor-to-seconds on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.floor(F.unix_timestamp("ts"))
+    o = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+    dur = F.col("t_next") - F.col("t")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 4).alias(
+                "twap"
+            ),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# mutual information between two categoricals
+# --------------------------------------------------------------------------
+
+_MI_ORACLE = """
+    with j as (
+        select event_type as x, extract(hour from ts) as y, count(*) as c
+        from events group by 1, 2
+    ), tot as (select sum(c) as n from j),
+    mx as (select x, sum(c) as cx from j group by x),
+    my as (select y, sum(c) as cy from j group by y)
+    select round(sum((j.c / t.n)
+                 * ln((j.c * t.n) / (mx.cx * my.cy))), 6) as mutual_info,
+           count(*) as n_cells
+    from j
+    join mx using (x)
+    join my using (y)
+    cross join tot t
+"""
+
+
+@register("event_type_hour_mutual_info", _MI_ORACLE)
+def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence screen feature stores run between a categorical feature
+    and a categorical target (0 ⇒ independent; here it measures diurnal
+    structure). The fact table collapses ONCE to the |types|×24
+    contingency table; margins and the MI fold are broadcast-sized
+    arithmetic on that aggregate, so the statistic costs one scan at any
+    corpus size. The log identity ln(c·n/(cx·cy)) keeps every operand an
+    exact integer product before the single division, which is what
+    makes the 6dp round match across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.groupBy(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = j.agg(F.sum("c").alias("n"))
+    mx = j.groupBy("x").agg(F.sum("c").alias("cx"))
+    my = j.groupBy("y").agg(F.sum("c").alias("cy"))
+    term = (F.col("c") / F.col("n")) * F.log(
+        (F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy"))
+    )
+    return (
+        j.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term), 6).alias("mutual_info"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )

@@ -419,3 +419,80 @@ def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "r.dim", "r.mean_val")
         .orderBy("label", "dim")
     )
+
+
+# --------------------------------------------------------------------------
+# sampled pairwise-cosine histogram (threshold diagnostics)
+# --------------------------------------------------------------------------
+
+_CHIST_P = 6          # sample ~1/6 of vectors deterministically
+_CHIST_W = 0.1        # histogram bin width over [-1, 1]
+
+_CHIST_ORACLE = f"""
+    with s as (
+        select vec_id, embedding::DOUBLE[] as v,
+               sqrt(list_inner_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) as nrm
+        from embeddings
+        where ('0x' || substr(md5('chist-' || vec_id::varchar), 1, 12))::bigint
+              % {_CHIST_P} = 0
+    ), pairs as (
+        select round(
+                 floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
+                       / {_CHIST_W}) * {_CHIST_W}, 1) as bin_lo
+        from s a join s b on a.vec_id < b.vec_id
+    )
+    select bin_lo, count(*) as n_pairs
+    from pairs group by bin_lo order by bin_lo
+"""
+
+
+@register("embedding_cosine_histogram", _CHIST_ORACLE)
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosines over a deterministic hash-sample
+    of the corpus — the diagnostic a dedup pipeline reads to SET its
+    similarity threshold (where does the near-dup mode separate from the
+    random-pair bulk?). The quadratic pair set is confined to the
+    SAMPLE: md5-bucket sampling (engine- and partition-stable, the
+    ``hash_bucket`` primitive) keeps |S| ≈ n/6 here, and at 100 TB the
+    sample rate is the knob — diagnostics need a few million pairs, not
+    the corpus product, so S stays broadcast-sized and the pair join is
+    one broadcast self-join. Histogram bins are floor-quantized before
+    rounding so bin edges agree bit-for-bit across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from flight_radar_pipeline_spark.functions.text import hash_bucket
+
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    s = emb.filter(
+        hash_bucket(F.concat(F.lit("chist-"), F.col("vec_id")), _CHIST_P) == 0
+    ).select("vec_id", v.alias("v"), nrm.alias("nrm"))
+    a = s.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            F.round(
+                F.floor(cos / _CHIST_W) * _CHIST_W, 1
+            ).alias("bin_lo")
+        )
+        .groupBy("bin_lo")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bin_lo")
+    )

@@ -47,6 +47,8 @@ ALLOWED_BNLJ = {
     "referential_integrity_audit",  # 1-row count × 1-row count per relation
     "user_erasure_audit",         # 1-row max-ts / count broadcasts
     "session_event_type_lift",    # 1-row basket-total broadcast
+    "event_type_hour_mutual_info",  # 1-row contingency-total broadcast
+    "embedding_cosine_histogram",  # deliberate sampled pair join (< cond)
 }
 
 

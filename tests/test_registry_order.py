@@ -69,6 +69,9 @@ POST_FREEZE: set[str] = {
     "top_session_paths",
     "daily_rollup_stream_merge",
     "doc_hashing_tf",
+    "user_value_twap",
+    "event_type_hour_mutual_info",
+    "embedding_cosine_histogram",
 }
 
 
