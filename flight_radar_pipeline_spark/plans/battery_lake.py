@@ -637,3 +637,145 @@ def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# commutative table checksum (replication / migration audit)
+# --------------------------------------------------------------------------
+
+_CKSUM_BUCKETS = 32
+
+_CKSUM_ORACLE = f"""
+    with h as (
+        select o_orderkey % {_CKSUM_BUCKETS} as bucket,
+               ('0x' || substr(md5(
+                   o_orderkey || '|' || o_custkey || '|' || o_orderstatus
+                   || '|' || cast(round(o_totalprice * 100) as bigint)
+                   || '|' || o_orderpriority), 1, 15))::bigint as rh
+        from orders
+    )
+    select bucket, count(*) as n_rows,
+           cast(sum(rh) % 4611686018427387904 as bigint) as checksum
+    from h group by bucket order by bucket
+"""
+
+
+@register("orders_table_checksum", _CKSUM_ORACLE)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-bucket table checksum — the
+    replication/migration audit primitive: two copies of a table match
+    iff every bucket's (row count, commutative hash sum) matches, and a
+    mismatch localizes to 1/{b} of the keyspace for repair. The row hash
+    is md5 over a canonical rendering (prices pinned to integer cents,
+    the snapshot-diff convention); SUM is the commutative combiner, so
+    the checksum is independent of partitioning, ordering and engine —
+    pure partial aggregation, one scan, 32-row output at any table
+    size. The sum accumulates in 128-bit (decimal(38) here, HUGEINT in
+    the oracle) and reduces mod 2^62 at the end, so no row count can
+    overflow it."""
+    orders = load_table(spark, sf_dir, "orders")
+    row_render = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row_render), 1, 15), 16, 10).cast("bigint")
+    return (
+        orders.select(
+            (F.col("o_orderkey") % _CKSUM_BUCKETS).alias("bucket"),
+            rh.alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(F.col("rh").cast("decimal(38,0)"))
+                % F.lit(4611686018427387904)
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# join-key overlap estimation via KMV sketch intersection
+# --------------------------------------------------------------------------
+
+_OVKMV_K = 64
+
+_OVKMV_ORACLE = f"""
+    with ka as (
+        select distinct o_custkey as key from orders
+    ), kb as (
+        select distinct c_custkey as key from customer
+    ), ha as (
+        select key, ((('0x' || substr(md5('ov-' || key), 1, 6))::bigint + 0.5)
+                     / 16777216.0) as hv
+        from ka order by hv limit {_OVKMV_K}
+    ), hb as (
+        select key, ((('0x' || substr(md5('ov-' || key), 1, 6))::bigint + 0.5)
+                     / 16777216.0) as hv
+        from kb order by hv limit {_OVKMV_K}
+    ), u as (
+        select hv, max(in_a) as in_a, max(in_b) as in_b from (
+            select hv, 1 as in_a, 0 as in_b from ha
+            union all
+            select hv, 0, 1 from hb
+        ) group by hv order by hv limit {_OVKMV_K}
+    )
+    select count(*) as k_union,
+           sum(in_a * in_b) as k_both,
+           round(sum(in_a * in_b) / count(*), 4) as jaccard_est
+    from u
+"""
+
+
+@register("orders_customer_key_overlap_kmv", _OVKMV_ORACLE)
+def orders_customer_key_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key overlap estimation from KMV sketches — the pre-join
+    diagnostic that answers "how much of each side will actually match?"
+    without joining: keep each side's k minimum hash values, merge to the
+    union's k minima, and the fraction present in both sides estimates
+    the Jaccard of the key sets (Beyer et al.'s KMV set-operation
+    estimator). Each side costs one distinct + TakeOrdered(k) — sketch-
+    sized driver traffic, no key-set shuffle between tables — and the
+    estimator arithmetic runs on 2k rows. The deterministic unit-hash
+    family gives the sketch an EXACT cross-engine oracle, like
+    ``user_kmv_distinct``."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, key: str, flag: str) -> DataFrame:
+        return (
+            df.select(F.col(key).alias("key"))
+            .distinct()
+            .select(unit_hash("key", "ov").alias("hv"))
+            .orderBy("hv")
+            .limit(_OVKMV_K)
+            .select("hv", F.lit(1).alias(flag))
+        )
+
+    ha = sketch(orders, "o_custkey", "in_a")
+    hb = sketch(cust, "c_custkey", "in_b")
+    u = (
+        ha.select("hv", "in_a", F.lit(0).alias("in_b"))
+        .unionByName(hb.select("hv", F.lit(0).alias("in_a"), "in_b"))
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("hv")
+        .limit(_OVKMV_K)
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("k_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("k_both"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 4
+        ).alias("jaccard_est"),
+    )

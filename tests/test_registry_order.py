@@ -72,6 +72,8 @@ POST_FREEZE: set[str] = {
     "user_value_twap",
     "event_type_hour_mutual_info",
     "embedding_cosine_histogram",
+    "orders_table_checksum",
+    "orders_customer_key_overlap_kmv",
 }
 
 
