@@ -2129,3 +2129,33 @@ def event_type_hour_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
+
+
+@register(
+    "top_users_stream",
+    """
+    select user_id,
+           count(*) as n_events,
+           round(sum(value), 2) as value_sum
+    from events
+    group by user_id
+    order by value_sum desc, user_id
+    limit 5
+    """,
+)
+def top_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-user running totals maintained by the
+    state store, re-ranked every commit in COMPLETE output mode — the
+    live top-k dashboard feed. Complete mode re-emits the whole (small)
+    aggregate each microbatch, so the final table equals the batch
+    ranking exactly regardless of how the feed was split — which is what
+    the oracle states. The ranking happens on the |users|-row aggregate,
+    never on the raw stream; totals round AFTER aggregation. Total
+    order: (value_sum desc, user_id)."""
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    out = run_stream_to_memory(agg, output_mode="complete", state_partitions=8)
+    return out.orderBy(F.desc("value_sum"), F.asc("user_id")).limit(5)

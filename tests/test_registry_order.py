@@ -74,6 +74,7 @@ POST_FREEZE: set[str] = {
     "embedding_cosine_histogram",
     "orders_table_checksum",
     "orders_customer_key_overlap_kmv",
+    "top_users_stream",
 }
 
 
