@@ -455,9 +455,12 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-pair bulk?). The quadratic pair set is confined to the
     SAMPLE: md5-bucket sampling (engine- and partition-stable, the
     ``hash_bucket`` primitive) keeps |S| ≈ n/6 here, and at 100 TB the
-    sample rate is the knob — diagnostics need a few million pairs, not
-    the corpus product, so S stays broadcast-sized and the pair join is
-    one broadcast self-join. Histogram bins are floor-quantized before
+    sampling MODULUS grows with the corpus so |S| stays FIXED —
+    diagnostics need a few million pairs, not the corpus product.
+    Measured (SCALE_RUN.json round 5): fixed rate at 10× corpus → 8.7×
+    wall (pairs ∝ n²); modulus grown 10× (same |S|) → 0.54 s, flat.
+    S stays broadcast-sized and the pair join is one broadcast
+    self-join. Histogram bins are floor-quantized before
     rounding so bin edges agree bit-for-bit across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     from flight_radar_pipeline_spark.functions.text import hash_bucket
