@@ -38,6 +38,9 @@ def test_battery_query(name, spark, duck):
         "minhash_near_dup_pairs",
         "embedding_kmeans_clusters",
         "snapshot_diff",
+        "doc_boilerplate_spans",
+        "top_session_paths",
+        "orders_table_checksum",
     ],
 )
 def test_battery_partition_determinism(name, spark):
