@@ -907,3 +907,104 @@ def doc_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# topic clusters over hashed-TF vectors (text → vector → cluster)
+# --------------------------------------------------------------------------
+
+_TOPIC_K = 6  # deterministic first-K-doc quantizer
+
+_TOPIC_ORACLE = rf"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) as t
+        from documents
+    ), tf as (
+        select doc_id,
+               ('0x' || substr(md5(t), 1, 12))::bigint % {_HTF_D} as bucket,
+               count(*) as c
+        from tok group by doc_id, bucket
+    ), vecs as (
+        select doc_id,
+               map(list(bucket order by bucket),
+                   list(c order by bucket)) as m
+        from tf group by doc_id
+    ), dense as (
+        select doc_id,
+               list_transform(range(0, {_HTF_D}),
+                              i -> coalesce(m[i][1], 0)::DOUBLE) as v
+        from vecs
+    ), cents as (
+        select doc_id as cent_id, v as cv,
+               sqrt(list_inner_product(v, v)) as cnrm
+        from dense where doc_id < {_TOPIC_K}
+    ), scored as (
+        select d.doc_id, c.cent_id,
+               round(list_inner_product(d.v, c.cv)
+                     / (sqrt(list_inner_product(d.v, d.v)) * c.cnrm), 6)
+                   as sim,
+               row_number() over (
+                   partition by d.doc_id
+                   order by round(list_inner_product(d.v, c.cv)
+                       / (sqrt(list_inner_product(d.v, d.v)) * c.cnrm), 6)
+                       desc, c.cent_id) as rk
+        from dense d cross join cents c
+    )
+    select doc_id, cent_id as cell, sim as cosine
+    from scored where rk = 1
+    order by doc_id
+"""
+
+
+@register("doc_topic_clusters", _TOPIC_ORACLE)
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → vector → cluster composition: documents become 64-dim
+    hashed-TF vectors (the ``doc_hashing_tf`` featurizer, densified
+    through a map literal per doc), then cluster-assign against the
+    deterministic first-K-doc quantizer with the SAME shuffle-free
+    inline-argmax operator the embedding pipeline uses
+    (``kmeans_cluster_assignments`` — centroids fold in as array
+    literals, assignment is a projection over the scan). The point is
+    compositional: every stage (tokenize → hash-bucket → aggregate →
+    densify → assign) is the engine's own operator, and the whole chain
+    still has an exact relational oracle. Swap ``collect_centroids`` for
+    ``kmeans_centroids`` to train the quantizer instead of seeding it."""
+    from flight_radar_pipeline_spark.operators.similarity import (
+        collect_centroids,
+        kmeans_cluster_assignments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
+    )
+    tf = tok.select(
+        "doc_id", T.hash_bucket("t", _HTF_D).alias("bucket")
+    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    dense = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "c"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HTF_D - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("bigint")), F.lit(0)
+                ).cast("double"),
+            ).alias("tfv"),
+        )
+    )
+    cents = collect_centroids(
+        dense, num_centroids=_TOPIC_K, id_col="doc_id", vec_col="tfv"
+    )
+    return (
+        kmeans_cluster_assignments(
+            dense, cents, id_col="doc_id", vec_col="tfv"
+        )
+        .select("doc_id", "cell", F.col("cosine"))
+        .orderBy("doc_id")
+    )

@@ -75,6 +75,7 @@ POST_FREEZE: set[str] = {
     "orders_table_checksum",
     "orders_customer_key_overlap_kmv",
     "top_users_stream",
+    "doc_topic_clusters",
 }
 
 
