@@ -1305,3 +1305,118 @@ def event_value_woe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (multi-metric quantile coding)
+# --------------------------------------------------------------------------
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+from flight_radar_pipeline_spark.operators.rounding import (  # noqa: E402
+    expr_round_half_up,
+    sql_round_half_up,
+)
+
+_RFM_ORACLE = f"""
+    with base as (
+        select o_custkey as custkey,
+               date_diff('day', max(o_orderdate),
+                         (select max(o_orderdate) from orders)) as recency_d,
+               count(*) as frequency,
+               sum(cast(round(o_totalprice * 100) as bigint)) as m_cents
+        from orders group by o_custkey
+    ), fences as (
+        select
+            [{", ".join(f"quantile_cont(recency_d, {q})" for q in _RFM_QS)}]
+                as rf,
+            [{", ".join(f"quantile_cont(frequency, {q})" for q in _RFM_QS)}]
+                as ff,
+            [{", ".join(f"quantile_cont(m_cents, {q})" for q in _RFM_QS)}]
+                as mf
+        from base
+    ), coded as (
+        select b.custkey, b.recency_d, b.frequency, b.m_cents,
+               5 - len(list_filter(f.rf, x -> b.recency_d > x)) as r_score,
+               len(list_filter(f.ff, x -> b.frequency > x)) + 1 as f_score,
+               len(list_filter(f.mf, x -> b.m_cents > x)) + 1 as m_score
+        from base b cross join fences f
+    )
+    select r_score || '-' || f_score || '-' || m_score as segment,
+           count(*) as n_customers,
+           {sql_round_half_up("sum(m_cents) / (100.0 * count(*))", 2)}
+               as avg_monetary,
+           {sql_round_half_up("avg(recency_d)", 2)} as avg_recency_d
+    from coded
+    group by segment
+    order by segment
+"""
+
+
+@register("customer_rfm_segments", _RFM_ORACLE)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing cut: per customer compute
+    Recency (days since last order, against the corpus max date),
+    Frequency (order count) and Monetary (total spend), quintile-code
+    each against exact population fences (recency REVERSED: recent = 5),
+    and report the segment grid. Three one-pass layers: a per-customer
+    aggregate, a 12-number fence aggregate broadcast back, and a
+    map-side code assembly into the final |segments|-group rollup — the
+    multi-metric generalization of ``order_price_deciles``, same
+    exact-percentile ≡ ``quantile_cont`` bridge, same approx swap at
+    100 TB. Money is pinned to integer cents per ORDER before any sum
+    (the snapshot-diff convention), so fences, codes and segment
+    averages are exact integer arithmetic until one final division —
+    cross-engine stable with no summation-order sensitivity."""
+    orders = load_table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("__maxd"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = (
+        orders.crossJoin(F.broadcast(maxd))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("__maxd"), F.max("o_orderdate")).alias(
+                "recency_d"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("m_cents"),
+        )
+    )
+    qs = ", ".join(str(q) for q in _RFM_QS)
+    fences = base.agg(
+        F.expr(f"percentile(recency_d, array({qs}))").alias("rf"),
+        F.expr(f"percentile(frequency, array({qs}))").alias("ff"),
+        F.expr(f"percentile(m_cents, array({qs}))").alias("mf"),
+    )
+
+    def code(col: str, fence: str) -> F.Column:
+        return (
+            F.size(F.filter(F.col(fence), lambda b: F.col(col) > b)) + 1
+        ).cast("bigint")
+
+    coded = base.crossJoin(F.broadcast(fences)).select(
+        "custkey",
+        "recency_d",
+        "m_cents",
+        (F.lit(6) - code("recency_d", "rf")).alias("r_score"),
+        code("frequency", "ff").alias("f_score"),
+        code("m_cents", "mf").alias("m_score"),
+    )
+    return (
+        coded.select(
+            F.concat_ws(
+                "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+            "m_cents",
+            "recency_d",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            expr_round_half_up(
+                F.sum("m_cents") / (100.0 * F.count(F.lit(1))), 2
+            ).alias("avg_monetary"),
+            expr_round_half_up(F.avg("recency_d"), 2).alias("avg_recency_d"),
+        )
+        .orderBy("segment")
+    )

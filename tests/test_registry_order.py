@@ -76,6 +76,7 @@ POST_FREEZE: set[str] = {
     "orders_customer_key_overlap_kmv",
     "top_users_stream",
     "doc_topic_clusters",
+    "customer_rfm_segments",
 }
 
 
