@@ -1,0 +1,164 @@
+"""Manifest-committing sink via the Spark Python DataSource write API.
+
+``df.write.format("manifest").mode("append"|"overwrite").option("path", d)``
+writes one parquet file per task plus a driver-side ``_MANIFEST.json``
+recording, for every file, its row count and an order-independent
+checksum (the ``orders_table_checksum`` construction: md5 row hashes
+summed mod 2^62). The commit protocol is the point:
+
+- each task writes to a UUID-named file and returns a
+  ``WriterCommitMessage`` carrying (file, rows, checksum) — nothing is
+  visible to readers yet;
+- ``commit()`` runs ONCE on the driver with every task's message and
+  writes the manifest LAST — the manifest is the atomic publication
+  point, so readers that require it never observe a partial write;
+- ``abort()`` leaves orphan files that a later overwrite's manifest
+  simply does not reference (the cheap object-store recovery model —
+  no renames, no directory listing on the read path).
+
+A downstream auditor re-derives each file's checksum and compares with
+the manifest (``verify_manifest``) — corruption or loss localizes to a
+file. This is the engine-portable skeleton of what table formats do
+with real transaction logs.
+
+Scale posture: task output streams through a chunked ParquetWriter
+(``batch_rows`` rows per row group — bounded task memory at any
+partition size); the driver holds one small message per task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+_MOD = 4611686018427387904  # 2^62
+
+
+def _row_hash(vals: tuple) -> int:
+    rendered = "|".join("" if v is None else str(v) for v in vals)
+    return int(hashlib.md5(rendered.encode()).hexdigest()[:15], 16)
+
+
+class FileCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int, checksum: int):
+        self.file, self.rows, self.checksum = file, rows, checksum
+
+
+class ManifestWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.overwrite = overwrite
+        # rows buffered per parquet row group — bounds task memory at any
+        # partition size (the "streams through pyarrow" claim, literally)
+        self.batch_rows = int(options.get("batch_rows", "65536"))
+
+    def write(self, iterator: Iterator) -> FileCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        os.makedirs(self.path, exist_ok=True)
+        writer = None
+        batch, total, checksum = [], 0, 0
+        try:
+            for row in iterator:
+                batch.append(row.asDict())
+                checksum = (checksum + _row_hash(tuple(row))) % _MOD
+                total += 1
+                if len(batch) >= self.batch_rows:
+                    table = pa.Table.from_pylist(batch)
+                    if writer is None:
+                        writer = pq.ParquetWriter(
+                            os.path.join(self.path, name), table.schema
+                        )
+                    writer.write_table(table)
+                    batch = []
+            if batch:
+                table = pa.Table.from_pylist(batch)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.path, name), table.schema
+                    )
+                writer.write_table(table)
+        finally:
+            if writer is not None:
+                writer.close()
+        return FileCommit(name if total else "", total, checksum)
+
+    def commit(self, messages) -> None:
+        entries = [
+            {"file": m.file, "rows": m.rows, "checksum": m.checksum}
+            for m in messages
+            if m.file
+        ]
+        manifest = {
+            "files": sorted(entries, key=lambda e: e["file"]),
+            "total_rows": sum(e["rows"] for e in entries),
+        }
+        mode = "w"
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        if not self.overwrite and os.path.exists(mpath):
+            with open(mpath) as fh:
+                prev = json.load(fh)
+            manifest["files"] = sorted(
+                prev["files"] + manifest["files"], key=lambda e: e["file"]
+            )
+            manifest["total_rows"] = sum(
+                e["rows"] for e in manifest["files"]
+            )
+        with open(mpath, mode) as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        # orphaned part files are unreferenced by any manifest; a later
+        # overwrite commit supersedes them
+        pass
+
+
+class ManifestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest"
+
+    def writer(self, schema, overwrite: bool) -> ManifestWriter:
+        return ManifestWriter(self.options, overwrite)
+
+
+def read_manifest(path: str) -> dict:
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        return json.load(fh)
+
+
+def verify_manifest(path: str) -> dict:
+    """Re-derive every referenced file's (rows, checksum) and diff against
+    the manifest → {"ok": bool, "mismatches": [...], "missing": [...]}."""
+    import pyarrow.parquet as pq
+
+    manifest = read_manifest(path)
+    mismatches, missing = [], []
+    for entry in manifest["files"]:
+        fpath = os.path.join(path, entry["file"])
+        if not os.path.exists(fpath):
+            missing.append(entry["file"])
+            continue
+        table = pq.read_table(fpath)
+        checksum, rows = 0, table.num_rows
+        cols = [table.column(i).to_pylist() for i in range(table.num_columns)]
+        for vals in zip(*cols):
+            checksum = (checksum + _row_hash(vals)) % _MOD
+        if rows != entry["rows"] or checksum != entry["checksum"]:
+            mismatches.append(entry["file"])
+    return {
+        "ok": not mismatches and not missing,
+        "mismatches": mismatches,
+        "missing": missing,
+    }
