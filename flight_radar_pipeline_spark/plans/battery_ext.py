@@ -2159,3 +2159,50 @@ def top_users_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_memory(agg, output_mode="complete", state_partitions=8)
     return out.orderBy(F.desc("value_sum"), F.asc("user_id")).limit(5)
+
+
+# --------------------------------------------------------------------------
+# semi-structured props through the VARIANT type (Spark 4)
+# --------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+    select event_type,
+           count(*) as n,
+           sum(case when json_extract(props, '$.k') is not null
+                    then 1 else 0 end) as with_k,
+           round(avg(cast(json_extract_string(props, '$.k') as double)), 4)
+               as avg_k,
+           max(cast(json_extract_string(props, '$.k') as bigint)) as max_k
+    from events
+    group by event_type
+    order by event_type
+"""
+
+
+@register("event_props_variant", _VARIANT_ORACLE)
+def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the engine-native VARIANT type
+    (Spark 4 ``parse_json`` → binary variant encoding) instead of
+    per-access string re-parsing: parse ONCE in the scan projection,
+    then every field access (``variant_get``) is a typed probe into the
+    encoded value — the modern lakehouse answer to JSON-string columns,
+    and the 100 TB difference between one parse per row and one parse
+    per extraction. Sibling of ``event_props_json`` (get_json_object on
+    strings) with the same aggregate so the two paths are directly
+    comparable; the oracle states the computation over DuckDB's JSON
+    functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("__v")
+    )
+    k = F.try_variant_get("__v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k.isNotNull().cast("bigint")).alias("with_k"),
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

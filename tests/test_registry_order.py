@@ -77,6 +77,7 @@ POST_FREEZE: set[str] = {
     "top_users_stream",
     "doc_topic_clusters",
     "customer_rfm_segments",
+    "event_props_variant",
 }
 
 
