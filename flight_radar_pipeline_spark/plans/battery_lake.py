@@ -584,22 +584,25 @@ def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``incremental_daily_rollup``, and the foreachBatch sibling of the
     windowed-agg entries: instead of the state store holding windows,
     the DURABLE TABLE is the state, so the rollup survives restarts and
-    is queryable mid-stream. Values are pinned to integer cents before
+    is queryable mid-stream. Versions are keyed by batch_id and sealed
+    with a _DONE marker (``idempotent_rollup_merge``), so a
+    crash-replayed microbatch is skipped instead of double-merged —
+    additive partials are not naturally idempotent, and
+    ``tests/test_stream_restart.py`` proves both the replay guard and a
+    real checkpoint restart. Values are pinned to integer cents before
     summing (mergeable partials must be exact across arbitrary batch
     splits). The final table equals the one-shot batch rollup, which
     the oracle states."""
-    from flight_radar_pipeline_spark.pipeline.silver import merge_rollup
     from flight_radar_pipeline_spark.streaming.events import (
+        idempotent_rollup_merge,
         read_events_stream,
     )
 
     work = tempfile.mkdtemp(prefix="rollup_stream_")
     feed = read_events_stream(spark, f"{sf_dir}/events.parquet")
 
-    versions: list[str] = []
-
-    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
-        delta = batch.groupBy(
+    def delta_agg(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
             F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
                 "day"
             ),
@@ -610,14 +613,14 @@ def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value_cents"
             ),
         )
-        if versions:
-            cur = spark.read.parquet(versions[-1])
-            delta = merge_rollup(
-                cur, delta, ["day", "event_type"], ["n_events", "value_cents"]
-            )
-        nxt = os.path.join(work, f"v{len(versions)}")
-        delta.write.mode("overwrite").parquet(nxt)
-        versions.append(nxt)
+
+    merge_batch, read_final = idempotent_rollup_merge(
+        spark,
+        os.path.join(work, "rollup"),
+        ["day", "event_type"],
+        ["n_events", "value_cents"],
+        delta_agg,
+    )
 
     q = (
         feed.writeStream.foreachBatch(merge_batch)
@@ -628,7 +631,7 @@ def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     return (
-        spark.read.parquet(versions[-1])
+        read_final(spark)
         .select(
             "day",
             "event_type",

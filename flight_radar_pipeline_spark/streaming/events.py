@@ -382,6 +382,65 @@ def sessionize_stream_native(
     )
 
 
+from flight_radar_pipeline_spark.pipeline.silver import merge_rollup
+
+
+def idempotent_rollup_merge(
+    spark,
+    work_dir: str,
+    keys: list[str],
+    sum_cols: list[str],
+    delta_agg,
+):
+    """foreachBatch body that maintains a rollup TABLE with EXACTLY-ONCE
+    semantics across microbatch replays: version directories are keyed by
+    ``batch_id`` and sealed with a ``_DONE`` marker, so a batch replayed
+    after a crash/restart (Structured Streaming re-runs the last
+    uncommitted batch) is detected and SKIPPED instead of double-merged —
+    additive partials (``merge_rollup``) are NOT naturally idempotent,
+    which is exactly the bug this protects against. A partially-written
+    version without ``_DONE`` is simply overwritten by the replay.
+
+    ``delta_agg(batch_df) -> DataFrame`` aggregates one microbatch to
+    mergeable partials on ``keys``; returns (merge_batch, read_final)
+    where ``read_final(spark)`` loads the latest sealed version.
+    """
+    import re as _re
+
+    def _applied() -> list[int]:
+        if not os.path.isdir(work_dir):
+            return []
+        out = []
+        for d in os.listdir(work_dir):
+            m = _re.fullmatch(r"b(\d+)", d)
+            if m and os.path.exists(os.path.join(work_dir, d, "_DONE")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        vdir = os.path.join(work_dir, f"b{batch_id}")
+        if os.path.exists(os.path.join(vdir, "_DONE")):
+            return  # replayed batch — already applied
+        delta = delta_agg(batch)
+        prior = [b for b in _applied() if b < batch_id]
+        if prior:
+            cur = batch.sparkSession.read.parquet(
+                os.path.join(work_dir, f"b{prior[-1]}", "data")
+            )
+            delta = merge_rollup(cur, delta, keys, sum_cols)
+        delta.write.mode("overwrite").parquet(os.path.join(vdir, "data"))
+        with open(os.path.join(vdir, "_DONE"), "w") as fh:
+            fh.write("ok")
+
+    def read_final(spark_session):
+        applied = _applied()
+        return spark_session.read.parquet(
+            os.path.join(work_dir, f"b{applied[-1]}", "data")
+        )
+
+    return merge_batch, read_final
+
+
 def run_stream_to_memory(
     result: DataFrame,
     output_mode: str = "complete",
