@@ -782,3 +782,71 @@ def orders_customer_key_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.col("in_a") * F.col("in_b")) / F.count(F.lit(1)), 4
         ).alias("jaccard_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# schema evolution across snapshot versions (mergeSchema read)
+# --------------------------------------------------------------------------
+
+_EVOLVE_ORACLE = """
+    with unioned as (
+        select o_orderkey, o_orderstatus, null as o_clerk_note
+        from orders where o_orderkey % 2 = 0
+        union all
+        select o_orderkey, o_orderstatus,
+               'note-' || (o_orderkey % 7) as o_clerk_note
+        from orders where o_orderkey % 2 = 1
+    )
+    select o_orderstatus,
+           count(*) as n_rows,
+           sum(case when o_clerk_note is not null then 1 else 0 end)
+               as with_note,
+           count(distinct o_clerk_note) as distinct_notes
+    from unioned
+    group by o_orderstatus
+    order by o_orderstatus
+"""
+
+
+@register("orders_schema_evolution", _EVOLVE_ORACLE)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across table versions: an old snapshot written
+    WITHOUT a column and a new snapshot written WITH it are read
+    together via ``mergeSchema`` — the additive-column migration every
+    long-lived lake table goes through; old files surface the new
+    column as NULL with no rewrite. The entry materializes both
+    versions (even keys = v1 without ``o_clerk_note``, odd keys = v2
+    with it), reads the directory pair with one merged-schema scan, and
+    aggregates presence/cardinality of the evolved column — which the
+    oracle states as a plain union. Scale: mergeSchema costs a footer
+    read per FILE (not per row) at planning time; pin the read schema
+    explicitly once the table is wide enough that footer sampling
+    matters."""
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="evolve_")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.concat(F.lit("note-"), (F.col("o_orderkey") % 7)).alias(
+            "o_clerk_note"
+        ),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(work, "data", "v=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(work, "data", "v=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(work, "data")
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_clerk_note").isNotNull().cast("bigint")).alias(
+                "with_note"
+            ),
+            F.countDistinct("o_clerk_note").alias("distinct_notes"),
+        )
+        .orderBy("o_orderstatus")
+    )

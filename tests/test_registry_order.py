@@ -78,6 +78,7 @@ POST_FREEZE: set[str] = {
     "doc_topic_clusters",
     "customer_rfm_segments",
     "event_props_variant",
+    "orders_schema_evolution",
 }
 
 
