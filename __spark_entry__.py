@@ -52,6 +52,15 @@ def _configure(spark: SparkSession) -> None:
 # join, exact percentiles, multimodal decode), one deep-join anchor
 # (revenue_by_nation) and one dedup anchor (minhash_near_dup_pairs).
 #
+# Entries ADDED during round 5 AFTER this window froze (winsorize, EWMA,
+# boilerplate spans, source report, filter funnel, group centroids,
+# RI/erasure audits, WOE, PSI, lift, IVM, mean shift, within-watermark
+# dedup, multi-touch attribution, A/B, paths, rollup-stream, hashing-TF,
+# TWAP, MI, cosine histogram, checksum, KMV overlap, leaderboard, topic
+# clusters, RFM, variant, schema evolution) are tail by policy —
+# enumerated in tests/test_registry_order.py::POST_FREEZE as the round-6
+# rotation slate; every one is locally oracle-checked by the full sweep.
+#
 # Demoted entries all held green driver rows in r1-r4 (see
 # CORRECTNESS_r0*.json) and/or are shape-siblings of window members;
 # tests/test_battery.py's full-registry oracle sweep (ALL entries at
