@@ -1043,15 +1043,15 @@ _FFUNNEL_ORACLE = rf"""
                    then 1 else 0 end) as s4
         from d
     )
-    select '0_total' as stage, s0 as n_pass, round(s0 / s0, 4) as pct_of_total from m
+    select '0_total' as stage, s0::bigint as n_pass, round(s0 / s0, 4) as pct_of_total from m
     union all
-    select '1_lang', s1, round(s1 / s0, 4) from m
+    select '1_lang', s1::bigint, round(s1 / s0, 4) from m
     union all
-    select '2_length', s2, round(s2 / s0, 4) from m
+    select '2_length', s2::bigint, round(s2 / s0, 4) from m
     union all
-    select '3_repetition', s3, round(s3 / s0, 4) from m
+    select '3_repetition', s3::bigint, round(s3 / s0, 4) from m
     union all
-    select '4_token_shape', s4, round(s4 / s0, 4) from m
+    select '4_token_shape', s4::bigint, round(s4 / s0, 4) from m
     order by stage
 """
 

@@ -1435,8 +1435,8 @@ _WINSOR_ORACLE = f"""
            round(avg(e.value), 4) as mean_raw,
            round(avg(least(greatest(e.value, f.p05), f.p95)), 4)
                as mean_winsorized,
-           sum(case when e.value < f.p05 then 1 else 0 end) as clipped_low,
-           sum(case when e.value > f.p95 then 1 else 0 end) as clipped_high
+           sum(case when e.value < f.p05 then 1 else 0 end)::bigint as clipped_low,
+           sum(case when e.value > f.p95 then 1 else 0 end)::bigint as clipped_high
     from events e join fences f using (event_type)
     group by e.event_type
     order by e.event_type
@@ -2169,7 +2169,7 @@ _VARIANT_ORACLE = """
     select event_type,
            count(*) as n,
            sum(case when json_extract(props, '$.k') is not null
-                    then 1 else 0 end) as with_k,
+                    then 1 else 0 end)::bigint as with_k,
            round(avg(cast(json_extract_string(props, '$.k') as double)), 4)
                as avg_k,
            max(cast(json_extract_string(props, '$.k') as bigint)) as max_k

@@ -732,7 +732,7 @@ _OVKMV_ORACLE = f"""
         ) group by hv order by hv limit {_OVKMV_K}
     )
     select count(*) as k_union,
-           sum(in_a * in_b) as k_both,
+           sum(in_a * in_b)::bigint as k_both,
            round(sum(in_a * in_b) / count(*), 4) as jaccard_est
     from u
 """
@@ -799,7 +799,7 @@ _EVOLVE_ORACLE = """
     )
     select o_orderstatus,
            count(*) as n_rows,
-           sum(case when o_clerk_note is not null then 1 else 0 end)
+           sum(case when o_clerk_note is not null then 1 else 0 end)::bigint
                as with_note,
            count(distinct o_clerk_note) as distinct_notes
     from unioned

@@ -1240,7 +1240,8 @@ _WOE_ORACLE = f"""
         from events e cross join b
     ), agg as (
         select bin, count(*) as n,
-               sum(y) as n_good, count(*) - sum(y) as n_bad
+               sum(y)::bigint as n_good,
+               (count(*) - sum(y))::bigint as n_bad
         from binned group by bin
     ), tot as (
         select sum(n_good) as tg, sum(n_bad) as tb from agg
