@@ -43,6 +43,46 @@ def pair_sets(spark, sf_dir: str) -> dict[str, set[tuple[int, int]]]:
     }
 
 
+def embedding_pair_sets(spark, sf_dir: str) -> dict[str, set[tuple[int, int]]]:
+    """Exact cosine pairs (brute force over all vector pairs, DuckDB) vs
+    the multi-table sign-LSH candidate pipeline at the battery's
+    parameters — measures what the bucketed candidate generation loses
+    against the corpus product it refuses to materialize."""
+    import duckdb
+
+    from flight_radar_pipeline_spark.operators import similarity as S
+
+    threshold = 0.35
+    con = duckdb.connect()
+    con.sql(
+        f"create view embeddings as select * from '{sf_dir}/embeddings.parquet'"
+    )
+    exact = {
+        (a, b)
+        for a, b in con.sql(f"""
+            with v as (
+                select vec_id, embedding::DOUBLE[] as e,
+                       sqrt(list_inner_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])) as n
+                from embeddings
+            )
+            select a.vec_id, b.vec_id
+            from v a join v b on a.vec_id < b.vec_id
+            where round(list_inner_product(a.e, b.e) / (a.n * b.n), 6)
+                  >= {threshold}
+        """).fetchall()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_near_dup_pairs(
+            emb, threshold=threshold, num_tables=4, planes_per_table=4,
+            n_dims=64,
+        ).collect()
+    }
+    return {"exact_cosine": exact, "cosine_lsh_4x4": lsh}
+
+
 def evaluate(sets: dict[str, set]) -> dict:
     truth = sets["exact_3gram_jaccard"]
     out = {"n_truth_pairs": len(truth)}
@@ -62,6 +102,17 @@ def main() -> int:
     spark = get_spark_session(app_name="dedup-eval", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
     report = evaluate(pair_sets(spark, sf_dir))
+    esets = embedding_pair_sets(spark, sf_dir)
+    exact, lsh = esets["exact_cosine"], esets["cosine_lsh_4x4"]
+    inter = len(lsh & exact)
+    report["embedding_cosine_lsh"] = {
+        "n_exact_pairs": len(exact),
+        "n_lsh_pairs": len(lsh),
+        "recall_vs_exact": round(inter / len(exact), 4) if exact else None,
+        # verified candidates can never exceed threshold-failures: the
+        # pipeline's exact-cosine verify makes precision 1.0 by design
+        "precision": round(inter / len(lsh), 4) if lsh else None,
+    }
     print(json.dumps({"dedup_eval": report, "sf_dir": sf_dir}))
     spark.stop()
     return 0
