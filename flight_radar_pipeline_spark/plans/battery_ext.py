@@ -2206,3 +2206,66 @@ def event_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# fulfillment-latency SLA report (percentiles on a big-big join)
+# --------------------------------------------------------------------------
+
+_SLA_DAYS = 60
+
+_SLA_ORACLE = f"""
+    with lat as (
+        select o.o_orderpriority as priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) as days
+        from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+    )
+    select priority,
+           count(*) as n_lines,
+           round(quantile_cont(days, 0.5), 2) as p50_days,
+           round(quantile_cont(days, 0.9), 2) as p90_days,
+           round(quantile_cont(days, 0.99), 2) as p99_days,
+           round(sum(case when days <= {_SLA_DAYS} then 1 else 0 end)
+                 / count(*), 4) as within_sla
+    from lat
+    group by priority
+    order by priority
+"""
+
+
+@register("shipping_latency_sla", _SLA_ORACLE)
+def shipping_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency SLA report per priority class: exact
+    p50/p90/p99 of line-level fulfillment days plus the fraction inside
+    a 60-day SLA — the ops dashboard behind every fulfillment review.
+    The latency source is the big-big orders ⋈ lineitem equi-join
+    (co-partitioned on the order key — at 100 TB this is the bucketed
+    or storage-partitioned join, never a broadcast), and the percentile
+    layer aggregates at priority cardinality. Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``; the 100 TB swap is ``approx_percentile``,
+    exactly as ``order_price_deciles_approx`` demonstrates."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("l_shipdate", "o_orderdate").alias("days"),
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(days, 0.5)"), 2).alias("p50_days"),
+            F.round(F.expr("percentile(days, 0.9)"), 2).alias("p90_days"),
+            F.round(F.expr("percentile(days, 0.99)"), 2).alias("p99_days"),
+            F.round(
+                F.sum((F.col("days") <= _SLA_DAYS).cast("bigint"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("within_sla"),
+        )
+        .orderBy("priority")
+    )

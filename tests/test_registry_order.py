@@ -79,6 +79,7 @@ POST_FREEZE: set[str] = {
     "customer_rfm_segments",
     "event_props_variant",
     "orders_schema_evolution",
+    "shipping_latency_sla",
 }
 
 
