@@ -425,9 +425,21 @@ def opq_reconstruction_error(
     No SQL oracle: the eigendecomposition is not SQL-expressible, so the
     battery entry is rows-only at the driver gate; accuracy evidence is
     the improvement test against the hash-checked raw-PQ twin."""
+    from pyspark import StorageLevel
+
     cov = second_moment_matrix(vectors, vec_col, n_dims)
     rot = opq_rotation(cov, n_dims, m)
-    rotated = rotate_vectors(vectors, rot, vec_col, id_col)
+    # materialize the rotation ONCE: the PQ audit's codebook training
+    # re-scans its input every Lloyd's pass, and without the persist each
+    # pass re-runs the rotation pandas_udf over the whole corpus
+    # (measured at sf0.1: audit-on-rotated 6.1 s unpersisted vs the raw
+    # audit's 3.3 s; persisted, the rotation is paid once). Same
+    # materialize-the-expensive-projection knob as the dedup signature
+    # tables; at 100 TB the persisted frame is the rotated copy a real
+    # OPQ pipeline writes to storage between training and encoding.
+    rotated = rotate_vectors(vectors, rot, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return pq_reconstruction_error(
         rotated,
         n_dims=n_dims,
