@@ -96,6 +96,17 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--quality-threshold", type=float, default=0.5)
     c.add_argument("--token-budget", type=int, default=512)
     c.add_argument("--master", default="local[*]")
+
+    sq = sub.add_parser(
+        "sql",
+        help="run an ANSI-SQL query over the testdata tables "
+        "(region nation customer supplier part orders lineitem events "
+        "documents embeddings registered as views)",
+    )
+    sq.add_argument("--sf-dir", required=True, help="testdata directory")
+    sq.add_argument("--query", required=True, help="SQL text to execute")
+    sq.add_argument("--limit", type=int, default=100)
+    sq.add_argument("--master", default="local[*]")
     return parser
 
 
@@ -142,6 +153,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "run-pipeline":
             _run_pipeline_cmd(spark, args)
+        elif args.command == "sql":
+            from flight_radar_pipeline_spark.sources.readers import (
+                register_views,
+            )
+
+            register_views(spark, args.sf_dir)
+            for row in spark.sql(args.query).limit(args.limit).collect():
+                print(json.dumps(row.asDict(), default=str))
         elif args.command == "corpus-prep":
             from flight_radar_pipeline_spark.pipeline.corpus import (
                 run_corpus_prep,

@@ -58,3 +58,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+) -> None:
+    """Register every testdata table as a session temp view so the whole
+    battery surface is reachable through plain ``spark.sql`` — the same
+    normalized frames the DataFrame API sees (events.ts fixed up), so a
+    SQL user and a DataFrame user read identical tables. Views are
+    lazy: registration costs one schema read per table, nothing scans
+    until a query runs."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -19,3 +19,24 @@ def test_cli_command(command, spark, flight_tables, capsys, monkeypatch):
     assert rc == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(out) >= 1 and isinstance(out[0], dict)
+
+
+def test_sql_command_runs_over_registered_views(capsys):
+    import json as _json
+
+    from flight_radar_pipeline_spark.cli import main
+
+    rc = main(
+        [
+            "sql",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--query",
+            "select count(*) as n from orders",
+            "--master",
+            "local[2]",
+        ]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert _json.loads(out[-1]) == {"n": 1500}
