@@ -148,6 +148,12 @@ def _run_pipeline_cmd(spark, args) -> None:
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
+    # getOrCreate reuses a live session (e.g. when main() is called from a
+    # host application or notebook) — only stop what this entrypoint booted,
+    # or the CLI would kill its caller's SparkContext on exit.
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark_session(app_name="flight-analytics-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     try:
@@ -189,7 +195,8 @@ def main(argv: list[str] | None = None) -> int:
             for row in result.collect():
                 print(json.dumps(row.asDict(), default=str))
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

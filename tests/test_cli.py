@@ -21,7 +21,10 @@ def test_cli_command(command, spark, flight_tables, capsys, monkeypatch):
     assert len(out) >= 1 and isinstance(out[0], dict)
 
 
-def test_sql_command_runs_over_registered_views(capsys):
+def test_sql_command_runs_over_registered_views(spark, capsys):
+    # `spark` requested so a live session exists: pins the regression where
+    # cli.main()'s finally-stop killed a caller's getOrCreate-shared session
+    # (main must detect it does not own the active session and leave it up)
     import json as _json
 
     from flight_radar_pipeline_spark.cli import main
@@ -40,3 +43,5 @@ def test_sql_command_runs_over_registered_views(capsys):
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert _json.loads(out[-1]) == {"n": 1500}
+    # the shared session must survive the CLI call
+    assert spark.range(1).count() == 1
