@@ -137,6 +137,7 @@ def _registry():
         battery_corpus,
         battery_ext,
         battery_lake,
+        battery_mining,
         battery_prep,
         battery_quality,
         battery_temporal,

@@ -1,0 +1,438 @@
+"""Pattern-mining / statistical-diagnostics battery: association rules,
+distribution-fit quality tests, autocorrelation, seasonal backtesting,
+blocked record linkage, and a Spark 4 Python-UDTF lateral join.
+
+Six operator shapes the rest of the battery does not cover:
+
+- market-basket co-occurrence with support/confidence/lift over order
+  baskets (the A-priori L2 step, done as row-local pair expansion);
+- Benford leading-digit distribution fit with per-digit χ² terms (the
+  classic accounting-fraud / data-quality screen);
+- per-key lag-k autocorrelation (Pearson r against the lagged series);
+- hour-of-day seasonal-profile baseline with a train/holdout MAE backtest
+  (the forecasting-sanity floor every real model must beat);
+- fuzzy record linkage on a dimension via blocking + edit distance;
+- tokenizer-with-character-offsets as an arrow-optimized Python UDTF fanned
+  out through ``DataFrame.lateralJoin`` (span annotation, the NLP
+  preprocessing primitive) — the one Python-touching entry, kept
+  Arrow-batched (``ArrowEvalPythonUDTF``, never ``BatchEvalPython``).
+
+Every builder is paired with a DuckDB oracle; cross-engine determinism
+follows the battery conventions (identical aliases, in-plan rounding of
+double aggregates, total orderings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+
+# --------------------------------------------------------------------------
+# association rules over order baskets
+# --------------------------------------------------------------------------
+
+_COOCCUR_ORACLE = """
+    with ob as (
+        select distinct l_orderkey, p_brand
+        from lineitem join part on l_partkey = p_partkey
+    ), n as (
+        select cast(count(distinct l_orderkey) as double) as n_baskets from ob
+    ), bc as (
+        select p_brand, cast(count(*) as double) as n from ob group by p_brand
+    ), pc as (
+        select a.p_brand as brand_a, b.p_brand as brand_b, count(*) as n_both
+        from ob a
+        join ob b on a.l_orderkey = b.l_orderkey and a.p_brand < b.p_brand
+        group by a.p_brand, b.p_brand
+    )
+    select brand_a, brand_b, n_both,
+           round(n_both / n.n_baskets, 6)                as support,
+           round(n_both / ba.n, 4)                       as conf_a_to_b,
+           round(n_both * n.n_baskets / (ba.n * bb.n), 4) as lift
+    from pc
+    cross join n
+    join bc ba on ba.p_brand = brand_a
+    join bc bb on bb.p_brand = brand_b
+    order by brand_a, brand_b
+"""
+
+
+@register("part_brand_cooccurrence", _COOCCUR_ORACLE)
+def part_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: which part brands co-occur inside
+    an order, with support / confidence / lift (Agrawal-Srikant A-priori's
+    pair-counting step). Baskets are built with ONE shuffle on the order
+    key (collect_set), then pair expansion is a row-local array transform
+    bounded by basket size (≤ lines per order), never a corpus self-join —
+    the 100 TB-safe shape. Brand marginals and the basket total ride the
+    same explode as sentinel rows and resolve as window lookups over the
+    tiny aggregated frame (one lineage — no recomputed scans, no BNLJ)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("brands")
+    )
+    # ONE explode per basket emits every count this query needs — a<b pairs
+    # (array is sorted + deduped), per-brand presence singles emitted on BOTH
+    # sides ((x,'') and ('',x)), and a basket marker ('','') — so the
+    # expensive lineitem scan + orderkey shuffle happens exactly once; ''
+    # can't collide (brands are non-empty). Marginals and the total then
+    # resolve as window lookups over the aggregated frame (≤ |brands|² +
+    # 2·|brands| + 1 rows — the brand dimension stays bounded as facts
+    # grow), which keeps a single lineage: no self-joins for Catalyst's
+    # filter pushdown to split into three recomputed scans, no BNLJ.
+    emit_expr = (
+        "concat("
+        " array(struct('' as brand_a, '' as brand_b)),"
+        " transform(brands, x -> struct(x as brand_a, '' as brand_b)),"
+        " transform(brands, x -> struct('' as brand_a, x as brand_b)),"
+        " flatten(transform(brands, (x, i) -> "
+        "   transform(slice(brands, i + 2, size(brands)), "
+        "   y -> struct(x as brand_a, y as brand_b)))))"
+    )
+    counts = (
+        baskets.select(F.explode(F.expr(emit_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_marker = (F.col("brand_a") == "") & (F.col("brand_b") == "")
+    is_single_a = (F.col("brand_a") != "") & (F.col("brand_b") == "")
+    is_single_b = (F.col("brand_a") == "") & (F.col("brand_b") != "")
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("brand_a")
+    w_b = Window.partitionBy("brand_b")
+    enriched = counts.select(
+        "brand_a",
+        "brand_b",
+        "cnt",
+        F.max(F.when(is_marker, F.col("cnt"))).over(w_all).cast("double").alias("n_baskets"),
+        F.max(F.when(is_single_a, F.col("cnt"))).over(w_a).cast("double").alias("n_a"),
+        F.max(F.when(is_single_b, F.col("cnt"))).over(w_b).cast("double").alias("n_b"),
+    )
+    return (
+        enriched.where((F.col("brand_a") != "") & (F.col("brand_b") != ""))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("cnt").alias("n_both"),
+            F.round(F.col("cnt") / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("cnt") / F.col("n_a"), 4).alias("conf_a_to_b"),
+            F.round(
+                F.col("cnt") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford leading-digit distribution fit
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+    with d as (
+        select substr(cast(cast(floor(o_totalprice * 100) as bigint) as varchar), 1, 1)
+                   as digit_s
+        from orders where o_totalprice > 0
+    ), n as (
+        select cast(count(*) as double) as total from d
+    ), obs as (
+        select cast(digit_s as int) as digit, count(*) as n_obs
+        from d group by digit_s
+    )
+    select digit, n_obs,
+           round(n_obs / n.total, 6)                                as obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6)                       as exp_freq,
+           round(pow(n_obs - n.total * log10(1.0 + 1.0 / digit), 2)
+                 / (n.total * log10(1.0 + 1.0 / digit)), 4)         as chi2_term
+    from obs cross join n
+    order by digit
+"""
+
+
+@register("order_benford_digits", _BENFORD_ORACLE)
+def order_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on order totals: leading-digit frequencies vs
+    the log10(1 + 1/d) expectation with per-digit χ² contributions — the
+    classic distribution-fit data-quality test (synthetic uniform prices
+    will FAIL it; the per-digit terms say how). Leading digit is taken
+    from the integer cents (floor(x·100) → string head), never from double
+    formatting, so both engines see the same digit. One scan, a 9-row
+    aggregate, and a 1-row total broadcast."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        ).alias("digit_s")
+    )
+    obs = d.groupBy("digit_s").agg(F.count("*").alias("n_obs"))
+    totals = d.agg(F.count("*").cast("double").alias("total"))
+    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.select(F.col("digit_s").cast("int").alias("digit"), "n_obs")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("total"), 6).alias("obs_freq"),
+            F.round(exp_freq, 6).alias("exp_freq"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("total") * exp_freq, 2)
+                / (F.col("total") * exp_freq),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+# --------------------------------------------------------------------------
+# lag-k autocorrelation per event type
+# --------------------------------------------------------------------------
+
+_AUTOCORR_ORACLE = """
+    with l as (
+        select event_type, value,
+               lag(value, 1) over (partition by event_type order by ts, event_id)
+                   as lag1,
+               lag(value, 2) over (partition by event_type order by ts, event_id)
+                   as lag2
+        from events
+    )
+    select event_type,
+           round(corr(value, lag1), 4) as lag1_autocorr,
+           round(corr(value, lag2), 4) as lag2_autocorr,
+           count(*)                    as n_events
+    from l group by event_type order by event_type
+"""
+
+
+@register("event_value_lag_autocorr", _AUTOCORR_ORACLE)
+def event_value_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial correlation of the value series per event type: Pearson r
+    between the series and its lag-1 / lag-2 shifts under the total
+    (ts, event_id) order — the stationarity/independence diagnostic run
+    before any time-series modeling. One window shuffle on event_type,
+    then a hash aggregate; corr's null-pair skipping (first k rows of each
+    partition) agrees between engines, and r is scale-invariant so
+    sample-vs-population variants coincide."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type",
+        "value",
+        F.lag("value", 1).over(w).alias("lag1"),
+        F.lag("value", 2).over(w).alias("lag2"),
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "lag1"), 4).alias("lag1_autocorr"),
+            F.round(F.corr("value", "lag2"), 4).alias("lag2_autocorr"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal-profile baseline + holdout backtest
+# --------------------------------------------------------------------------
+
+_SPLIT_TS = "2024-01-22 00:00:00"
+
+_SEASONAL_ORACLE = f"""
+    with tr as (
+        select event_type, extract(hour from ts) as h, avg(value) as vbar
+        from events where ts < timestamp '{_SPLIT_TS}'
+        group by event_type, extract(hour from ts)
+    ), te as (
+        select event_type, extract(hour from ts) as h, value
+        from events where ts >= timestamp '{_SPLIT_TS}'
+    )
+    select te.event_type,
+           count(*)                          as n_test,
+           round(avg(abs(value - vbar)), 4)  as mae,
+           round(avg(value - vbar), 4)       as bias
+    from te join tr on tr.event_type = te.event_type and tr.h = te.h
+    group by te.event_type
+    order by te.event_type
+"""
+
+
+@register("event_seasonal_baseline", _SEASONAL_ORACLE)
+def event_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: fit an hour-of-day mean profile per event
+    type on the first three weeks, score MAE and signed bias on the
+    holdout week — the baseline every forecasting model must beat, and a
+    temporal-leakage-safe split (train strictly precedes test in time).
+    The profile is |types|·24 rows, broadcast onto the holdout scan; both
+    date predicates push down to the parquet scan. One aggregate shuffle
+    for the profile, one for the per-type score."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_SPLIT_TS).cast("timestamp")
+    train = ev.where(F.col("ts") < split)
+    test = ev.where(F.col("ts") >= split)
+    profile = train.groupBy(
+        F.col("event_type").alias("p_type"), F.hour("ts").alias("h")
+    ).agg(F.avg("value").alias("vbar"))
+    te = test.select("event_type", F.hour("ts").alias("h"), "value")
+    return (
+        te.join(
+            F.broadcast(profile),
+            (F.col("event_type") == F.col("p_type")) & (te["h"] == profile["h"]),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.round(F.avg(F.abs(F.col("value") - F.col("vbar"))), 4).alias("mae"),
+            F.round(F.avg(F.col("value") - F.col("vbar")), 4).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# blocked fuzzy record linkage on the part-name dimension
+# --------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+    with names as (
+        select distinct p_name from part
+    ), b as (
+        select p_name, split_part(p_name, ' ', 2) as blk from names
+    )
+    select a.p_name as name_a, c.p_name as name_b,
+           levenshtein(a.p_name, c.p_name) as dist
+    from b a join b c on a.blk = c.blk and a.p_name < c.p_name
+    where levenshtein(a.p_name, c.p_name) <= 3
+    order by name_a, name_b
+"""
+
+
+@register("part_name_fuzzy_pairs", _FUZZY_ORACLE)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with blocking: candidate name pairs share a blocking
+    key (the head noun), then edit distance ≤ 3 confirms — the
+    Fellegi-Sunter blocking+compare shape that replaces the all-pairs
+    name cross product. Linkage runs over the DISTINCT-name dimension
+    (bounded as facts grow); the quadratic step is confined inside blocks,
+    so cost is Σ|block|², never |names|². Spark's built-in ``levenshtein``
+    and DuckDB's agree (unit-cost edit distance)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select("p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"))
+    )
+    a, c = names.alias("a"), names.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk")) & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("c.p_name")).alias("dist"),
+        )
+        .where(F.col("dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# tokenizer with character offsets — Python UDTF through a lateral join
+# --------------------------------------------------------------------------
+
+
+@udtf(returnType="pos int, start_char int, word string", useArrow=True)
+class _WordSpans:
+    """Arrow-batched Python UDTF: one (position, char-offset, token) row
+    per whitespace token. The split mirrors a single-space join exactly
+    (``text.split(' ')``), so offsets are reconstructible on the SQL side
+    as Σ(len+1) of preceding tokens."""
+
+    def eval(self, text):  # noqa: ANN001 - UDTF protocol
+        if text is None:
+            return
+        off = 0
+        for i, w in enumerate(text.split(" ")):
+            yield (i, off, w)
+            off += len(w) + 1
+
+
+_WORD_SPANS_ORACLE = """
+    with w as (
+        select doc_id,
+               cast(unnest(range(0, len(parts))) as int) as pos,
+               unnest(parts) as word
+        from (select doc_id, string_split(text, ' ') as parts from documents)
+    ), s as (
+        select doc_id, pos, word,
+               cast(coalesce(sum(length(word) + 1) over (
+                   partition by doc_id order by pos
+                   rows between unbounded preceding and 1 preceding), 0) as int)
+                   as start_char
+        from w
+    )
+    select doc_id,
+           count(*)                                   as n_words,
+           cast(max(start_char + length(word)) as int) as end_char,
+           md5(string_agg(pos || ':' || start_char || ':' || word, ','
+                          order by pos))               as spans_fp
+    from s group by doc_id order by doc_id
+"""
+
+
+@register("doc_word_spans_udtf", _WORD_SPANS_ORACLE)
+def doc_word_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span annotation through the Spark 4 Python UDTF surface: a
+    tokenizer-with-character-offsets fans each document out to per-token
+    rows via ``DataFrame.lateralJoin`` (ArrowEvalPythonUDTF — Arrow
+    batches, never row-at-a-time), then re-aggregates to one fingerprint
+    row per document proving every (pos, offset, token) triple matches the
+    SQL reconstruction bit-for-bit. The UDTF stage is a row-local fan-out
+    (no shuffle); the only exchange is the doc_id re-aggregation. This is
+    the plumbing NER/PII span pipelines need — offsets survive into the
+    annotation store while the heavy model stays a pluggable eval()."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = docs.lateralJoin(_WordSpans(F.col("text").outer()))
+    triple = F.concat_ws(
+        ":",
+        F.col("s.pos").cast("string"),
+        F.col("s.start_char").cast("string"),
+        F.col("s.word"),
+    )
+    return (
+        spans.select(
+            "doc_id",
+            F.struct("pos", "start_char", "word").alias("s"),
+            (F.col("start_char") + F.length("word")).alias("end_char"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.max("end_char").alias("end_char"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("s.pos"), triple.alias("t")))),
+                        lambda x: x["t"],
+                    ),
+                )
+            ).alias("spans_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -49,6 +49,7 @@ ALLOWED_BNLJ = {
     "session_event_type_lift",    # 1-row basket-total broadcast
     "event_type_hour_mutual_info",  # 1-row contingency-total broadcast
     "embedding_cosine_histogram",  # deliberate sampled pair join (< cond)
+    "order_benford_digits",       # 1-row digit-total broadcast
     "customer_rfm_segments",      # 1-row max-date + 12-number fence broadcasts
 }
 

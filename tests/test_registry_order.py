@@ -80,6 +80,13 @@ POST_FREEZE: set[str] = {
     "event_props_variant",
     "orders_schema_evolution",
     "shipping_latency_sla",
+    # battery_mining (added late round-5)
+    "part_brand_cooccurrence",
+    "order_benford_digits",
+    "event_value_lag_autocorr",
+    "event_seasonal_baseline",
+    "part_name_fuzzy_pairs",
+    "doc_word_spans_udtf",
 }
 
 
