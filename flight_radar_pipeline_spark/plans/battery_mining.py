@@ -436,3 +436,61 @@ def doc_word_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream FULL OUTER join (completes the streaming join-type matrix)
+# --------------------------------------------------------------------------
+
+_VIEW_FO_ORACLE = """
+    with mx as (
+        select least(
+            (select max(ts) from events where event_type = 'view'),
+            (select max(ts) from events where event_type = 'click')) as m
+    ),
+    vv as (select * from events where event_type = 'view'),
+    cc as (select * from events where event_type = 'click'),
+    j as (
+        select v.event_id as view_id, c.event_id as click_id,
+               coalesce(v.user_id, c.user_id) as user_id,
+               v.ts as vts, c.ts as cts
+        from vv v full outer join cc c
+          on c.user_id = v.user_id
+         and c.ts >= v.ts and c.ts <= v.ts + interval 30 minute
+    )
+    select view_id, click_id, user_id,
+           strftime(vts, '%Y-%m-%d %H:%M:%S') as view_ts,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') as click_ts
+    from j, mx
+    where (view_id is not null and click_id is not null)
+       or (click_id is null and vts + interval 30 minute < mx.m)
+       or (view_id is null and cts < mx.m)
+    order by view_id, click_id
+"""
+
+
+@register("view_click_full_outer_stream", _VIEW_FO_ORACLE)
+def view_click_full_outer_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: views ⟗ same-user clicks within 30
+    minutes after the view. Non-converting views AND orphan clicks emit
+    null-extended once the global watermark (LEAST of both sides' maxima)
+    strictly passes their last possible match — view boundary at
+    ``v_ts + 30m``, click boundary at ``c_ts`` (a matching view can't be
+    later than the click). Same bounded state as the inner join; see
+    ``streaming.events.view_click_full_outer_stream``."""
+    from flight_radar_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        view_click_full_outer_stream,
+    )
+
+    views = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_events_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    out = view_click_full_outer_stream(views, clicks)
+    return run_stream_to_memory(
+        out, output_mode="append", state_partitions=8
+    ).orderBy("view_id", "click_id")

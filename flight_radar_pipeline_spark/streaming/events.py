@@ -185,6 +185,58 @@ def view_click_left_outer_stream(
     )
 
 
+def view_click_full_outer_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    lookforward_minutes: int = 30,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: the left-outer conversion view plus
+    the mirror-image orphans — clicks with NO qualifying view in the
+    ``lookforward_minutes`` before them (bot clicks, lost impressions)
+    emitted null-extended too. Completes the streaming join-type matrix
+    (inner / leftOuter / fullOuter) over one shared time-range predicate.
+
+    Emission semantics extend the left-outer contract symmetrically:
+    matched pairs emit eagerly; an unmatched VIEW null-extends when the
+    global watermark strictly passes ``v_ts + lookforward`` (its last
+    possible match); an unmatched CLICK null-extends when the watermark
+    strictly passes ``c_ts`` (a view matching it must have
+    ``v_ts <= c_ts``, and rows at the watermark are still admissible, so
+    the boundary is exclusive on both sides). The SQL oracle in
+    ``plans/battery_mining.py`` states all three parts directly.
+
+    Scale: identical state bound to the inner join (watermark +
+    lookforward per side per user); outer emission is deferral, not extra
+    state. Spark rejects the outer join without the time-range condition
+    — that rejection is the API preventing unbounded state, not a
+    limitation."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", watermark)
+    lf = f"INTERVAL {int(lookforward_minutes)} MINUTES"
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(lf)),
+        "fullOuter",
+    ).select(
+        "view_id",
+        "click_id",
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 def enrich_events_stream(
     events: DataFrame,
     dim: DataFrame,

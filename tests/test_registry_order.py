@@ -87,6 +87,7 @@ POST_FREEZE: set[str] = {
     "event_seasonal_baseline",
     "part_name_fuzzy_pairs",
     "doc_word_spans_udtf",
+    "view_click_full_outer_stream",
 }
 
 
