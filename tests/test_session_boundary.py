@@ -192,3 +192,49 @@ def test_left_outer_stream_emission_boundary(spark):
         ).collect()
     got = sorted((r.view_id, r.click_id) for r in out)
     assert got == [(100, None), (300, 301)]
+
+
+def test_full_outer_stream_emission_boundary(spark):
+    """Full-outer sibling: BOTH sides' orphans obey strict watermark
+    boundaries. Final global watermark pinned to 00:31 as in the
+    left-outer test. Views: A (window end 00:30 < wm) emits null-
+    extended, B (00:31 == wm) stays in state. Clicks: X at 00:20 < wm
+    emits null-extended (no view within its 30-minute lookback), Y at
+    00:31 == wm stays (a view at exactly the watermark could still
+    match it). C/301 is a real match and emits eagerly."""
+    import tempfile
+
+    from flight_radar_pipeline_spark.streaming.events import (
+        run_stream_to_memory,
+        view_click_full_outer_stream,
+    )
+
+    rows = [
+        # (event_id, user_id, event_type, ts)
+        (100, 1, "view", dt.datetime(2024, 1, 1, 0, 0, 0)),    # A: end 00:30 < wm
+        (200, 2, "view", dt.datetime(2024, 1, 1, 0, 1, 0)),    # B: end 00:31 == wm
+        (300, 3, "view", dt.datetime(2024, 1, 1, 0, 2, 0)),    # C: matched
+        (301, 3, "click", dt.datetime(2024, 1, 1, 0, 10, 0)),
+        (500, 5, "click", dt.datetime(2024, 1, 1, 0, 20, 0)),  # X: orphan, < wm
+        (600, 6, "click", dt.datetime(2024, 1, 1, 0, 31, 0)),  # Y: orphan, == wm
+        (400, 8, "view", dt.datetime(2024, 1, 1, 0, 31, 0)),   # sets view wm
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/in")
+
+        def stream():
+            return spark.readStream.schema(src.schema).parquet(f"{d}/in")
+
+        out = run_stream_to_memory(
+            view_click_full_outer_stream(
+                stream().filter(F.col("event_type") == "view"),
+                stream().filter(F.col("event_type") == "click"),
+            ),
+            output_mode="append",
+            state_partitions=2,
+        ).collect()
+    got = {(r.view_id, r.click_id) for r in out}
+    assert got == {(None, 500), (100, None), (300, 301)}
