@@ -36,6 +36,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -53,6 +54,41 @@ class FileCommit(WriterCommitMessage):
         self.file, self.rows, self.checksum = file, rows, checksum
 
 
+def _write_parquet_task(path: str, iterator: Iterator, batch_rows: int) -> FileCommit:
+    """One task's write: stream rows into a UUID-named parquet file in
+    ``batch_rows`` row groups (bounded task memory at any partition size),
+    returning the (file, rows, checksum) commit message. Shared verbatim by
+    the batch and streaming writers — the commit PROTOCOL differs, the task
+    write does not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    os.makedirs(path, exist_ok=True)
+    writer = None
+    batch, total, checksum = [], 0, 0
+    try:
+        for row in iterator:
+            batch.append(row.asDict())
+            checksum = (checksum + _row_hash(tuple(row))) % _MOD
+            total += 1
+            if len(batch) >= batch_rows:
+                table = pa.Table.from_pylist(batch)
+                if writer is None:
+                    writer = pq.ParquetWriter(os.path.join(path, name), table.schema)
+                writer.write_table(table)
+                batch = []
+        if batch:
+            table = pa.Table.from_pylist(batch)
+            if writer is None:
+                writer = pq.ParquetWriter(os.path.join(path, name), table.schema)
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()
+    return FileCommit(name if total else "", total, checksum)
+
+
 class ManifestWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.path = options["path"]
@@ -62,37 +98,7 @@ class ManifestWriter(DataSourceWriter):
         self.batch_rows = int(options.get("batch_rows", "65536"))
 
     def write(self, iterator: Iterator) -> FileCommit:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        os.makedirs(self.path, exist_ok=True)
-        writer = None
-        batch, total, checksum = [], 0, 0
-        try:
-            for row in iterator:
-                batch.append(row.asDict())
-                checksum = (checksum + _row_hash(tuple(row))) % _MOD
-                total += 1
-                if len(batch) >= self.batch_rows:
-                    table = pa.Table.from_pylist(batch)
-                    if writer is None:
-                        writer = pq.ParquetWriter(
-                            os.path.join(self.path, name), table.schema
-                        )
-                    writer.write_table(table)
-                    batch = []
-            if batch:
-                table = pa.Table.from_pylist(batch)
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(self.path, name), table.schema
-                    )
-                writer.write_table(table)
-        finally:
-            if writer is not None:
-                writer.close()
-        return FileCommit(name if total else "", total, checksum)
+        return _write_parquet_task(self.path, iterator, self.batch_rows)
 
     def commit(self, messages) -> None:
         entries = [
@@ -124,6 +130,54 @@ class ManifestWriter(DataSourceWriter):
         pass
 
 
+def _batch_manifest_name(batch_id: int) -> str:
+    return f"_MANIFEST-{batch_id:010d}.json"
+
+
+class ManifestStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the manifest sink: one manifest PER MICROBATCH
+    (``_MANIFEST-<batchId>.json``), committed by the driver after every
+    task's message for that batch arrives — the same publish-last protocol,
+    repeated per trigger.
+
+    Exactly-once across restarts comes from the manifest being the
+    publication point: when a crash lands between the sink commit and the
+    checkpoint write, Spark REPLAYS the batch (same batchId, re-run tasks,
+    fresh UUID part files). ``commit`` sees the batch's manifest already on
+    disk and does nothing — the first manifest stands, the replay's files
+    stay orphaned and unreferenced, and readers (which resolve through
+    manifests only) never see duplicates. Same replay posture as
+    ``streaming.events.idempotent_rollup_merge``, enforced at the
+    DataSource layer instead of inside a foreachBatch."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_rows = int(options.get("batch_rows", "65536"))
+
+    def write(self, iterator: Iterator) -> FileCommit:
+        return _write_parquet_task(self.path, iterator, self.batch_rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        mpath = os.path.join(self.path, _batch_manifest_name(batchId))
+        if os.path.exists(mpath):
+            return  # replayed batch — first commit already published
+        entries = [
+            {"file": m.file, "rows": m.rows, "checksum": m.checksum}
+            for m in messages
+            if m.file
+        ]
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(entries, key=lambda e: e["file"]),
+            "total_rows": sum(e["rows"] for e in entries),
+        }
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def abort(self, messages, batchId: int) -> None:  # pragma: no cover
+        pass  # unreferenced part files; next trigger's commit supersedes
+
+
 class ManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -132,18 +186,46 @@ class ManifestDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> ManifestWriter:
         return ManifestWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> ManifestStreamWriter:
+        return ManifestStreamWriter(self.options)
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+
+def read_manifest(path: str, name: str = "_MANIFEST.json") -> dict:
+    with open(os.path.join(path, name)) as fh:
         return json.load(fh)
 
 
-def verify_manifest(path: str) -> dict:
+def read_stream_manifests(path: str) -> dict:
+    """Merge every per-batch manifest into one view: the reader-side
+    resolution for the streaming sink ({"files", "total_rows",
+    "batch_ids"}). Files a crashed/replayed batch left unreferenced are
+    invisible here by construction."""
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if n.startswith("_MANIFEST-") and n.endswith(".json")
+    )
+    files, batch_ids = [], []
+    for n in names:
+        m = read_manifest(path, n)
+        files.extend(m["files"])
+        batch_ids.append(m["batch_id"])
+    return {
+        "files": sorted(files, key=lambda e: e["file"]),
+        "total_rows": sum(e["rows"] for e in files),
+        "batch_ids": batch_ids,
+    }
+
+
+def verify_manifest(path: str, manifest: dict | None = None) -> dict:
     """Re-derive every referenced file's (rows, checksum) and diff against
-    the manifest → {"ok": bool, "mismatches": [...], "missing": [...]}."""
+    the manifest → {"ok": bool, "mismatches": [...], "missing": [...]}.
+    Pass ``manifest=read_stream_manifests(path)`` to audit a streaming
+    sink's merged view instead of the batch ``_MANIFEST.json``."""
     import pyarrow.parquet as pq
 
-    manifest = read_manifest(path)
+    if manifest is None:
+        manifest = read_manifest(path)
     mismatches, missing = [], []
     for entry in manifest["files"]:
         fpath = os.path.join(path, entry["file"])
