@@ -1,0 +1,198 @@
+"""Pattern-mining operators: association rules, distribution-fit tests,
+lag autocorrelation, blocked fuzzy linkage.
+
+Library forms of the ``plans/battery_mining.py`` entries — reusable on any
+DataFrame, each with the 100 TB posture at the definition site. The battery
+wrappers pair every one with a DuckDB oracle; ``tests/test_mining_ops.py``
+additionally brute-forces them on small random frames (shapes the synthetic
+tables never produce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def basket_association_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    support_dp: int = 6,
+    ratio_dp: int = 4,
+) -> DataFrame:
+    """Market-basket pair rules (Agrawal-Srikant A-priori's L2 step):
+    for every unordered item pair {a < b} co-present in a basket, emit
+    ``n_both`` (baskets containing both), ``support`` (n_both /
+    n_baskets), ``conf_a_to_b`` (n_both / n_a) and ``lift``
+    (n_both·n_baskets / (n_a·n_b)).
+
+    Scale shape: ONE shuffle on the basket key builds deduped sorted item
+    sets; a single row-local explode then emits pairs, per-item marginal
+    sentinels on both sides, and a basket marker, so the fact scan is
+    never repeated (three separate aggregates would each re-scan —
+    ReuseExchange cannot help because filter pushdown de-unifies the
+    subtrees). Marginals and the total resolve as window lookups over the
+    aggregated frame, which is ≤ |items|² + 2|items| + 1 rows — bounded
+    by the ITEM DIMENSION, not the facts. Per-basket pair fan-out is
+    C(basket,2); cap basket size upstream if a degenerate basket can hold
+    thousands of distinct items.
+
+    Empty-string sentinels require non-empty item values (enforced by
+    filter)."""
+    it = F.col(item_col)
+    clean = items.where(it.isNotNull() & (it != "")).select(
+        F.col(basket_col).alias("__basket"), it.alias("__item")
+    )
+    baskets = clean.groupBy("__basket").agg(
+        F.array_sort(F.collect_set("__item")).alias("items")
+    )
+    emit_expr = (
+        "concat("
+        " array(struct('' as item_a, '' as item_b)),"
+        " transform(items, x -> struct(x as item_a, '' as item_b)),"
+        " transform(items, x -> struct('' as item_a, x as item_b)),"
+        " flatten(transform(items, (x, i) -> "
+        "   transform(slice(items, i + 2, size(items)), "
+        "   y -> struct(x as item_a, y as item_b)))))"
+    )
+    counts = (
+        baskets.select(F.explode(F.expr(emit_expr)).alias("p"))
+        .select("p.*")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_marker = (F.col("item_a") == "") & (F.col("item_b") == "")
+    is_single_a = (F.col("item_a") != "") & (F.col("item_b") == "")
+    is_single_b = (F.col("item_a") == "") & (F.col("item_b") != "")
+    enriched = counts.select(
+        "item_a",
+        "item_b",
+        "cnt",
+        F.max(F.when(is_marker, F.col("cnt")))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("n_baskets"),
+        F.max(F.when(is_single_a, F.col("cnt")))
+        .over(Window.partitionBy("item_a"))
+        .cast("double")
+        .alias("n_a"),
+        F.max(F.when(is_single_b, F.col("cnt")))
+        .over(Window.partitionBy("item_b"))
+        .cast("double")
+        .alias("n_b"),
+    )
+    return (
+        enriched.where((F.col("item_a") != "") & (F.col("item_b") != ""))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cnt").alias("n_both"),
+            F.round(F.col("cnt") / F.col("n_baskets"), support_dp).alias("support"),
+            F.round(F.col("cnt") / F.col("n_a"), ratio_dp).alias("conf_a_to_b"),
+            F.round(
+                F.col("cnt") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
+                ratio_dp,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )
+
+
+def benford_digit_fit(
+    amounts: DataFrame, amount_col: str, freq_dp: int = 6, chi2_dp: int = 4
+) -> DataFrame:
+    """Benford's-law screen: leading-digit frequencies of a positive
+    amount column vs the log10(1 + 1/d) expectation, with per-digit χ²
+    contributions. The digit comes from integer cents
+    (floor(x·100) → string head) — never from double formatting, which
+    differs across engines. One scan, a ≤9-row aggregate, one 1-row total
+    broadcast; χ²-summing the terms against a χ²₈ table is the caller's
+    significance test."""
+    x = F.col(amount_col)
+    d = amounts.where(x > 0).select(
+        F.substring(F.floor(x * 100).cast("bigint").cast("string"), 1, 1).alias(
+            "digit_s"
+        )
+    )
+    obs = d.groupBy("digit_s").agg(F.count("*").alias("n_obs"))
+    totals = d.agg(F.count("*").cast("double").alias("total"))
+    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        obs.select(F.col("digit_s").cast("int").alias("digit"), "n_obs")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("total"), freq_dp).alias("obs_freq"),
+            F.round(exp_freq, freq_dp).alias("exp_freq"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("total") * exp_freq, 2)
+                / (F.col("total") * exp_freq),
+                chi2_dp,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+def lag_autocorr(
+    series: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: list[str],
+    lags: tuple[int, ...] = (1, 2),
+    dp: int = 4,
+) -> DataFrame:
+    """Per-key lag-k Pearson autocorrelation of ``value_col`` under the
+    total order ``order_cols`` (include a tiebreaker column — a partial
+    order makes lag() nondeterministic). One window shuffle on the key,
+    then a hash aggregate; corr's null-pair skipping drops exactly the
+    first k rows of each partition."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    cols: list[Column] = [F.col(key_col), F.col(value_col)]
+    for k in lags:
+        cols.append(F.lag(value_col, k).over(w).alias(f"__lag{k}"))
+    lagged = series.select(*cols)
+    aggs = [
+        F.round(F.corr(value_col, f"__lag{k}"), dp).alias(f"lag{k}_autocorr")
+        for k in lags
+    ]
+    return (
+        lagged.groupBy(key_col)
+        .agg(*aggs, F.count("*").alias("n_rows"))
+        .orderBy(key_col)
+    )
+
+
+def blocked_fuzzy_pairs(
+    names: DataFrame,
+    name_col: str,
+    block_fn,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fellegi-Sunter record linkage: candidate pairs share a blocking key
+    (``block_fn``, a Column → Column function over the name), then
+    Levenshtein distance ≤ ``max_dist`` confirms. Run it over the
+    DISTINCT-name dimension, never the fact table: cost is Σ|block|², so
+    the block function must keep blocks small (the classic choice: a
+    stable token, a phonetic code, a sorted-neighborhood window).
+    Output: (name_a < name_b, dist)."""
+    base = names.select(F.col(name_col).alias("name")).distinct().select(
+        "name", block_fn(F.col("name")).alias("blk")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy("name_a", "name_b")
+    )

@@ -24,10 +24,16 @@ double aggregates, total orderings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
+from flight_radar_pipeline_spark.operators.mining import (
+    basket_association_rules,
+    benford_digit_fit,
+    blocked_fuzzy_pairs,
+    lag_autocorr,
+)
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -71,67 +77,22 @@ def part_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by basket size (≤ lines per order), never a corpus self-join —
     the 100 TB-safe shape. Brand marginals and the basket total ride the
     same explode as sentinel rows and resolve as window lookups over the
-    tiny aggregated frame (one lineage — no recomputed scans, no BNLJ)."""
+    tiny aggregated frame (one lineage — no recomputed scans, no BNLJ).
+    See ``operators.mining.basket_association_rules`` and the
+    part_brand_cooccurrence section of PLANS.md for the plan."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
         "l_orderkey", "p_brand"
     )
-    baskets = ob.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("p_brand")).alias("brands")
-    )
-    # ONE explode per basket emits every count this query needs — a<b pairs
-    # (array is sorted + deduped), per-brand presence singles emitted on BOTH
-    # sides ((x,'') and ('',x)), and a basket marker ('','') — so the
-    # expensive lineitem scan + orderkey shuffle happens exactly once; ''
-    # can't collide (brands are non-empty). Marginals and the total then
-    # resolve as window lookups over the aggregated frame (≤ |brands|² +
-    # 2·|brands| + 1 rows — the brand dimension stays bounded as facts
-    # grow), which keeps a single lineage: no self-joins for Catalyst's
-    # filter pushdown to split into three recomputed scans, no BNLJ.
-    emit_expr = (
-        "concat("
-        " array(struct('' as brand_a, '' as brand_b)),"
-        " transform(brands, x -> struct(x as brand_a, '' as brand_b)),"
-        " transform(brands, x -> struct('' as brand_a, x as brand_b)),"
-        " flatten(transform(brands, (x, i) -> "
-        "   transform(slice(brands, i + 2, size(brands)), "
-        "   y -> struct(x as brand_a, y as brand_b)))))"
-    )
-    counts = (
-        baskets.select(F.explode(F.expr(emit_expr)).alias("p"))
-        .select("p.*")
-        .groupBy("brand_a", "brand_b")
-        .agg(F.count("*").alias("cnt"))
-    )
-    is_marker = (F.col("brand_a") == "") & (F.col("brand_b") == "")
-    is_single_a = (F.col("brand_a") != "") & (F.col("brand_b") == "")
-    is_single_b = (F.col("brand_a") == "") & (F.col("brand_b") != "")
-    w_all = Window.partitionBy()
-    w_a = Window.partitionBy("brand_a")
-    w_b = Window.partitionBy("brand_b")
-    enriched = counts.select(
-        "brand_a",
-        "brand_b",
-        "cnt",
-        F.max(F.when(is_marker, F.col("cnt"))).over(w_all).cast("double").alias("n_baskets"),
-        F.max(F.when(is_single_a, F.col("cnt"))).over(w_a).cast("double").alias("n_a"),
-        F.max(F.when(is_single_b, F.col("cnt"))).over(w_b).cast("double").alias("n_b"),
-    )
-    return (
-        enriched.where((F.col("brand_a") != "") & (F.col("brand_b") != ""))
-        .select(
-            "brand_a",
-            "brand_b",
-            F.col("cnt").alias("n_both"),
-            F.round(F.col("cnt") / F.col("n_baskets"), 6).alias("support"),
-            F.round(F.col("cnt") / F.col("n_a"), 4).alias("conf_a_to_b"),
-            F.round(
-                F.col("cnt") * F.col("n_baskets") / (F.col("n_a") * F.col("n_b")),
-                4,
-            ).alias("lift"),
-        )
-        .orderBy("brand_a", "brand_b")
+    rules = basket_association_rules(ob, "l_orderkey", "p_brand")
+    return rules.select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        "n_both",
+        "support",
+        "conf_a_to_b",
+        "lift",
     )
 
 
@@ -168,32 +129,10 @@ def order_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     will FAIL it; the per-digit terms say how). Leading digit is taken
     from the integer cents (floor(x·100) → string head), never from double
     formatting, so both engines see the same digit. One scan, a 9-row
-    aggregate, and a 1-row total broadcast."""
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    d = orders.select(
-        F.substring(
-            F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
-        ).alias("digit_s")
-    )
-    obs = d.groupBy("digit_s").agg(F.count("*").alias("n_obs"))
-    totals = d.agg(F.count("*").cast("double").alias("total"))
-    exp_freq = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    return (
-        obs.select(F.col("digit_s").cast("int").alias("digit"), "n_obs")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "digit",
-            "n_obs",
-            F.round(F.col("n_obs") / F.col("total"), 6).alias("obs_freq"),
-            F.round(exp_freq, 6).alias("exp_freq"),
-            F.round(
-                F.pow(F.col("n_obs") - F.col("total") * exp_freq, 2)
-                / (F.col("total") * exp_freq),
-                4,
-            ).alias("chi2_term"),
-        )
-        .orderBy("digit")
-    )
+    aggregate, and a 1-row total broadcast
+    (``operators.mining.benford_digit_fit``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_digit_fit(orders, "o_totalprice")
 
 
 # --------------------------------------------------------------------------
@@ -225,23 +164,17 @@ def event_value_lag_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any time-series modeling. One window shuffle on event_type,
     then a hash aggregate; corr's null-pair skipping (first k rows of each
     partition) agrees between engines, and r is scale-invariant so
-    sample-vs-population variants coincide."""
+    sample-vs-population variants coincide
+    (``operators.mining.lag_autocorr``)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    lagged = ev.select(
-        "event_type",
-        "value",
-        F.lag("value", 1).over(w).alias("lag1"),
-        F.lag("value", 2).over(w).alias("lag2"),
+    out = lag_autocorr(
+        ev, "event_type", "value", order_cols=["ts", "event_id"], lags=(1, 2)
     )
-    return (
-        lagged.groupBy("event_type")
-        .agg(
-            F.round(F.corr("value", "lag1"), 4).alias("lag1_autocorr"),
-            F.round(F.corr("value", "lag2"), 4).alias("lag2_autocorr"),
-            F.count("*").alias("n_events"),
-        )
-        .orderBy("event_type")
+    return out.select(
+        "event_type",
+        "lag1_autocorr",
+        "lag2_autocorr",
+        F.col("n_rows").alias("n_events"),
     )
 
 
@@ -328,26 +261,14 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name cross product. Linkage runs over the DISTINCT-name dimension
     (bounded as facts grow); the quadratic step is confined inside blocks,
     so cost is Σ|block|², never |names|². Spark's built-in ``levenshtein``
-    and DuckDB's agree (unit-cost edit distance)."""
-    names = (
-        load_table(spark, sf_dir, "part")
-        .select("p_name")
-        .distinct()
-        .select("p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"))
-    )
-    a, c = names.alias("a"), names.alias("c")
-    return (
-        a.join(
-            c,
-            (F.col("a.blk") == F.col("c.blk")) & (F.col("a.p_name") < F.col("c.p_name")),
-        )
-        .select(
-            F.col("a.p_name").alias("name_a"),
-            F.col("c.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("c.p_name")).alias("dist"),
-        )
-        .where(F.col("dist") <= 3)
-        .orderBy("name_a", "name_b")
+    and DuckDB's agree (unit-cost edit distance)
+    (``operators.mining.blocked_fuzzy_pairs``)."""
+    part = load_table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        part,
+        "p_name",
+        block_fn=lambda name: F.split_part(name, F.lit(" "), F.lit(2)),
+        max_dist=3,
     )
 
 

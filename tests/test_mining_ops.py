@@ -1,0 +1,113 @@
+"""operators/mining.py vs brute force on constructed frames — shapes the
+synthetic tables never produce (single-item baskets, shared items across
+every basket, repeated names, negative/fractional amounts)."""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from flight_radar_pipeline_spark.operators.mining import (
+    basket_association_rules,
+    benford_digit_fit,
+    blocked_fuzzy_pairs,
+    lag_autocorr,
+)
+
+# deterministic pseudo-random basket set: 40 baskets over 6 items, with
+# basket 0 a singleton and item "f" present in every basket
+BASKETS = {
+    b: sorted(
+        {"abcdef"[(b * 7 + i * 3) % 6] for i in range(1 + (b * 5) % 4)} | {"f"}
+    )
+    for b in range(1, 40)
+}
+BASKETS[0] = ["a"]
+
+
+def _brute_rules():
+    n = len(BASKETS)
+    marg = {}
+    for items in BASKETS.values():
+        for i in items:
+            marg[i] = marg.get(i, 0) + 1
+    out = {}
+    for items in BASKETS.values():
+        for a, b in itertools.combinations(items, 2):
+            out[(a, b)] = out.get((a, b), 0) + 1
+    return {
+        (a, b): (
+            c,
+            round(c / n, 6),
+            round(c / marg[a], 4),
+            round(c * n / (marg[a] * marg[b]), 4),
+        )
+        for (a, b), c in out.items()
+    }
+
+
+def test_association_rules_match_brute_force(spark):
+    rows = [(b, i) for b, items in BASKETS.items() for i in items]
+    df = spark.createDataFrame(rows, "basket bigint, item string")
+    got = {
+        (r.item_a, r.item_b): (r.n_both, r.support, r.conf_a_to_b, r.lift)
+        for r in basket_association_rules(df, "basket", "item").collect()
+    }
+    assert got == _brute_rules()
+
+
+def test_association_rules_drop_null_and_empty_items(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, ""), (1, None), (2, "x"), (2, "y")],
+        "basket bigint, item string",
+    )
+    rows = basket_association_rules(df, "basket", "item").collect()
+    assert [(r.item_a, r.item_b, r.n_both) for r in rows] == [("x", "y", 2)]
+    assert rows[0].support == 1.0  # '' and None never count as items
+
+
+def test_benford_matches_brute_force_and_handles_sign(spark):
+    amounts = [1.23, 12.9, 190.01, 2.5, 0.37, -5.0, 0.0, 911.0, 0.015]
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    got = {r.digit: (r.n_obs, r.obs_freq, r.exp_freq) for r in
+           benford_digit_fit(df, "amt").collect()}
+    # positives only; digit of integer cents: 123→1, 1290→1, 19001→1,
+    # 250→2, 37→3, 91100→9, 1(.5 cents floored)→1
+    pos = {1: 4, 2: 1, 3: 1, 9: 1}
+    n = sum(pos.values())
+    want = {
+        d: (c, round(c / n, 6), round(math.log10(1 + 1 / d), 6))
+        for d, c in pos.items()
+    }
+    assert got == want
+
+
+def test_lag_autocorr_alternating_series_is_minus_one(spark):
+    # x, -x, x, -x ... → lag-1 r = -1, lag-2 r = +1 exactly
+    rows = [("k", i, float((-1) ** i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, seq bigint, v double")
+    r = lag_autocorr(df, "key", "v", order_cols=["seq"], lags=(1, 2)).collect()[0]
+    assert r.lag1_autocorr == pytest.approx(-1.0, abs=1e-9)
+    assert r.lag2_autocorr == pytest.approx(1.0, abs=1e-9)
+    assert r.n_rows == 20
+
+
+def test_blocked_fuzzy_pairs_respects_blocks_and_threshold(spark):
+    names = ["red bolt", "ted bolt", "red ring", "bed bolt", "red bolt"]
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in blocked_fuzzy_pairs(
+            df, "nm", lambda c: F.split_part(c, F.lit(" "), F.lit(2)), max_dist=1
+        ).collect()
+    }
+    # duplicates collapse (distinct); "red ring" is in another block;
+    # within the bolt block only single-substitution pairs survive
+    assert got == {
+        ("bed bolt", "red bolt"): 1,
+        ("bed bolt", "ted bolt"): 1,
+        ("red bolt", "ted bolt"): 1,
+    }
