@@ -48,3 +48,44 @@ def test_zorder_clamps_out_of_domain(spark):
     hi = _deinterleave(ks[1], 2, BITS)
     nul = _deinterleave(ks[2], 2, BITS)
     assert lo == (0, 2) and hi == (15, 2) and nul == (0, 2)
+
+
+def test_zorder_layout_prunes_every_dimension(spark, tmp_path):
+    """Measured pruning claim (tools/zorder_bench.py in miniature): a
+    time-sorted layout cannot prune a user-only predicate at all (every
+    row group spans the full user range), while the z-ordered layout
+    prunes SOME row groups on every dimension. The trade — z-order is
+    worse than a perfect single-column sort on that column's own
+    predicates — is recorded in BASELINE.md, not asserted here."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from zorder_bench import _overlapping_row_groups, write_layouts
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    paths = write_layouts(
+        spark,
+        "/root/testdata/sf0.01",
+        str(tmp_path),
+        block_bytes=24 * 1024,
+        uid_domain=(0.0, 150.0),  # sf0.01 has 150 users, not sf0.1's 1500
+    )
+    box_uid = (70, 77)  # ~5% of the sf0.01 user range
+    hits = {
+        (lname, dims): _overlapping_row_groups(p, *flags, box_uid=box_uid)
+        for lname, p in paths.items()
+        for dims, flags in {
+            "user": (True, False),
+            "time": (False, True),
+            "both": (True, True),
+        }.items()
+    }
+    total = hits[("zorder", "user")][1]
+    assert total >= 8, f"need enough row groups to measure ({total})"
+    # the one-column sort is blind on the other column
+    assert hits[("ts_sorted", "user")][0] == total
+    # z-order prunes on EVERY dimension
+    for dims in ("user", "time", "both"):
+        assert hits[("zorder", dims)][0] < total, dims
+    # and beats the time-sorted layout on the dimension it cannot see
+    assert hits[("zorder", "user")][0] < hits[("ts_sorted", "user")][0]
