@@ -62,6 +62,13 @@ def get_spark_session(
         # local test default; AQE coalesces down, cluster deploys override up
         "spark.sql.shuffle.partitions": str(shuffle_partitions or default_parallelism()),
         "spark.sql.parquet.filterPushdown": "true",
+        # Spark's default INT96 parquet timestamps carry NO row-group
+        # min/max statistics, silently disabling time-based data skipping
+        # on everything this engine writes (measured: tools/zorder_bench.py
+        # — a time predicate on an INT96 layout reads every row group).
+        # INT64 micros is also what modern readers (DuckDB, Iceberg,
+        # Delta) expect.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # the synthetic events table carries parquet TIMESTAMP(NANOS),
         # which Spark rejects unless read as int64 (sources/readers.py
         # converts back to a timestamp)

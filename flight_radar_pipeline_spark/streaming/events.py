@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,6 +42,46 @@ EVENTS_PHYSICAL = StructType(
         StructField("props", StringType(), True),
     ]
 )
+
+
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession, changelog_checkpointing: bool = True):
+    """Run streaming queries started inside this context on the RocksDB
+    state store instead of the default HDFS-backed one.
+
+    The default provider keeps every partition's full state map ON THE
+    EXECUTOR HEAP — fine for toy state, an OOM machine at 100 TB scale
+    (billions of keys for a stream-stream join or dedup horizon). RocksDB
+    spills state to local disk with a bounded block cache, and changelog
+    checkpointing uploads per-batch deltas instead of full snapshots.
+    Results are identical by contract (same key-value semantics under the
+    same watermark algebra) — pinned by ``tests/test_rocksdb_state.py``.
+
+    Conf is read at QUERY START, so this only affects queries started in
+    the block; a restarted checkpoint must keep its original provider."""
+    keys = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_STATE_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": str(
+            changelog_checkpointing
+        ).lower(),
+    }
+    prev: dict[str, str | None] = {}
+    for k, v in keys.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
