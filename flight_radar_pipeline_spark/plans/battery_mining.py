@@ -380,8 +380,8 @@ _VIEW_FO_ORACLE = """
          and c.ts >= v.ts and c.ts <= v.ts + interval 30 minute
     )
     select view_id, click_id, user_id,
-           strftime(vts, '%Y-%m-%d %H:%M:%S') as view_ts,
-           strftime(cts, '%Y-%m-%d %H:%M:%S') as click_ts
+           coalesce(strftime(vts, '%Y-%m-%d %H:%M:%S'), '') as view_ts,
+           coalesce(strftime(cts, '%Y-%m-%d %H:%M:%S'), '') as click_ts
     from j, mx
     where (view_id is not null and click_id is not null)
        or (click_id is null and vts + interval 30 minute < mx.m)
@@ -398,7 +398,10 @@ def view_click_full_outer_stream_q(spark: SparkSession, sf_dir: str) -> DataFram
     strictly passes their last possible match — view boundary at
     ``v_ts + 30m``, click boundary at ``c_ts`` (a matching view can't be
     later than the click). Same bounded state as the inner join; see
-    ``streaming.events.view_click_full_outer_stream``."""
+    ``streaming.events.view_click_full_outer_stream``. Presentation:
+    null timestamp STRINGS coalesce to '' on both sides (the battery's
+    sentinel convention for nullable strings, like SCD2's 9999-12-31 —
+    null ids are fine, null strings stay out of the cross-engine hash)."""
     from flight_radar_pipeline_spark.streaming.events import (
         read_events_stream,
         run_stream_to_memory,
@@ -412,6 +415,11 @@ def view_click_full_outer_stream_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("event_type") == "click"
     )
     out = view_click_full_outer_stream(views, clicks)
-    return run_stream_to_memory(
-        out, output_mode="append", state_partitions=8
+    res = run_stream_to_memory(out, output_mode="append", state_partitions=8)
+    return res.select(
+        "view_id",
+        "click_id",
+        "user_id",
+        F.coalesce("view_ts", F.lit("")).alias("view_ts"),
+        F.coalesce("click_ts", F.lit("")).alias("click_ts"),
     ).orderBy("view_id", "click_id")

@@ -47,8 +47,16 @@ def compare(
                     )
                     assert ok, f"{col}[{i}]: {a!r} != {b!r}"
         else:
-            mism = (g.astype(object).where(pd.notna(g), None)
-                    != w.astype(object).where(pd.notna(w), None))
+            # pandas object-dtype != treats None/NaN as missing and returns
+            # True for null != null, so nulls must be compared via masks
+            # (first bitten by the full-outer join's nullable string col)
+            gn, wn = pd.isna(g), pd.isna(w)
+            null_mism = gn != wn
+            assert not null_mism.any(), (
+                f"{col}: null-mask mismatch at row {null_mism.idxmax()}: "
+                f"{g[null_mism.idxmax()]!r} vs {w[null_mism.idxmax()]!r}"
+            )
+            mism = (~gn) & (g.astype(object) != w.astype(object))
             assert not mism.any(), (
                 f"{col}: first mismatch at row {mism.idxmax()}: "
                 f"{g[mism.idxmax()]!r} vs {w[mism.idxmax()]!r}"
