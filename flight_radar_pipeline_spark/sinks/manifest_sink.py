@@ -36,8 +36,10 @@ from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 
@@ -178,16 +180,83 @@ class ManifestStreamWriter(DataSourceStreamWriter):
         pass  # unreferenced part files; next trigger's commit supersedes
 
 
+def _referenced_files(path: str) -> list[str]:
+    """Every file any manifest references (batch ``_MANIFEST.json`` +
+    streaming per-batch manifests) — the table's committed contents.
+    Orphans from aborted/replayed writes are in the directory but in no
+    manifest, so they are invisible here."""
+    files: list[str] = []
+    if os.path.exists(os.path.join(path, "_MANIFEST.json")):
+        files += [e["file"] for e in read_manifest(path)["files"]]
+    for n in sorted(os.listdir(path)):
+        if n.startswith("_MANIFEST-") and n.endswith(".json"):
+            files += [e["file"] for e in read_manifest(path, n)["files"]]
+    return files
+
+
+class ManifestReader(DataSourceReader):
+    """Read side of the commit protocol: resolve the file list through the
+    manifests, one InputPartition per referenced file, rows produced as
+    Arrow RecordBatches (the Python DataSource fast path). A directory
+    glob would also read orphans from aborted or replayed writes — the
+    manifest IS the table."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.files = _referenced_files(self.path)
+
+    def partitions(self):
+        return [InputPartition(f) for f in self.files]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(
+            os.path.join(self.path, partition.value)
+        ).iter_batches()
+
+
 class ManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "manifest"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        import pyarrow.parquet as pq
+
+        files = _referenced_files(self.options["path"])
+        if not files:
+            raise ValueError(
+                "manifest table has no committed files "
+                f"(no manifest under {self.options['path']!r})"
+            )
+        footer = pq.ParquetFile(
+            os.path.join(self.options["path"], files[0])
+        ).schema_arrow
+        return from_arrow_schema(footer)
+
+    def reader(self, schema) -> ManifestReader:
+        return ManifestReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> ManifestWriter:
         return ManifestWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> ManifestStreamWriter:
         return ManifestStreamWriter(self.options)
+
+
+def read_manifest_table(spark, path: str):
+    """Production read path: hand Spark the manifest-resolved file list as
+    a NATIVE parquet scan (full codegen, pushdown, vectorization — the
+    Python DataSource reader exists for API completeness and small
+    tables). Readers must never glob the directory: orphans from
+    aborted/replayed writes are not part of the table."""
+    files = _referenced_files(path)
+    if not files:
+        raise ValueError(f"manifest table has no committed files under {path!r}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
 def read_manifest(path: str, name: str = "_MANIFEST.json") -> dict:

@@ -144,3 +144,58 @@ def test_stream_commit_replay_is_idempotent(tmp_path):
     w.commit([FileCommit("part-bbb.parquet", 10, 456)], batchId=7)
     assert read_stream_manifests(out) == first
     assert first["files"][0]["file"] == "part-aaa.parquet"
+
+
+# --------------------------------------------------------------------------
+# read side: manifest-resolved reads ignore orphans
+# --------------------------------------------------------------------------
+
+
+def test_reads_resolve_through_manifest_not_directory(spark, tmp_path):
+    from flight_radar_pipeline_spark.sinks.manifest_sink import (
+        read_manifest_table,
+    )
+
+    out = str(tmp_path / "r1")
+    _write(spark, spark.range(200).repartition(2), out)
+    # an orphan from an aborted/replayed write: on disk, in no manifest
+    spark.range(999).coalesce(1).write.parquet(str(tmp_path / "orphan"))
+    orphan_src = next(
+        p for p in (tmp_path / "orphan").iterdir() if p.suffix == ".parquet"
+    )
+    orphan_dst = os.path.join(out, "part-orphan.parquet")
+    os.rename(str(orphan_src), orphan_dst)
+
+    # native fast path
+    assert read_manifest_table(spark, out).count() == 200
+    # Python DataSource reader (arrow batches)
+    back = spark.read.format("manifest").option("path", out).load()
+    assert back.count() == 200
+    assert {r.id for r in back.collect()} == set(range(200))
+    # a directory glob would have seen the orphan — that's the point
+    globbed = spark.read.parquet(f"{out}/part-*.parquet").count()
+    assert globbed == 200 + 999
+
+
+def test_manifest_reader_sees_streaming_commits(spark, tmp_path):
+    from flight_radar_pipeline_spark.sinks.manifest_sink import (
+        FileCommit,
+        ManifestStreamWriter,
+        read_manifest_table,
+    )
+
+    out = str(tmp_path / "r2")
+    # batch write plus a hand-committed streaming batch over the same dir
+    _write(spark, spark.range(50).repartition(1), out)
+    extra = spark.range(50, 80).toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(extra), os.path.join(out, "part-s0.parquet"))
+    ManifestStreamWriter({"path": out}).commit(
+        [FileCommit("part-s0.parquet", 30, 0)], batchId=0
+    )
+    assert read_manifest_table(spark, out).count() == 80
+    assert (
+        spark.read.format("manifest").option("path", out).load().count() == 80
+    )
