@@ -37,6 +37,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -216,6 +217,56 @@ class ManifestReader(DataSourceReader):
         ).iter_batches()
 
 
+def _stream_manifest_names(path: str) -> list[str]:
+    return sorted(
+        n
+        for n in os.listdir(path)
+        if n.startswith("_MANIFEST-") and n.endswith(".json")
+    )
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    """Tail the manifest log as a streaming source: the offset is the
+    COUNT of per-batch manifests present, so each trigger reads exactly
+    the files committed by manifests [start, end) — one InputPartition per
+    newly-referenced file, Arrow RecordBatch output.
+
+    This is table-tailing CDC over the sink's own commit protocol: a
+    manifest is written atomically AFTER its data files, so a reader that
+    observes manifest N can always read every file it references, and
+    orphans (crash-replay leftovers) never enter the stream because they
+    are in no manifest. Writes and reads can run concurrently — a
+    write-stream publishing manifests while a read-stream tails them is
+    exactly-once end to end (both sides checkpoint independently)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"manifests": 0}
+
+    def latestOffset(self) -> dict:
+        return {"manifests": len(_stream_manifest_names(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        names = _stream_manifest_names(self.path)[start["manifests"] : end["manifests"]]
+        return [
+            InputPartition(e["file"])
+            for n in names
+            for e in read_manifest(self.path, n)["files"]
+        ]
+
+    def read(self, partition: InputPartition):
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(
+            os.path.join(self.path, partition.value)
+        ).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in the query checkpoint, not the source
+
+
 class ManifestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -245,6 +296,9 @@ class ManifestDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> ManifestStreamWriter:
         return ManifestStreamWriter(self.options)
+
+    def streamReader(self, schema) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options)
 
 
 def read_manifest_table(spark, path: str):

@@ -199,3 +199,61 @@ def test_manifest_reader_sees_streaming_commits(spark, tmp_path):
     assert (
         spark.read.format("manifest").option("path", out).load().count() == 80
     )
+
+
+def test_manifest_stream_reader_tails_commits_exactly_once(spark, tmp_path):
+    """Write-stream publishes per-batch manifests; a read-stream tails
+    them. After a new commit, a same-checkpoint restart of the reader
+    emits ONLY the delta — table-tailing CDC over the commit protocol."""
+    from flight_radar_pipeline_spark.sinks.manifest_sink import (
+        FileCommit,
+        ManifestStreamWriter,
+    )
+
+    src_dir, table, ck_w, ck_r, sink = (
+        str(tmp_path / p) for p in ("src", "tbl", "ckw", "ckr", "out")
+    )
+    spark.range(120).select(F.col("id")).coalesce(1).write.parquet(src_dir)
+    spark.dataSource.register(ManifestDataSource)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("manifest")
+        .option("path", table).option("checkpointLocation", ck_w)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    def drain():
+        # file sink + checkpoint pair: resuming the checkpoint proves the
+        # source replays only manifests beyond the recorded offset
+        r = (
+            spark.readStream.format("manifest").option("path", table).load()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ck_r)
+            .trigger(availableNow=True).start()
+        )
+        r.awaitTermination(120)
+        assert r.exception() is None
+
+    drain()
+    first = spark.read.parquet(sink)
+    assert first.count() == 120
+    assert {r.id for r in first.collect()} == set(range(120))
+
+    # a new commit lands; the tailing reader resumes from its checkpoint
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    extra = spark.range(120, 150).toPandas()
+    pq.write_table(pa.Table.from_pandas(extra), os.path.join(table, "part-x.parquet"))
+    ManifestStreamWriter({"path": table}).commit(
+        [FileCommit("part-x.parquet", 30, 0)], batchId=999
+    )
+    drain()
+    out = spark.read.parquet(sink)
+    # 150 not 270: the resumed reader emitted ONLY the new commit
+    assert out.count() == 150
+    assert {r.id for r in out.collect()} == set(range(150))
