@@ -121,6 +121,37 @@ def write_bucketed_table(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    domains: list[tuple[float, float]],
+    bits: int = 8,
+    target_records_per_file: int = 1_000_000,
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the
+    Morton key of ``cols`` so row-group min/max statistics prune
+    predicates on EVERY clustered column (the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY`` layout, measured in ``tools/zorder_bench.py`` /
+    BASELINE.md: a one-column sort is blind off-column; z-order prunes
+    all dimensions, halving the worst case). Columns are cast to double
+    for quantization (timestamps become epoch seconds — size ``domains``
+    accordingly). Requires the session's ``TIMESTAMP_MICROS`` output
+    (INT96 carries no statistics)."""
+    from flight_radar_pipeline_spark.operators.zorder import zorder_key
+
+    key = zorder_key([F.col(c).cast("double") for c in cols], domains, bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", target_records_per_file)
+        .parquet(path)
+    )
+
+
 def latest_snapshot(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read only the most recent (year, month, day) partition (S8
     equivalent). The max() pass touches partition metadata only (partition

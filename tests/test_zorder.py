@@ -89,3 +89,40 @@ def test_zorder_layout_prunes_every_dimension(spark, tmp_path):
         assert hits[("zorder", dims)][0] < total, dims
     # and beats the time-sorted layout on the dimension it cannot see
     assert hits[("zorder", "user")][0] < hits[("ts_sorted", "user")][0]
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """write_zordered output files each cover a narrow slice of EVERY
+    clustered column's domain (that narrowness is what min/max pruning
+    consumes); a ts-sorted write clusters only ts."""
+    from flight_radar_pipeline_spark.sinks.writers import write_zordered
+    from flight_radar_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").withColumn(
+        "ts_s", F.unix_timestamp("ts").cast("double")
+    )
+    out = str(tmp_path / "z")
+    write_zordered(
+        ev,
+        out,
+        cols=["user_id", "ts_s"],
+        domains=[(0.0, 150.0), (1704067200.0, 1706659200.0)],
+        target_records_per_file=1000,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("uspan"),
+            (F.max("ts_s") - F.min("ts_s")).alias("tspan"),
+        )
+        .collect()
+    )
+    assert len(spans) >= 5
+    # every per-file span is a fraction of the global domain, on BOTH dims
+    avg_u = sum(r.uspan for r in spans) / len(spans)
+    avg_t = sum(r.tspan for r in spans) / len(spans)
+    assert avg_u < 0.6 * 150.0, avg_u
+    assert avg_t < 0.6 * (1706659200.0 - 1704067200.0), avg_t
