@@ -172,26 +172,40 @@ def blocked_fuzzy_pairs(
     max_dist: int = 3,
 ) -> DataFrame:
     """Fellegi-Sunter record linkage: candidate pairs share a blocking key
-    (``block_fn``, a Column → Column function over the name), then
-    Levenshtein distance ≤ ``max_dist`` confirms. Run it over the
-    DISTINCT-name dimension, never the fact table: cost is Σ|block|², so
-    the block function must keep blocks small (the classic choice: a
-    stable token, a phonetic code, a sorted-neighborhood window).
-    Output: (name_a < name_b, dist)."""
-    base = names.select(F.col(name_col).alias("name")).distinct().select(
-        "name", block_fn(F.col("name")).alias("blk")
-    )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(
+    (``block_fn``, a Column → Column function over the name — or a LIST of
+    them for multi-pass blocking), then Levenshtein distance ≤
+    ``max_dist`` confirms. Run it over the DISTINCT-name dimension, never
+    the fact table: cost is Σ|block|² per pass, so each block function
+    must keep blocks small (the classic choice: a stable token, a
+    phonetic code, a sorted-neighborhood window).
+
+    Single-pass blocking MISSES pairs whose edits fall inside the
+    blocking token itself (measured on the part-name universe:
+    head-noun blocking recalls 78/94 of true ≤3-edit pairs — "blue
+    bolt"/"blue rod" differ in the noun). Multi-pass blocking — one pass
+    per token — is the standard mitigation and recalls 94/94 there
+    (``tests/test_mining_ops.py``); candidates union before a single
+    verify. Output: (name_a < name_b, dist)."""
+    fns = block_fn if isinstance(block_fn, (list, tuple)) else [block_fn]
+    base = names.select(F.col(name_col).alias("name")).distinct()
+    cands = None
+    for fn in fns:
+        keyed = base.select("name", fn(F.col("name")).alias("blk"))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.name") < F.col("b.name")),
+        ).select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
         )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    return (
+        cands.distinct()
         .select(
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+            "name_a",
+            "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
         )
         .where(F.col("dist") <= max_dist)
         .orderBy("name_a", "name_b")

@@ -111,3 +111,53 @@ def test_blocked_fuzzy_pairs_respects_blocks_and_threshold(spark):
         ("bed bolt", "ted bolt"): 1,
         ("red bolt", "ted bolt"): 1,
     }
+
+
+def test_blocking_recall_measured_against_full_quadratic(spark):
+    """Blocking trades recall for cost — measured, not assumed. On the
+    part-name universe the full quadratic O(|names|²) comparison is
+    feasible (linkage runs on the DISTINCT-name dimension), so the trade
+    is pinned exactly: head-noun blocking misses the pairs whose edits
+    fall inside the noun itself ("blue bolt"/"blue rod"), while
+    multi-pass blocking (one pass per token) recalls everything. Both
+    modes must stay free of false positives."""
+    from flight_radar_pipeline_spark.sources.readers import load_table
+
+    part = load_table(spark, "/root/testdata/sf0.001", "part")
+    names = sorted(r.p_name for r in part.select("p_name").distinct().collect())
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    exhaustive = {
+        (a, b): lev(a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) <= 3
+    }
+    noun = lambda c: F.split_part(c, F.lit(" "), F.lit(2))  # noqa: E731
+    adj = lambda c: F.split_part(c, F.lit(" "), F.lit(1))  # noqa: E731
+
+    single = {
+        (r.name_a, r.name_b): r.dist
+        for r in blocked_fuzzy_pairs(part, "p_name", noun, 3).collect()
+    }
+    multi = {
+        (r.name_a, r.name_b): r.dist
+        for r in blocked_fuzzy_pairs(part, "p_name", [noun, adj], 3).collect()
+    }
+    # no false positives in either mode
+    assert set(single) <= set(exhaustive)
+    assert all(exhaustive[k] == v for k, v in single.items())
+    # single-pass loses exactly the cross-noun pairs (16 of 94 here)
+    missed = set(exhaustive) - set(single)
+    assert missed and all(a.split(" ")[1] != b.split(" ")[1] for a, b in missed)
+    assert len(single) / len(exhaustive) >= 0.8
+    # multi-pass blocking is lossless on this universe
+    assert multi == exhaustive
