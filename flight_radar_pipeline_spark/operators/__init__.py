@@ -25,9 +25,19 @@ from flight_radar_pipeline_spark.operators.similarity import (
     topk_neighbors_ivf,
     topk_neighbors_lsh,
 )
+from flight_radar_pipeline_spark.operators.mining import (
+    basket_association_rules,
+    benford_digit_fit,
+    blocked_fuzzy_pairs,
+    lag_autocorr,
+)
 from flight_radar_pipeline_spark.operators.tfidf import bm25_scores, tfidf_top_terms
 
 __all__ = [
+    "basket_association_rules",
+    "benford_digit_fit",
+    "blocked_fuzzy_pairs",
+    "lag_autocorr",
     "dedup_exact",
     "shingles",
     "minhash_signatures",
