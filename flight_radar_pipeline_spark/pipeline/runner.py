@@ -87,6 +87,7 @@ def run_pipeline(
     join_how: str = "inner",
     run_id: str | None = None,
     fact_mode: str = "append",
+    expectations: dict | None = None,
 ) -> PipelineResult:
     """Run the full medallion chain and land every layer under ``base_path``.
 
@@ -146,6 +147,19 @@ def run_pipeline(
     )
 
     silver = build_silver(flights_raw)
+    if expectations:
+        # quality gate between silver and gold: violating rows land in a
+        # labeled quarantine table beside the data instead of polluting
+        # downstream joins (SQL CHECK null semantics — see
+        # pipeline.quality.enforce_expectations)
+        from flight_radar_pipeline_spark.pipeline.quality import (
+            enforce_expectations,
+        )
+
+        silver, violations = enforce_expectations(silver, expectations)
+        violations.write.mode("append").parquet(
+            f"{base_path}/flights/quarantine"
+        )
     write_partitioned(
         silver, silver_path, ts_col="time", fmt="parquet",
         run_id=run_id, dynamic_overwrite=dynamic,

@@ -157,3 +157,34 @@ def test_cli_run_pipeline_then_query(spark, tmp_path, pdfs, capsys, monkeypatch)
     )
     assert rc == 0
     assert "flight_count" in capsys.readouterr().out
+
+
+def test_expectations_gate_quarantines_between_silver_and_gold(spark, tmp_path, pdfs):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "gated")
+    kw = dict(
+        fetch_flights=lambda zone: pdfs["flights_raw"].to_dict("records"),
+        fetch_airlines=lambda: pdfs["airlines"],
+        fetch_airports=lambda: pdfs["airports"],
+        api_limit=len(pdfs["flights_raw"]) + 1,
+    )
+    result = run_pipeline(
+        spark,
+        base,
+        expectations={"southern_hemisphere": F.col("latitude") <= 0},
+        **kw,
+    )
+    n_ids = pdfs["flights_raw"]["id"].nunique()
+    silver = spark.read.parquet(result.silver_path)
+    quarantine = spark.read.parquet(f"{base}/flights/quarantine")
+    # exact partition of the deduped silver population
+    assert quarantine.count() > 0
+    assert silver.count() + quarantine.select("id").distinct().count() == n_ids
+    assert set(r.rule for r in quarantine.select("rule").distinct().collect()) == {
+        "southern_hemisphere"
+    }
+    # nothing quarantined leaks into gold
+    bad = {r.id for r in quarantine.select("id").collect()}
+    assert not bad & {r.id for r in result.gold.select("id").collect()}
+    assert result.gold.where(F.col("latitude") > 0).count() == 0
