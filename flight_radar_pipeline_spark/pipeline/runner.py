@@ -111,6 +111,11 @@ def run_pipeline(
       writes, so re-landing the same input is byte-idempotent. Do not use
       for intra-day incremental appends (it would clobber the day's
       earlier batches).
+
+    ``expectations`` (optional): named boolean rules applied between
+    silver and gold; violating rows are appended to
+    ``{base_path}/flights/quarantine`` with a ``rule`` label instead of
+    flowing downstream (see ``pipeline.quality.enforce_expectations``).
     """
     if (fetch_flights is None) == (flights_raw is None):
         raise ValueError("provide exactly one of fetch_flights / flights_raw")
