@@ -28,16 +28,19 @@ BUDGET = {
     "doc_boilerplate_spans": 4,
     "signup_click_purchase_funnel": 4,
     "customer_7d_order_sum": 4,
-    "minhash_near_dup_pairs": 3,
     "embedding_pq_audit": 3,
     "embedding_near_dup_pairs": 7,
     "embedding_semantic_dedup": 6,
     "event_type_transitions": 9,
     "part_brand_cooccurrence": 6,
     "doc_word_spans_udtf": 4,
-    "ngram_jaccard_pairs": 19,
     "entity_pagerank": 25,
 }
+# deliberately NOT budgeted: entries consuming the shared sketch-pair
+# cache (ngram_jaccard_pairs, edit_distance_near_dup, ...) — their static
+# plans legitimately differ between cached (InMemoryTableScan) and
+# uncached sessions, so an exchange count pinned in one state
+# false-fails in the other (seen in the full-suite ordering)
 
 
 @pytest.mark.parametrize("name", sorted(BUDGET))
