@@ -24,7 +24,7 @@ double aggregates, total orderings).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
@@ -423,3 +423,191 @@ def view_click_full_outer_stream_q(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce("view_ts", F.lit("")).alias("view_ts"),
         F.coalesce("click_ts", F.lit("")).alias("click_ts"),
     ).orderBy("view_id", "click_id")
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival: right-censored time-to-repurchase
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+    with co as (
+        select o_custkey, min(cast(o_orderdate as date)) as t1
+        from orders group by o_custkey
+    ), second as (
+        select o.o_custkey, min(cast(o.o_orderdate as date)) as t2
+        from orders o
+        join co on co.o_custkey = o.o_custkey
+               and cast(o.o_orderdate as date) > co.t1
+        group by o.o_custkey
+    ), mx as (
+        select max(cast(o_orderdate as date)) as m from orders
+    ), durs as (
+        select case when t2 is not null then date_diff('day', t1, t2)
+                    else date_diff('day', t1, m) end as dur,
+               (t2 is not null) as is_event
+        from co left join second using (o_custkey) cross join mx
+    ), agg as (
+        select dur,
+               sum(case when is_event then 1 else 0 end) as d_i,
+               count(*) as c
+        from durs group by dur
+    ), w as (
+        select dur, d_i,
+               sum(c) over (order by dur desc) as n_risk
+        from agg
+    ), km as (
+        -- full depletion (d_i = n_risk) can only happen at the LAST event
+        -- time; its own ln(0) term is excluded and survival forced to 0
+        select dur, d_i, n_risk,
+               case when d_i = n_risk then 0.0
+                    else exp(sum(case when d_i < n_risk
+                                      then ln(1 - d_i * 1.0 / n_risk)
+                                      else 0.0 end)
+                             over (order by dur asc)) end as s
+        from w where d_i > 0
+    )
+    select dur as duration_days,
+           cast(n_risk as bigint) as n_risk,
+           cast(d_i as bigint)    as n_events,
+           round(s, 6)            as survival
+    from km order by duration_days
+"""
+
+
+@register("order_gap_survival", _KM_ORACLE)
+def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-second-purchase, with
+    customers who never repurchase RIGHT-CENSORED at the observation
+    horizon — the estimator churn/retention analytics needs because
+    dropping censored customers biases survival low. The product-limit
+    Π(1 − dᵢ/nᵢ) computes as exp of a running sum of logs (both engines
+    sequence an ordered running sum identically; descending-cumulative
+    counts give the at-risk set without a correlated subquery). Shape:
+    two aggregates over orders, then windows over the |distinct
+    durations| frame — fact-scan work is two passes, the curve itself is
+    dimension-sized."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    co = orders.groupBy("o_custkey").agg(F.min("d").alias("t1"))
+    second = (
+        orders.join(co, "o_custkey")
+        .where(F.col("d") > F.col("t1"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("t2"))
+    )
+    mx = orders.agg(F.max("d").alias("m"))
+    durs = (
+        co.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("t2").isNotNull(), F.datediff("t2", "t1")
+            )
+            .otherwise(F.datediff("m", "t1"))
+            .alias("dur"),
+            F.col("t2").isNotNull().alias("is_event"),
+        )
+    )
+    agg = durs.groupBy("dur").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_i"),
+        F.count("*").alias("c"),
+    )
+    w_desc = Window.orderBy(F.desc("dur"))
+    w_asc = Window.orderBy(F.asc("dur"))
+    km = (
+        agg.withColumn("n_risk", F.sum("c").over(w_desc))
+        .where(F.col("d_i") > 0)
+        .withColumn(
+            "__term",
+            F.when(
+                F.col("d_i") < F.col("n_risk"),
+                F.log(F.lit(1) - F.col("d_i") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "s",
+            F.when(F.col("d_i") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.exp(F.sum("__term").over(w_asc))
+            ),
+        )
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("duration_days")
+
+
+# --------------------------------------------------------------------------
+# Gini / Lorenz concentration of customer revenue
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    with r as (
+        select o_custkey, sum(o_totalprice) as rev
+        from orders group by o_custkey
+    ), s as (
+        select rev, o_custkey,
+               row_number() over (order by rev asc, o_custkey asc) as i,
+               count(*) over () as n,
+               sum(rev) over () as tot
+        from r
+    )
+    , a as (
+        select max(n) as n, max(tot) as tot,
+               sum(i * rev) as snum,
+               sum(case when i > n - cast(floor(n * 0.1) as bigint)
+                        then rev else 0 end) as top_rev
+        from s
+    )
+    select n                                        as n_customers,
+           round(tot, 2)                            as total_rev,
+           round(2.0 * snum / (n * tot) - (n + 1.0) / n, 6) as gini,
+           round(top_rev / tot, 6)                  as top_decile_share
+    from a
+"""
+
+
+@register("customer_revenue_gini", _GINI_ORACLE)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration diagnostics: the Gini coefficient via the
+    rank formula G = 2·Σ(i·revᵢ)/(n·Σrev) − (n+1)/n over ascending-rank
+    revenue (total (rev, custkey) order — ties can't reorder ranks), plus
+    the Lorenz top-decile share. The classic whale-curve question —
+    "how much revenue do the top 10% hold?" — in one aggregate over the
+    per-customer rollup; windows run over the |customers| frame, and the
+    global rank is the one genuinely serial step (a 100 TB deployment
+    ranks via range-partitioned sort, which Spark's window sort already
+    is)."""
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_rank = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    w_all = Window.partitionBy()
+    s = r.select(
+        "rev",
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum("rev").over(w_all).alias("tot"),
+    )
+    is_top = F.col("i") > F.col("n") - F.floor(F.col("n") * 0.1).cast("bigint")
+    a = s.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("rev")).alias("snum"),
+        F.sum(F.when(is_top, F.col("rev")).otherwise(F.lit(0.0))).alias("top_rev"),
+    )
+    return a.select(
+        F.col("n").alias("n_customers"),
+        F.round("tot", 2).alias("total_rev"),
+        F.round(
+            F.lit(2.0) * F.col("snum") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_rev") / F.col("tot"), 6).alias("top_decile_share"),
+    )

@@ -102,3 +102,20 @@ def test_fuzzy_pairs_block_and_threshold(mining_rows):
         assert 1 <= r.dist <= 3
         # blocking key: both names share the head noun
         assert r.name_a.split(" ")[1] == r.name_b.split(" ")[1]
+
+
+def test_survival_curve_is_a_survival_curve(spark):
+    rows = M.order_gap_survival(spark, SF_DIR).collect()
+    assert rows
+    prev = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= prev + 1e-9  # monotone non-increasing
+        assert r.n_events >= 1 and r.n_risk >= r.n_events
+        prev = r.survival
+
+
+def test_gini_is_a_concentration_measure(spark):
+    r = M.customer_revenue_gini(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.top_decile_share >= 0.1  # top decile holds at least its share
+    assert r.n_customers > 0 and r.total_rev > 0

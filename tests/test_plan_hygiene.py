@@ -50,6 +50,7 @@ ALLOWED_BNLJ = {
     "event_type_hour_mutual_info",  # 1-row contingency-total broadcast
     "embedding_cosine_histogram",  # deliberate sampled pair join (< cond)
     "order_benford_digits",       # 1-row digit-total broadcast
+    "order_gap_survival",         # 1-row censor-horizon broadcast
     "customer_rfm_segments",      # 1-row max-date + 12-number fence broadcasts
 }
 

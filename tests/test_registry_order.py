@@ -88,6 +88,8 @@ POST_FREEZE: set[str] = {
     "part_name_fuzzy_pairs",
     "doc_word_spans_udtf",
     "view_click_full_outer_stream",
+    "order_gap_survival",
+    "customer_revenue_gini",
 }
 
 
