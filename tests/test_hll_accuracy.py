@@ -33,3 +33,36 @@ def test_hll_estimate_within_rsd(spark):
             f"{r.event_type}: approx={r.approx_users} exact={exact} "
             f"rel_err={rel_err:.4f} exceeds 5x the configured 5% rsd"
         )
+
+
+def test_hll_sketches_merge_losslessly(spark):
+    """The 100 TB rollup property, on the real API: daily
+    ``hll_sketch_agg`` sketches unioned with ``hll_union_agg`` estimate
+    EXACTLY what one sketch over all the data estimates — HLL union
+    max-merges registers, so sketch-of-union ≡ union-of-sketches
+    independent of how the data was split. This is what makes
+    pre-aggregated distinct-count rollup tables sound: store one small
+    sketch per (day, key), answer any date range by union."""
+    from pyspark.sql import functions as F
+
+    from flight_radar_pipeline_spark.sources.readers import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .orderBy("event_type")
+        .collect()
+    )
+    direct = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .orderBy("event_type")
+        .collect()
+    )
+    assert [(r.event_type, r.est) for r in rolled] == [
+        (r.event_type, r.est) for r in direct
+    ]
