@@ -25,6 +25,7 @@ shuffled between silver and gold.
 
 from __future__ import annotations
 
+import json
 import uuid
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
@@ -43,7 +44,8 @@ from flight_radar_pipeline_spark.sources.readers import read_parquet
 @dataclass(frozen=True)
 class PipelineResult:
     """Where each layer landed, plus the gold DataFrame for callers that
-    want to query immediately without re-reading."""
+    want to query immediately without re-reading, and the run-info record
+    (also persisted as ``{base_path}/_RUN_INFO-{run_id}.json``)."""
 
     airlines_path: str
     airports_path: str
@@ -51,6 +53,7 @@ class PipelineResult:
     silver_path: str
     gold_path: str
     gold: DataFrame
+    run_info: dict
 
 
 def _get_or_create_dim(
@@ -151,6 +154,11 @@ def run_pipeline(
         run_id=run_id, dynamic_overwrite=dynamic,
     )
 
+    # observe() rides each layer's write — row counts with ZERO extra
+    # scans (the reference re-counts with seven eager actions; see
+    # pipeline/metrics.py)
+    from flight_radar_pipeline_spark.pipeline.metrics import observed_counts
+
     silver = build_silver(flights_raw)
     if expectations:
         # quality gate between silver and gold: violating rows land in a
@@ -162,19 +170,35 @@ def run_pipeline(
         )
 
         silver, violations = enforce_expectations(silver, expectations)
+        violations, q_obs = observed_counts(violations, f"quarantine-{run_id}")
         violations.write.mode("append").parquet(
             f"{base_path}/flights/quarantine"
         )
+    else:
+        q_obs = None
+    silver, s_obs = observed_counts(silver, f"silver-{run_id}")
     write_partitioned(
         silver, silver_path, ts_col="time", fmt="parquet",
         run_id=run_id, dynamic_overwrite=dynamic,
     )
 
     gold = build_gold(silver, airports, airlines, how=join_how)
+    gold, g_obs = observed_counts(gold, f"gold-{run_id}")
     write_partitioned(
         gold, gold_path, ts_col="time", fmt="parquet",
         run_id=run_id, dynamic_overwrite=dynamic,
     )
+
+    run_info = {
+        "run_id": run_id,
+        "fact_mode": fact_mode,
+        "silver_rows": s_obs.get["rows"],
+        "gold_rows": g_obs.get["rows"],
+        "quarantined_rows": q_obs.get["rows"] if q_obs is not None else 0,
+        "expectations": sorted(expectations) if expectations else [],
+    }
+    with open(f"{base_path}/_RUN_INFO-{run_id}.json", "w") as fh:
+        json.dump(run_info, fh, indent=1)
 
     return PipelineResult(
         airlines_path=airlines_path,
@@ -183,4 +207,5 @@ def run_pipeline(
         silver_path=silver_path,
         gold_path=gold_path,
         gold=read_parquet(spark, gold_path),
+        run_info=run_info,
     )

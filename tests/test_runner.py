@@ -188,3 +188,35 @@ def test_expectations_gate_quarantines_between_silver_and_gold(spark, tmp_path, 
     bad = {r.id for r in quarantine.select("id").collect()}
     assert not bad & {r.id for r in result.gold.select("id").collect()}
     assert result.gold.where(F.col("latitude") > 0).count() == 0
+
+
+def test_run_info_records_counts_without_extra_scans(spark, tmp_path, pdfs):
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "runinfo")
+    result = run_pipeline(
+        spark,
+        base,
+        fetch_flights=lambda zone: pdfs["flights_raw"].to_dict("records"),
+        fetch_airlines=lambda: pdfs["airlines"],
+        fetch_airports=lambda: pdfs["airports"],
+        api_limit=len(pdfs["flights_raw"]) + 1,
+        run_id="ri-1",
+        expectations={"southern": F.col("latitude") <= 0},
+    )
+    info = result.run_info
+    on_disk = _json.load(open(f"{base}/_RUN_INFO-ri-1.json"))
+    assert info == on_disk
+    assert info["run_id"] == "ri-1"
+    assert info["expectations"] == ["southern"]
+    # observed counts equal what storage actually holds
+    assert info["silver_rows"] == spark.read.parquet(result.silver_path).count()
+    assert info["gold_rows"] == result.gold.count()
+    assert info["quarantined_rows"] == spark.read.parquet(
+        f"{base}/flights/quarantine"
+    ).count()
+    assert info["silver_rows"] + info["quarantined_rows"] == (
+        pdfs["flights_raw"]["id"].nunique()
+    )
