@@ -29,6 +29,8 @@ from flight_radar_pipeline_spark.operators.mining import (
     basket_association_rules,
     benford_digit_fit,
     blocked_fuzzy_pairs,
+    gini_coefficient,
+    km_survival,
     lag_autocorr,
 )
 from flight_radar_pipeline_spark.operators.tfidf import bm25_scores, tfidf_top_terms
@@ -37,6 +39,8 @@ __all__ = [
     "basket_association_rules",
     "benford_digit_fit",
     "blocked_fuzzy_pairs",
+    "gini_coefficient",
+    "km_survival",
     "lag_autocorr",
     "dedup_exact",
     "shingles",

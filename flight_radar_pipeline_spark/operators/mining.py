@@ -210,3 +210,93 @@ def blocked_fuzzy_pairs(
         .where(F.col("dist") <= max_dist)
         .orderBy("name_a", "name_b")
     )
+
+
+def km_survival(
+    durations: DataFrame,
+    duration_col: str,
+    event_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier product-limit estimator over (duration, is_event)
+    rows — right-censored rows carry ``event_col = false`` with their
+    censoring time as the duration. Output: one row per distinct EVENT
+    time: (duration, n_risk, n_events, survival).
+
+    Shape: one aggregate to (duration → d_i, c) — the only fact-sized
+    step — then two windows over the |distinct durations| frame: a
+    descending cumulative count gives the at-risk set (no correlated
+    subquery), and survival is exp of an ascending log-sum. The terminal
+    full-depletion event (d_i = n_risk, only possible at the last
+    duration) would take ln(0): its term is excluded and its survival
+    forced to 0, identically on any engine."""
+    agg = durations.groupBy(F.col(duration_col).alias("dur")).agg(
+        F.sum(F.when(F.col(event_col), 1).otherwise(0)).alias("d_i"),
+        F.count("*").alias("c"),
+    )
+    w_desc = Window.orderBy(F.desc("dur"))
+    w_asc = Window.orderBy(F.asc("dur"))
+    km = (
+        agg.withColumn("n_risk", F.sum("c").over(w_desc))
+        .where(F.col("d_i") > 0)
+        .withColumn(
+            "__term",
+            F.when(
+                F.col("d_i") < F.col("n_risk"),
+                F.log(F.lit(1) - F.col("d_i") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "s",
+            F.when(F.col("d_i") == F.col("n_risk"), F.lit(0.0)).otherwise(
+                F.exp(F.sum("__term").over(w_asc))
+            ),
+        )
+    )
+    return km.select(
+        F.col("dur").alias("duration"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_i").cast("bigint").alias("n_events"),
+        F.round("s", dp).alias("survival"),
+    ).orderBy("duration")
+
+
+def gini_coefficient(
+    values: DataFrame,
+    value_col: str,
+    id_col: str,
+    top_fraction: float = 0.1,
+    dp: int = 6,
+) -> DataFrame:
+    """Gini coefficient + Lorenz top-share of a non-negative value
+    column, via the rank formula G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n under
+    the total (value, id) order. One global rank window (a
+    range-partitioned sort — Spark's window sort) and one aggregate;
+    two-level aggregation keeps the final ratios nested-aggregate-free."""
+    w_rank = Window.orderBy(F.asc(value_col), F.asc(id_col))
+    w_all = Window.partitionBy()
+    s = values.select(
+        F.col(value_col).alias("v"),
+        F.row_number().over(w_rank).alias("i"),
+        F.count("*").over(w_all).alias("n"),
+        F.sum(value_col).over(w_all).alias("tot"),
+    )
+    is_top = F.col("i") > F.col("n") - F.floor(
+        F.col("n") * F.lit(top_fraction)
+    ).cast("bigint")
+    a = s.agg(
+        F.max("n").alias("n"),
+        F.max("tot").alias("tot"),
+        F.sum(F.col("i") * F.col("v")).alias("snum"),
+        F.sum(F.when(is_top, F.col("v")).otherwise(F.lit(0.0))).alias("top_v"),
+    )
+    return a.select(
+        F.col("n").alias("n_values"),
+        F.round("tot", 2).alias("total"),
+        F.round(
+            F.lit(2.0) * F.col("snum") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            dp,
+        ).alias("gini"),
+        F.round(F.col("top_v") / F.col("tot"), dp).alias("top_share"),
+    )

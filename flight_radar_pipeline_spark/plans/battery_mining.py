@@ -32,6 +32,8 @@ from flight_radar_pipeline_spark.operators.mining import (
     basket_association_rules,
     benford_digit_fit,
     blocked_fuzzy_pairs,
+    gini_coefficient,
+    km_survival,
     lag_autocorr,
 )
 from flight_radar_pipeline_spark.plans.battery import register
@@ -501,43 +503,18 @@ def order_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         co.join(second, "o_custkey", "left")
         .crossJoin(F.broadcast(mx))
         .select(
-            F.when(
-                F.col("t2").isNotNull(), F.datediff("t2", "t1")
-            )
+            F.when(F.col("t2").isNotNull(), F.datediff("t2", "t1"))
             .otherwise(F.datediff("m", "t1"))
             .alias("dur"),
             F.col("t2").isNotNull().alias("is_event"),
         )
     )
-    agg = durs.groupBy("dur").agg(
-        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).alias("d_i"),
-        F.count("*").alias("c"),
+    return km_survival(durs, "dur", "is_event").select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        "n_events",
+        "survival",
     )
-    w_desc = Window.orderBy(F.desc("dur"))
-    w_asc = Window.orderBy(F.asc("dur"))
-    km = (
-        agg.withColumn("n_risk", F.sum("c").over(w_desc))
-        .where(F.col("d_i") > 0)
-        .withColumn(
-            "__term",
-            F.when(
-                F.col("d_i") < F.col("n_risk"),
-                F.log(F.lit(1) - F.col("d_i") / F.col("n_risk")),
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "s",
-            F.when(F.col("d_i") == F.col("n_risk"), F.lit(0.0)).otherwise(
-                F.exp(F.sum("__term").over(w_asc))
-            ),
-        )
-    )
-    return km.select(
-        F.col("dur").alias("duration_days"),
-        F.col("n_risk").cast("bigint").alias("n_risk"),
-        F.col("d_i").cast("bigint").alias("n_events"),
-        F.round("s", 6).alias("survival"),
-    ).orderBy("duration_days")
 
 
 # --------------------------------------------------------------------------
@@ -586,28 +563,9 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("rev"))
     )
-    w_rank = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-    w_all = Window.partitionBy()
-    s = r.select(
-        "rev",
-        F.row_number().over(w_rank).alias("i"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum("rev").over(w_all).alias("tot"),
-    )
-    is_top = F.col("i") > F.col("n") - F.floor(F.col("n") * 0.1).cast("bigint")
-    a = s.agg(
-        F.max("n").alias("n"),
-        F.max("tot").alias("tot"),
-        F.sum(F.col("i") * F.col("rev")).alias("snum"),
-        F.sum(F.when(is_top, F.col("rev")).otherwise(F.lit(0.0))).alias("top_rev"),
-    )
-    return a.select(
-        F.col("n").alias("n_customers"),
-        F.round("tot", 2).alias("total_rev"),
-        F.round(
-            F.lit(2.0) * F.col("snum") / (F.col("n") * F.col("tot"))
-            - (F.col("n") + F.lit(1.0)) / F.col("n"),
-            6,
-        ).alias("gini"),
-        F.round(F.col("top_rev") / F.col("tot"), 6).alias("top_decile_share"),
+    return gini_coefficient(r, "rev", "o_custkey", top_fraction=0.1).select(
+        F.col("n_values").alias("n_customers"),
+        F.col("total").alias("total_rev"),
+        "gini",
+        F.col("top_share").alias("top_decile_share"),
     )

@@ -161,3 +161,44 @@ def test_blocking_recall_measured_against_full_quadratic(spark):
     assert len(single) / len(exhaustive) >= 0.8
     # multi-pass blocking is lossless on this universe
     assert multi == exhaustive
+
+
+def test_km_survival_matches_hand_computation(spark):
+    """Textbook K-M fixture: durations [1e,2e,2e,3c,4e,5c] (e=event,
+    c=censored). S(1)=5/6; S(2)=5/6·(3/5)=0.5; S(4)=0.5·(1/2)=0.25."""
+    from flight_radar_pipeline_spark.operators.mining import km_survival
+
+    rows = [(1, True), (2, True), (2, True), (3, False), (4, True), (5, False)]
+    df = spark.createDataFrame(rows, "dur int, ev boolean")
+    got = {r.duration: (r.n_risk, r.n_events, r.survival) for r in
+           km_survival(df, "dur", "ev").collect()}
+    assert got == {
+        1: (6, 1, round(5 / 6, 6)),
+        2: (5, 2, 0.5),
+        4: (2, 1, 0.25),
+    }
+
+
+def test_km_full_depletion_reaches_zero_without_error(spark):
+    from flight_radar_pipeline_spark.operators.mining import km_survival
+
+    df = spark.createDataFrame([(1, True), (2, True)], "dur int, ev boolean")
+    rows = km_survival(df, "dur", "ev").collect()
+    assert [(r.duration, r.survival) for r in rows] == [(1, 0.5), (2, 0.0)]
+
+
+def test_gini_extremes(spark):
+    from flight_radar_pipeline_spark.operators.mining import gini_coefficient
+
+    # perfect equality → 0
+    eq = spark.createDataFrame([(i, 10.0) for i in range(20)], "id int, v double")
+    r = gini_coefficient(eq, "v", "id").collect()[0]
+    assert r.gini == 0.0
+    assert r.top_share == pytest.approx(2 / 20 * 1.0, abs=1e-6)
+    # one holder of everything → (n-1)/n
+    one = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 20)], "id int, v double"
+    )
+    r = gini_coefficient(one, "v", "id").collect()[0]
+    assert r.gini == pytest.approx(19 / 20, abs=1e-6)
+    assert r.top_share == 1.0
