@@ -569,3 +569,81 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gini",
         F.col("top_share").alias("top_decile_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# peak concurrency: interval sweep over session boundaries
+# --------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+    with e as (
+        select user_id, ts,
+               case when ts - lag(ts) over (partition by user_id
+                                            order by ts, event_id)
+                         > interval 30 minutes
+                    then 1 else 0 end as brk
+        from events
+    ), s as (
+        select user_id, ts,
+               cast(sum(brk) over (
+                   partition by user_id order by ts
+                   rows between unbounded preceding and current row
+               ) as bigint) as session_id
+        from e
+    ), sess as (
+        select user_id, session_id, min(ts) as st, max(ts) as en
+        from s group by user_id, session_id
+    ), b as (
+        select st as ts, 1 as delta from sess
+        union all
+        select en as ts, -1 as delta from sess
+    ), r as (
+        -- closed intervals: starts sort before ends at equal ts, so a
+        -- zero-length session still counts and touching sessions overlap;
+        -- the default RANGE frame makes tied boundaries atomic on both
+        -- engines (peers share the running value)
+        select ts, delta,
+               sum(delta) over (order by ts asc, delta desc) as conc
+        from b
+    ), p as (
+        select ts, conc, max(conc) over () as peak from r
+    )
+    select cast(count(*) / 2 as bigint)                         as n_sessions,
+           cast(max(peak) as bigint)                            as peak_concurrent,
+           strftime(min(case when conc = peak then ts end),
+                    '%Y-%m-%d %H:%M:%S')                        as peak_ts
+    from p
+"""
+
+
+@register("peak_concurrent_sessions", _CONCURRENCY_ORACLE)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-stabbing by sweep: how many 30-minute-gap sessions were
+    simultaneously open at the busiest instant (the Little's-law-style
+    concurrency question: licenses, connection pools, aircraft airborne).
+    Each session [start, end] becomes +1/−1 boundary events; a running
+    sum under the total (ts, delta desc) order IS the concurrency, its
+    max the peak — no interval self-join, which would be quadratic in
+    overlapping sessions. Closed-interval convention: starts sort before
+    ends at equal ts. Single lineage: the peak resolves as a global
+    window max and n_sessions as boundary-count/2, so one aggregate
+    emits all three outputs (no 1-row re-join, no BNLJ)."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    b = sess.select(F.col("st").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("en").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.orderBy(F.asc("ts"), F.desc("delta"))
+    r = b.withColumn("conc", F.sum("delta").over(w_sweep)).withColumn(
+        "peak", F.max("conc").over(Window.partitionBy())
+    )
+    return r.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+        F.max("peak").cast("bigint").alias("peak_concurrent"),
+        F.date_format(
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("ts"))),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("peak_ts"),
+    )

@@ -90,6 +90,7 @@ POST_FREEZE: set[str] = {
     "view_click_full_outer_stream",
     "order_gap_survival",
     "customer_revenue_gini",
+    "peak_concurrent_sessions",
 }
 
 
