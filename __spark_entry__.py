@@ -57,9 +57,14 @@ def _configure(spark: SparkSession) -> None:
 # RI/erasure audits, WOE, PSI, lift, IVM, mean shift, within-watermark
 # dedup, multi-touch attribution, A/B, paths, rollup-stream, hashing-TF,
 # TWAP, MI, cosine histogram, checksum, KMV overlap, leaderboard, topic
-# clusters, RFM, variant, schema evolution) are tail by policy —
-# enumerated in tests/test_registry_order.py::POST_FREEZE as the round-6
-# rotation slate; every one is locally oracle-checked by the full sweep.
+# clusters, RFM, variant, schema evolution — plus the late-round wave:
+# association rules, Benford, autocorrelation, seasonal backtest, fuzzy
+# linkage, UDTF spans, stream full-outer, Kaplan-Meier, Gini, peak
+# concurrency) are tail by policy — enumerated in
+# tests/test_registry_order.py::POST_FREEZE as the round-6 rotation
+# slate (43 entries ≈ a full window: round 6 can rotate the slate in
+# wholesale, keeping the same proven-spine pattern); every one is
+# locally oracle-checked by the full sweep.
 #
 # Demoted entries all held green driver rows in r1-r4 (see
 # CORRECTNESS_r0*.json) and/or are shape-siblings of window members;
