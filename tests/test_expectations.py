@@ -68,3 +68,13 @@ def test_report_counts_per_rule_in_one_scan(spark):
         .toString()
     )
     assert plan.count("Scan") <= 2  # partial+final agg over ONE source scan
+
+
+def test_all_passing_rules_yield_empty_typed_violations(spark):
+    clean, violations = enforce_expectations(
+        _df(spark), {"amount_known_or_any": F.col("id") > 0}
+    )
+    assert clean.count() == 5
+    assert violations.count() == 0
+    # schema stays stable for the quarantine writer even when empty
+    assert violations.columns == ["id", "amount", "status", "rule"]
