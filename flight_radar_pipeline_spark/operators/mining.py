@@ -108,9 +108,14 @@ def benford_digit_fit(
     (floor(x·100) → string head) — never from double formatting, which
     differs across engines. One scan, a ≤9-row aggregate, one 1-row total
     broadcast; χ²-summing the terms against a χ²₈ table is the caller's
-    significance test."""
+    significance test.
+
+    Domain: amounts ≥ 0.01 — sub-cent values floor to 0 cents, whose
+    leading "digit" 0 has no Benford expectation (log10(1 + 1/0) is a
+    division by zero that Spark NULLs and DuckDB inf's), so the filter
+    is on integer cents ≥ 1, not merely x > 0."""
     x = F.col(amount_col)
-    d = amounts.where(x > 0).select(
+    d = amounts.where(F.floor(x * 100) >= 1).select(
         F.substring(F.floor(x * 100).cast("bigint").cast("string"), 1, 1).alias(
             "digit_s"
         )
@@ -187,6 +192,10 @@ def blocked_fuzzy_pairs(
     (``tests/test_mining_ops.py``); candidates union before a single
     verify. Output: (name_a < name_b, dist)."""
     fns = block_fn if isinstance(block_fn, (list, tuple)) else [block_fn]
+    if not fns:
+        raise ValueError(
+            "blocked_fuzzy_pairs: at least one blocking function required"
+        )
     base = names.select(F.col(name_col).alias("name")).distinct()
     cands = None
     for fn in fns:

@@ -28,9 +28,21 @@ def enforce_expectations(
 
     ``violations`` carries every source column plus ``rule`` — one row
     per (row, failed rule). Rule names must be non-empty and unique.
+    Source columns named ``rule`` (or colliding with the internal tag)
+    are rejected up front — silently clobbering a user column or
+    emitting a duplicate ``rule`` column would poison downstream
+    selects/writes.
     """
     if not rules:
         raise ValueError("enforce_expectations: at least one rule required")
+    if "rule" in df.columns:
+        raise ValueError(
+            "enforce_expectations: source column 'rule' collides with the "
+            "violation label — rename it before applying expectations"
+        )
+    tag = "__failed"
+    while tag in df.columns:
+        tag += "_x"
     # CHECK semantics: NULL predicate = pass, so a rule fails only when
     # it is definitively false
     failed = F.array_compact(
@@ -41,10 +53,10 @@ def enforce_expectations(
             ]
         )
     )
-    tagged = df.withColumn("__failed", failed)
-    clean = tagged.where(F.size("__failed") == 0).drop("__failed")
-    violations = tagged.where(F.size("__failed") > 0).select(
-        *df.columns, F.explode("__failed").alias("rule")
+    tagged = df.withColumn(tag, failed)
+    clean = tagged.where(F.size(tag) == 0).drop(tag)
+    violations = tagged.where(F.size(tag) > 0).select(
+        *df.columns, F.explode(tag).alias("rule")
     )
     return clean, violations
 

@@ -171,8 +171,14 @@ def run_pipeline(
 
         silver, violations = enforce_expectations(silver, expectations)
         violations, q_obs = observed_counts(violations, f"quarantine-{run_id}")
-        violations.write.mode("append").parquet(
-            f"{base_path}/flights/quarantine"
+        # quarantine follows the fact tables' rerun semantics: rows carry
+        # run_id (dedup-able under "append"), and under
+        # "overwrite_partitions" a retry replaces exactly its date
+        # partitions — so backfills stay byte-idempotent end to end
+        # (including the quarantine side-channel)
+        write_partitioned(
+            violations, f"{base_path}/flights/quarantine", ts_col="time",
+            fmt="parquet", run_id=run_id, dynamic_overwrite=dynamic,
         )
     else:
         q_obs = None

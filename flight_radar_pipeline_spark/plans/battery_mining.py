@@ -106,7 +106,7 @@ _BENFORD_ORACLE = """
     with d as (
         select substr(cast(cast(floor(o_totalprice * 100) as bigint) as varchar), 1, 1)
                    as digit_s
-        from orders where o_totalprice > 0
+        from orders where floor(o_totalprice * 100) >= 1
     ), n as (
         select cast(count(*) as double) as total from d
     ), obs as (

@@ -47,6 +47,21 @@ from pyspark.sql.datasource import (
 _MOD = 4611686018427387904  # 2^62
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Publish a manifest atomically: write to a same-directory temp file,
+    fsync, then ``os.rename`` onto the final name (atomic on POSIX). A
+    crash mid-write leaves only an orphaned ``.tmp`` — the final path is
+    either absent or a COMPLETE manifest, so replay-idempotence checks
+    (``os.path.exists``) and readers (``json.load``) never observe a
+    truncated file."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, path)
+
+
 def _row_hash(vals: tuple) -> int:
     rendered = "|".join("" if v is None else str(v) for v in vals)
     return int(hashlib.md5(rendered.encode()).hexdigest()[:15], 16)
@@ -113,7 +128,6 @@ class ManifestWriter(DataSourceWriter):
             "files": sorted(entries, key=lambda e: e["file"]),
             "total_rows": sum(e["rows"] for e in entries),
         }
-        mode = "w"
         mpath = os.path.join(self.path, "_MANIFEST.json")
         if not self.overwrite and os.path.exists(mpath):
             with open(mpath) as fh:
@@ -124,8 +138,7 @@ class ManifestWriter(DataSourceWriter):
             manifest["total_rows"] = sum(
                 e["rows"] for e in manifest["files"]
             )
-        with open(mpath, mode) as fh:
-            json.dump(manifest, fh, indent=1)
+        _atomic_write_json(mpath, manifest)
 
     def abort(self, messages) -> None:  # pragma: no cover - failure path
         # orphaned part files are unreferenced by any manifest; a later
@@ -174,8 +187,7 @@ class ManifestStreamWriter(DataSourceStreamWriter):
             "files": sorted(entries, key=lambda e: e["file"]),
             "total_rows": sum(e["rows"] for e in entries),
         }
-        with open(mpath, "w") as fh:
-            json.dump(manifest, fh, indent=1)
+        _atomic_write_json(mpath, manifest)
 
     def abort(self, messages, batchId: int) -> None:  # pragma: no cover
         pass  # unreferenced part files; next trigger's commit supersedes

@@ -78,3 +78,96 @@ def test_all_passing_rules_yield_empty_typed_violations(spark):
     assert violations.count() == 0
     # schema stays stable for the quarantine writer even when empty
     assert violations.columns == ["id", "amount", "status", "rule"]
+
+
+def test_source_rule_column_is_rejected_not_clobbered(spark):
+    """A source column named 'rule' would collide with the violation
+    label (duplicate column, ambiguous downstream) — reject up front."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, rule string")
+    with pytest.raises(ValueError, match="'rule'"):
+        enforce_expectations(df, {"pos": F.col("id") > 0})
+
+
+def test_source_failed_column_survives_untouched(spark):
+    """A source column named '__failed' must not be clobbered by the
+    internal tag — the guard picks a fresh internal name."""
+    df = spark.createDataFrame(
+        [(1, "keep-me"), (-2, "also")], "id bigint, __failed string"
+    )
+    clean, violations = enforce_expectations(df, {"pos": F.col("id") > 0})
+    assert clean.columns == ["id", "__failed"]
+    assert [r["__failed"] for r in clean.collect()] == ["keep-me"]
+    assert violations.columns == ["id", "__failed", "rule"]
+    assert [(r["id"], r["__failed"], r["rule"]) for r in violations.collect()] == [
+        (-2, "also", "pos")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: random rows × random rule expressions vs a DuckDB CHECK
+# oracle (VERDICT r5 item 7 — NULL three-valued logic, overlapping rules)
+# ---------------------------------------------------------------------------
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# each rule = (spark Column factory, equivalent SQL predicate). CHECK
+# semantics on both sides: violation iff predicate IS FALSE (NULL passes).
+_RULE_POOL = [
+    ("amt_pos", lambda: F.col("amount") > 0, "amount > 0"),
+    ("amt_small", lambda: F.col("amount") <= 50, "amount <= 50"),
+    ("amt_ne_7", lambda: F.col("amount") != 7.0, "amount <> 7.0"),
+    ("amt_present", lambda: F.col("amount").isNotNull(), "amount is not null"),
+    ("status_known", lambda: F.col("status").isin("ok", "late"),
+     "status in ('ok', 'late')"),
+    ("status_present", lambda: F.col("status").isNotNull(), "status is not null"),
+    ("both", lambda: (F.col("amount") > 0) & F.col("status").isNotNull(),
+     "(amount > 0) and (status is not null)"),
+    ("either", lambda: (F.col("amount") > 100) | (F.col("status") == "ok"),
+     "(amount > 100) or (status = 'ok')"),
+    ("not_bogus", lambda: ~(F.col("status") == "bogus"),
+     "not (status = 'bogus')"),
+]
+
+_row = st.tuples(
+    st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                   min_value=-1e6, max_value=1e6)),
+    st.one_of(st.none(), st.sampled_from(["ok", "late", "bogus", ""])),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=st.lists(_row, min_size=0, max_size=20),
+    picks=st.lists(st.sampled_from(range(len(_RULE_POOL))),
+                   min_size=1, max_size=4, unique=True),
+)
+def test_fuzz_matches_duckdb_check_semantics(spark, rows, picks):
+    data = [(i, r[0], r[1]) for i, r in enumerate(rows)]
+    pdf = pd.DataFrame(data, columns=["id", "amount", "status"]).astype(
+        {"id": "int64"}
+    )
+    df = spark.createDataFrame(data, "id bigint, amount double, status string")
+    rules = {_RULE_POOL[i][0]: _RULE_POOL[i][1]() for i in picks}
+    clean, violations = enforce_expectations(df, rules)
+    got_clean = {r.id for r in clean.collect()}
+    got_viol = {(r.id, r.rule) for r in violations.collect()}
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want_viol = set()
+    for i in picks:
+        name, _, sql = _RULE_POOL[i]
+        for (rid,) in con.sql(
+            f"select id from t where not coalesce(({sql}), true)"
+        ).fetchall():
+            want_viol.add((rid, name))
+    con.close()
+    want_clean = set(pdf["id"]) - {rid for rid, _ in want_viol}
+    assert got_viol == want_viol
+    assert got_clean == want_clean

@@ -85,6 +85,19 @@ def test_benford_matches_brute_force_and_handles_sign(spark):
     assert got == want
 
 
+def test_benford_excludes_subcent_amounts(spark):
+    """Amounts in (0, 0.01) floor to 0 cents — digit 0 has no Benford
+    expectation (log10(1 + 1/0) divides by zero: Spark NULL, DuckDB inf),
+    so the domain filter keeps only integer cents >= 1 and the output
+    holds digits 1-9 exclusively on any engine."""
+    df = spark.createDataFrame(
+        [(0.004,), (0.0099,), (0.01,), (3.0,)], "amt double"
+    )
+    rows = benford_digit_fit(df, "amt").collect()
+    assert {r.digit for r in rows} == {1, 3}  # 0.01→1 cent→digit 1; 3.0→300
+    assert all(r.exp_freq is not None and r.chi2_term is not None for r in rows)
+
+
 def test_lag_autocorr_alternating_series_is_minus_one(spark):
     # x, -x, x, -x ... → lag-1 r = -1, lag-2 r = +1 exactly
     rows = [("k", i, float((-1) ** i)) for i in range(20)]
@@ -93,6 +106,12 @@ def test_lag_autocorr_alternating_series_is_minus_one(spark):
     assert r.lag1_autocorr == pytest.approx(-1.0, abs=1e-9)
     assert r.lag2_autocorr == pytest.approx(1.0, abs=1e-9)
     assert r.n_rows == 20
+
+
+def test_blocked_fuzzy_pairs_rejects_empty_block_list(spark):
+    df = spark.createDataFrame([("a",)], "nm string")
+    with pytest.raises(ValueError, match="blocking function"):
+        blocked_fuzzy_pairs(df, "nm", [])
 
 
 def test_blocked_fuzzy_pairs_respects_blocks_and_threshold(spark):

@@ -188,6 +188,25 @@ def test_expectations_gate_quarantines_between_silver_and_gold(spark, tmp_path, 
     bad = {r.id for r in quarantine.select("id").collect()}
     assert not bad & {r.id for r in result.gold.select("id").collect()}
     assert result.gold.where(F.col("latitude") > 0).count() == 0
+    # quarantine rows follow the fact tables' rerun semantics: run_id
+    # stamped, date-partitioned
+    assert {"run_id", "rule", "year", "month", "day"} <= set(quarantine.columns)
+    base_q = quarantine.count()
+
+    # under overwrite_partitions a retried run replaces its own quarantine
+    # partitions instead of duplicating them (ADVICE r5)
+    result2 = run_pipeline(
+        spark, base, run_id="retry-1", fact_mode="overwrite_partitions",
+        expectations={"southern_hemisphere": F.col("latitude") <= 0}, **kw,
+    )
+    result3 = run_pipeline(
+        spark, base, run_id="retry-1", fact_mode="overwrite_partitions",
+        expectations={"southern_hemisphere": F.col("latitude") <= 0}, **kw,
+    )
+    q_after = spark.read.parquet(f"{base}/flights/quarantine")
+    # the re-landed retry did not grow the table: one run_id's rows exactly
+    assert q_after.count() == q_after.where(F.col("run_id") == "retry-1").count()
+    assert result2.run_info["quarantined_rows"] == result3.run_info["quarantined_rows"]
 
 
 def test_run_info_records_counts_without_extra_scans(spark, tmp_path, pdfs):
