@@ -84,12 +84,16 @@ def decode_features(
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """Real media decode — NOT AVAILABLE in this environment.
+    """PIXEL decode — NOT AVAILABLE in this environment (codec-only gap).
 
-    Production implementation decodes ``payload`` with PIL/ffmpeg inside the
-    same ``mapInPandas`` batch loop as :func:`decode_features` (same
-    signature, wider schema: width/height/frames/sample_rate). Kept as an
-    explicit stub so the plumbing above stays honest about what is fake.
+    Header-level metadata is NOT stubbed: :func:`parse_image_dims` reads
+    PNG IHDR / GIF logical-screen width+height natively from the bytes
+    with pure column expressions. What remains here is the pixel-data
+    codec (decompress/resize/embed), whose production implementation
+    decodes ``payload`` with PIL/ffmpeg inside the same ``mapInPandas``
+    batch loop as :func:`decode_features` (same signature, wider schema:
+    pixels/frames/sample_rate). Kept as an explicit stub so the plumbing
+    stays honest about what is fake.
     """
     try:
         import PIL.Image  # noqa: F401
@@ -160,9 +164,11 @@ MAGIC_PREFIXES = {
 # Sniffing table: JPEG is recognized on the 3-byte SOI+marker prefix
 # ff d8 ff so Exif (ff d8 ff e1) and other APPn variants route as
 # image/jpeg, not just the JFIF payloads MAGIC_PREFIXES synthesizes.
+# GIF87a/GIF89a share the 4-byte 'GIF8' prefix.
 SNIFF_PREFIXES = {
     "image/jpeg": b"\xff\xd8\xff",
     "image/png": b"\x89PNG",
+    "image/gif": b"GIF8",
     "audio/riff": b"RIFF",
 }
 
@@ -198,6 +204,92 @@ def detect_modality(payload: F.Column | str) -> F.Column:
         head = F.hex(F.substring(col, 1, len(magic)))
         out = F.when(head == magic.hex().upper(), F.lit(mtype)).otherwise(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# native image-header parsing: PNG IHDR + GIF logical screen descriptor
+# ---------------------------------------------------------------------------
+
+_PNG_HEAD = b"\x89PNG\r\n\x1a\x0a\x00\x00\x00\x0dIHDR"  # sig + IHDR len + tag
+_PNG_TAIL = b"\x08\x06\x00\x00\x00"  # bit depth 8, RGBA, deflate, none, none
+_GIF_HEAD = b"GIF89a"
+_GIF_TAIL = b"\xf7\x00\x00"  # GCT flags, background index, aspect ratio
+
+
+def with_image_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a mixed image/text corpus with STRUCTURALLY REAL
+    container headers: ``id % 3`` picks PNG (8-byte signature + IHDR
+    chunk with 4-byte big-endian width/height), GIF (GIF89a + 2-byte
+    little-endian logical-screen width/height), or headerless text; the
+    document's UTF-8 bytes stand in for the compressed pixel data.
+    Dimensions derive deterministically from the id, so an oracle can
+    synthesize byte-identical blobs — while the PARSER reads them back
+    from the bytes alone."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    did = F.col(id_col)
+    w = (did % 2000 + 16).cast("bigint")
+    h = ((did * 7) % 2000 + 16).cast("bigint")
+
+    def be4(c):  # 4-byte big-endian
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def le2(c):  # 2-byte little-endian (GIF)
+        hx = F.lpad(F.hex(c), 4, "0")
+        return F.unhex(F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2)))
+
+    png = F.concat(
+        F.lit(bytearray(_PNG_HEAD)), be4(w), be4(h),
+        F.lit(bytearray(_PNG_TAIL)), body,
+    )
+    gif = F.concat(
+        F.lit(bytearray(_GIF_HEAD)), le2(w), le2(h),
+        F.lit(bytearray(_GIF_TAIL)), body,
+    )
+    payload = (
+        F.when(did % 3 == 0, png).when(did % 3 == 1, gif).otherwise(body)
+    )
+    return df.select(did.alias(id_col), payload.alias("payload"))
+
+
+def parse_image_dims(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """→ (id, modality, width, height): image dimensions parsed NATIVELY
+    from the binary payload with pure column expressions — no codec, no
+    Python. PNG: 4-byte big-endian width/height at IHDR offsets 17/21
+    (1-based); GIF: 2-byte little-endian logical-screen width/height at
+    offsets 7/9 (byte-swapped via per-byte hex). ``substring`` on the
+    binary column slices bytes JVM-side, so only the first ~24 bytes of
+    each blob are touched — over Parquet this is scan-speed metadata
+    extraction at any corpus size. Non-image payloads get NULL dims."""
+    p = F.col(payload_col)
+    is_png = F.hex(F.substring(p, 1, 8)) == _PNG_HEAD[:8].hex().upper()
+    is_gif = F.hex(F.substring(p, 1, 4)) == b"GIF8".hex().upper()
+
+    def be_int(start: int, n: int):
+        return F.conv(F.hex(F.substring(p, start, n)), 16, 10).cast("int")
+
+    def le2_int(start: int):
+        return F.conv(
+            F.concat(
+                F.hex(F.substring(p, start + 1, 1)),
+                F.hex(F.substring(p, start, 1)),
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    return df.select(
+        F.col(id_col),
+        F.when(is_png, F.lit("image/png"))
+        .when(is_gif, F.lit("image/gif"))
+        .otherwise(F.lit("text/plain"))
+        .alias("modality"),
+        F.when(is_png, be_int(17, 4)).when(is_gif, le2_int(7)).alias("width"),
+        F.when(is_png, be_int(21, 4)).when(is_gif, le2_int(9)).alias("height"),
+    )
 
 
 def route_modalities(

@@ -219,26 +219,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup (multi-table sign-LSH)
 # --------------------------------------------------------------------------
 
-_NT, _PPT, _CT = 4, 4, 0.35
+_NT, _CT = 4, 0.35
+_LSH_TARGET_OCC = 400  # expected bucket occupancy the sizing rule aims at
 
+# planes_per_table is SELF-SIZED from the corpus count on both engines:
+# greatest(4, ceil(log2(n / target))) — the exact SQL mirror of
+# operators.similarity.recommended_planes (equality property-tested in
+# tests/test_sizing_rules.py). A fixed plane count is the measured
+# 100 TB scale-killer (SCALE_RUN.json round 5: 13.3× wall at 10× data);
+# deriving it from count(*) keeps expected bucket occupancy — and so the
+# in-bucket quadratic verify — constant as the corpus grows.
 _COS_DUP_ORACLE = f"""
-    with comps as (
+    with sizing as (
+        select greatest(4, cast(ceil(log2(count(*) / {_LSH_TARGET_OCC}.0)) as int))
+                   as ppt
+        from embeddings
+    ), comps as (
         select vec_id, unnest(embedding::DOUBLE[]) as x,
                unnest(range(0, len(embedding))) as dim
         from embeddings
     ), planes as (
         select plane, dim,
                {_nibble_case("substr(md5(plane::varchar || '-' || dim::varchar), 1, 1)")}::double - 7.5 as comp
-        from (select unnest(range(0, {_NT * _PPT})) as plane)
+        from (select unnest(range(0, {_NT} * ppt)) as plane from sizing)
         cross join (select unnest(range(0, 64)) as dim)
     ), dots as (
         select c.vec_id, p.plane, sum(c.x * p.comp) as dot
         from comps c join planes p on c.dim = p.dim
         group by c.vec_id, p.plane
     ), sig as (
-        select vec_id, plane // {_PPT} as tbl,
-               string_agg(case when dot > 0 then '1' else '0' end, '' order by plane) as signature
-        from dots group by vec_id, plane // {_PPT}
+        select d.vec_id, d.plane // s.ppt as tbl,
+               string_agg(case when d.dot > 0 then '1' else '0' end, '' order by d.plane) as signature
+        from dots d cross join sizing s group by d.vec_id, d.plane // s.ppt
     ), cand as (
         select distinct l.vec_id as id_a, r.vec_id as id_b
         from sig l join sig r
@@ -261,12 +273,16 @@ _COS_DUP_ORACLE = f"""
 @register("embedding_near_dup_pairs", _COS_DUP_ORACLE)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: 4 independent sign-LSH
-    tables of 4 planes generate candidates (union over tables — the
-    cosine analogue of MinHash banding), exact cosine verifies. The
-    corpus cross product never materializes."""
+    tables generate candidates (union over tables — the cosine analogue
+    of MinHash banding), exact cosine verifies. The corpus cross product
+    never materializes, and ``planes_per_table`` is derived from the
+    corpus count via ``recommended_planes`` (the oracle derives the same
+    value from ``count(*)``), so expected bucket occupancy — and the
+    in-bucket quadratic — stays constant as the corpus grows."""
     emb = load_table(spark, sf_dir, "embeddings")
+    ppt = S.recommended_planes(emb.count(), target_bucket_occupancy=_LSH_TARGET_OCC)
     return S.cosine_near_dup_pairs(
-        emb, threshold=_CT, num_tables=_NT, planes_per_table=_PPT, n_dims=EMB_DIMS
+        emb, threshold=_CT, num_tables=_NT, planes_per_table=ppt, n_dims=EMB_DIMS
     ).orderBy("id_a", "id_b")
 
 

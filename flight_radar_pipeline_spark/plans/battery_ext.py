@@ -931,6 +931,69 @@ def multimodal_modality_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_dims",
+    """
+    with dims as (
+        select doc_id, text,
+               doc_id % 2000 + 16 as w, (doc_id * 7) % 2000 + 16 as h
+        from documents
+    ), blob as (
+        -- synthesize the SAME structurally-real headers as the Spark side
+        -- (PNG sig + IHDR w/h big-endian; GIF89a + w/h little-endian)
+        select doc_id,
+               case doc_id % 3
+                 when 0 then from_hex('89504e470d0a1a0a0000000d49484452'
+                       || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+                       || '0806000000' || hex(encode(text)))
+                 when 1 then from_hex('474946383961'
+                       || substr(lpad(to_hex(w),4,'0'),3,2) || substr(lpad(to_hex(w),4,'0'),1,2)
+                       || substr(lpad(to_hex(h),4,'0'),3,2) || substr(lpad(to_hex(h),4,'0'),1,2)
+                       || 'f70000' || hex(encode(text)))
+                 else encode(text)
+               end as payload
+        from dims
+    ), hx as (
+        -- parse back from the BYTES (not the construction): hex offsets
+        -- 2k-1 mirror 1-based byte offsets k
+        select doc_id, lower(hex(payload)) as x from blob
+    )
+    select doc_id,
+           case when substr(x,1,16) = '89504e470d0a1a0a' then 'image/png'
+                else 'image/gif' end as modality,
+           case when substr(x,1,16) = '89504e470d0a1a0a'
+                then ('0x' || substr(x,33,8))::int
+                else ('0x' || substr(x,15,2) || substr(x,13,2))::int
+           end as width,
+           case when substr(x,1,16) = '89504e470d0a1a0a'
+                then ('0x' || substr(x,41,8))::int
+                else ('0x' || substr(x,19,2) || substr(x,17,2))::int
+           end as height
+    from hx
+    where substr(x,1,16) = '89504e470d0a1a0a' or substr(x,1,8) = '47494638'
+    order by doc_id
+    """,
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dimensions parsed NATIVELY from binary payloads — PNG IHDR
+    big-endian width/height, GIF logical-screen little-endian — with pure
+    column expressions (``substring`` on the binary column + hex→int
+    ``conv``): real metadata extraction, no codec, no Python. Both
+    engines synthesize byte-identical headers from the corpus and both
+    PARSE the bytes back (the oracle works over ``hex(payload)`` string
+    offsets), so the gate checks the parse, not the construction. Only
+    pixel-data decode remains behind the documented codec stub
+    (multimodal/binary.py:decode_image_stub)."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        parse_image_dims,
+        with_image_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = parse_image_dims(with_image_payload(docs))
+    return dims.where(F.col("modality") != "text/plain").orderBy("doc_id")
+
+
+@register(
     "approx_distinct_users",
     None,  # approximate by construction — rows-only check, by design
 )

@@ -425,17 +425,27 @@ def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampled pairwise-cosine histogram (threshold diagnostics)
 # --------------------------------------------------------------------------
 
-_CHIST_P = 6          # sample ~1/6 of vectors deterministically
+_CHIST_TARGET = 100   # FIXED expected sample size — modulus grows with n
 _CHIST_W = 0.1        # histogram bin width over [-1, 1]
 
+# the sampling modulus is SELF-SIZED: ceil(n / target) on both engines, so
+# |S| (and the |S|² pair volume) stays constant as the corpus grows — a
+# fixed RATE was the measured quadratic scale-killer (SCALE_RUN.json
+# round 5: 8.7× wall at 10× data; fixed size: flat 0.54 s)
 _CHIST_ORACLE = f"""
-    with s as (
+    with sizing as (
+        -- integer ceil(n / target): float-free, so the modulus agrees
+        -- with the Spark side bit-for-bit at any corpus count
+        select greatest(1, (count(*) + {_CHIST_TARGET} - 1) // {_CHIST_TARGET})
+                   as modulus
+        from embeddings
+    ), s as (
         select vec_id, embedding::DOUBLE[] as v,
                sqrt(list_inner_product(embedding::DOUBLE[],
                                        embedding::DOUBLE[])) as nrm
-        from embeddings
+        from embeddings cross join sizing
         where ('0x' || substr(md5('chist-' || vec_id::varchar), 1, 12))::bigint
-              % {_CHIST_P} = 0
+              % modulus = 0
     ), pairs as (
         select round(
                  floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm)
@@ -453,18 +463,20 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the corpus — the diagnostic a dedup pipeline reads to SET its
     similarity threshold (where does the near-dup mode separate from the
     random-pair bulk?). The quadratic pair set is confined to the
-    SAMPLE: md5-bucket sampling (engine- and partition-stable, the
-    ``hash_bucket`` primitive) keeps |S| ≈ n/6 here, and at 100 TB the
-    sampling MODULUS grows with the corpus so |S| stays FIXED —
-    diagnostics need a few million pairs, not the corpus product.
-    Measured (SCALE_RUN.json round 5): fixed rate at 10× corpus → 8.7×
-    wall (pairs ∝ n²); modulus grown 10× (same |S|) → 0.54 s, flat.
-    S stays broadcast-sized and the pair join is one broadcast
-    self-join. Histogram bins are floor-quantized before
-    rounding so bin edges agree bit-for-bit across engines."""
+    SAMPLE, and the sample SIZE is fixed: the md5-bucket modulus
+    (engine- and partition-stable, the ``hash_bucket`` primitive) is
+    derived as ceil(n / target) from the corpus count on BOTH engines,
+    so |S| ≈ target no matter how big the corpus — diagnostics need a
+    few million pairs, not the corpus product. Measured (SCALE_RUN.json
+    round 5): fixed rate at 10× corpus → 8.7× wall (pairs ∝ n²); fixed
+    size (modulus grown 10×) → 0.54 s, flat. S stays broadcast-sized
+    and the pair join is one broadcast self-join. Histogram bins are
+    floor-quantized before rounding so bin edges agree bit-for-bit
+    across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
     from flight_radar_pipeline_spark.functions.text import hash_bucket
 
+    modulus = max(1, -(-emb.count() // _CHIST_TARGET))  # ceil(n / target)
     v = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(
         F.aggregate(
@@ -474,7 +486,7 @@ def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = emb.filter(
-        hash_bucket(F.concat(F.lit("chist-"), F.col("vec_id")), _CHIST_P) == 0
+        hash_bucket(F.concat(F.lit("chist-"), F.col("vec_id")), modulus) == 0
     ).select("vec_id", v.alias("v"), nrm.alias("nrm"))
     a = s.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")

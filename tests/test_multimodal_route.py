@@ -57,3 +57,60 @@ def test_detect_is_pure_expression(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# native header parsing: PNG IHDR / GIF logical-screen dimensions
+# ---------------------------------------------------------------------------
+
+import struct
+
+from flight_radar_pipeline_spark.multimodal.binary import parse_image_dims
+
+
+def _dims(spark, payloads: dict[int, bytes]) -> dict[int, tuple]:
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "doc_id long, payload binary"
+    )
+    return {
+        r["doc_id"]: (r["modality"], r["width"], r["height"])
+        for r in parse_image_dims(df).collect()
+    }
+
+
+def _png(w: int, h: int) -> bytes:
+    return (b"\x89PNG\r\n\x1a\x0a\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"pixels")
+
+
+def _gif(w: int, h: int, ver: bytes = b"89a") -> bytes:
+    return b"GIF" + ver + struct.pack("<HH", w, h) + b"\xf7\x00\x00data"
+
+
+def test_png_dims_parse_big_endian(spark):
+    got = _dims(spark, {0: _png(1920, 1080), 1: _png(1, 1), 2: _png(65536, 3)})
+    assert got[0] == ("image/png", 1920, 1080)
+    assert got[1] == ("image/png", 1, 1)
+    assert got[2] == ("image/png", 65536, 3)  # > 2 bytes exercises BE width
+
+
+def test_gif_dims_parse_little_endian_both_versions(spark):
+    got = _dims(spark, {0: _gif(300, 200), 1: _gif(640, 480, ver=b"87a")})
+    assert got[0] == ("image/gif", 300, 200)
+    assert got[1] == ("image/gif", 640, 480)  # GIF87a shares the GIF8 sniff
+
+
+def test_non_images_get_null_dims(spark):
+    got = _dims(spark, {0: b"plain text", 1: b"", 2: b"\x89PN"})
+    for i in range(3):
+        assert got[i] == ("text/plain", None, None)
+
+
+def test_truncated_header_parses_partially_not_crashes(spark):
+    # a payload cut inside IHDR: width bytes present, height truncated —
+    # substring past the end yields fewer bytes, conv of '' is NULL-ish;
+    # the row still routes as png with what the bytes support
+    b = _png(800, 600)[:20]  # ends after the width field
+    got = _dims(spark, {0: b})
+    assert got[0][0] == "image/png"
+    assert got[0][1] == 800
