@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions import text as T
+from flight_radar_pipeline_spark.operators import corpus_prep as P
 from flight_radar_pipeline_spark.operators import dedup as D
 from flight_radar_pipeline_spark.operators import similarity as S
 from flight_radar_pipeline_spark.operators.packing import (
@@ -1121,4 +1122,237 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r.n_pass") / F.col("__t"), 4).alias("pct_of_total"),
         )
         .orderBy("stage")
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end corpus assembly: the full LLM-training-data lineage in ONE plan
+# --------------------------------------------------------------------------
+
+_E2E_JT, _E2E_MAXDF = 0.4, 20          # near-dedup (trigram Jaccard)
+_E2E_CONTAM_T = 0.5                    # decontamination drop threshold
+_E2E_LANGS = ("de", "en", "es", "fr")  # quality gate language allowlist
+_E2E_QUOTA = 20                        # stratified per-language quota
+_E2E_BUDGET, _E2E_BUCKETS = 512, 8     # sequence packing
+_E2E_V = 150                           # vocabulary size for token ids
+
+_E2E_ORACLE = rf"""
+    with uniq as (
+        -- 1. exact dedup: one winner (min id) per content fingerprint
+        select doc_id, text, lang from (
+            select doc_id, text, lang, row_number() over (
+                partition by md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                order by doc_id) as rn
+            from documents) where rn = 1
+    ), t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks from uniq
+    ), g0 as (
+        -- 2. near dedup: capped-trigram Jaccard pairs, drop the larger id
+        select doc_id, unnest(list_distinct(
+            case when len(toks) >= 3
+                 then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]
+                 else [] end)) as gram
+        from t
+    ), dfreq as (
+        select gram from g0 group by gram having count(*) <= {_E2E_MAXDF}
+    ), g as (
+        select g0.doc_id, g0.gram from g0 join dfreq using (gram)
+    ), sizes as (
+        select doc_id, count(*) as sz from g group by doc_id
+    ), inter as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter_sz
+        from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+        group by 1, 2
+    ), dupped as (
+        select distinct id_b as doc_id from inter
+        join sizes sa on sa.doc_id = id_a
+        join sizes sb on sb.doc_id = id_b
+        where round(inter_sz / (sa.sz + sb.sz - inter_sz), 4) >= {_E2E_JT}
+    ), near as (
+        select u.* from uniq u anti join dupped d on u.doc_id = d.doc_id
+    ), train as (
+        -- 3. decontaminate vs the held-out slice (md5 bucket 1 of the RAW
+        -- corpus); drop survivors whose trigram overlap >= threshold
+        select * from near
+        where ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint % 10 != 1
+    ), eg as (
+        select distinct gram from (
+            select unnest(list_distinct(
+                case when len(toks) >= 3
+                     then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           for i in range(1, len(toks) - 1)]
+                     else [] end)) as gram
+            from (select regexp_split_to_array(trim(text), '\s+') as toks
+                  from documents
+                  where ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint
+                        % 10 = 1)
+        )
+    ), tg as (
+        select doc_id, unnest(list_distinct(
+            case when len(toks) >= 3
+                 then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]
+                 else [] end)) as gram
+        from (select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+              from train)
+    ), contaminated as (
+        select tg.doc_id from tg left join eg using (gram)
+        group by tg.doc_id
+        having round(count(eg.gram) / count(*), 4) >= {_E2E_CONTAM_T}
+    ), clean as (
+        select tr.* from train tr anti join contaminated c on tr.doc_id = c.doc_id
+    ), qbase as (
+        -- 4. quality gate (row-local shape heuristics)
+        select c.*,
+               len(regexp_split_to_array(trim(text), '\s+')) as ntok,
+               len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) as ndist,
+               length(regexp_replace(text, '\s', '', 'g')) as nonws
+        from clean c
+    ), qual as (
+        select doc_id, text, lang from qbase
+        where lang in {_E2E_LANGS}
+          and ntok between 20 and 1000
+          and ndist >= 0.3 * ntok
+          and nonws between 3 * ntok and 12 * ntok
+    ), sampled as (
+        -- 5. stratified sample: exact per-language quotas, (md5, id) order
+        select doc_id, text, lang from (
+            select *, row_number() over (
+                partition by lang order by md5(doc_id::varchar), doc_id) as rn
+            from qual) where rn <= {_E2E_QUOTA}
+    ), pbase as (
+        -- 6. contiguous-fill sequence packing per hash bucket
+        select doc_id,
+               ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint
+                   % {_E2E_BUCKETS} as bucket,
+               len(regexp_split_to_array(trim(text), '\s+'))::bigint as n_tokens
+        from sampled
+    ), cum as (
+        select doc_id, bucket, n_tokens,
+               sum(n_tokens) over (
+                   partition by bucket
+                   order by md5(doc_id::varchar), doc_id
+                   rows unbounded preceding) - n_tokens as start_offset
+        from pbase
+    ), packed as (
+        select doc_id, bucket, n_tokens, start_offset::bigint as start_offset,
+               bucket * 4294967296
+                   + floor(start_offset / {_E2E_BUDGET})::bigint as pack_id
+        from cum
+    ), stoks as (
+        -- 7. vocabulary from the SAMPLED corpus; encode to token ids
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks
+        from sampled
+    ), counts as (
+        select token, count(*) as c
+        from (select unnest(toks) as token from stoks) group by token
+    ), vocab as (
+        select token, row_number() over (order by c desc, token) as id
+        from counts order by c desc, token limit {_E2E_V}
+    ), m as (
+        select map(list(token order by id), list(id order by id)) as m from vocab
+    ), ids as (
+        select doc_id, array_to_string(
+            list_transform(toks, x -> coalesce(m[x][1], 0)::varchar), ' ') as ids
+        from stoks cross join m
+    )
+    select s.doc_id, s.lang, p.bucket, p.n_tokens, p.start_offset, p.pack_id,
+           i.ids
+    from sampled s join packed p using (doc_id) join ids i using (doc_id)
+    order by s.doc_id
+"""
+
+
+@register("corpus_training_manifest", _E2E_ORACLE)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline as one lineage — ingest →
+    exact dedup → trigram-Jaccard near-dedup (greedy keep-smaller-id) →
+    benchmark decontamination against the held-out md5-bucket slice →
+    quality gate → stratified per-language sample → contiguous-fill
+    sequence packing → vocabulary token ids — ending in the pack
+    manifest a training run reads: (doc_id, lang, bucket, n_tokens,
+    start_offset, pack_id, ids).
+
+    Every stage is the LIBRARY operator (``dedup_exact``,
+    ``ngram_jaccard_pairs``, ``contamination_report``,
+    ``pack_documents``, ``top_vocabulary``/``vocab_encode``) — this
+    entry proves their composition in a single plan, parameters
+    matching the standalone battery entries. The oracle restates the
+    full chain as one CTE pipeline.
+
+    Scale posture: the sampled subset (quota × |langs| rows — the only
+    frame consumed by three downstream stages: packing, vocabulary,
+    encoding) is persisted once, so the corpus-sized dedup/decontam/
+    quality stages run exactly once; everything upstream is the
+    operators' own bucketed/broadcast shapes (no all-pairs joins, no
+    corpus self-scan duplication). ``tests/test_corpus_e2e.py`` pins
+    stage-count invariants and the single-computation claim."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    # 1. exact dedup (content fingerprint, keep-min winner)
+    uniq = D.dedup_exact(docs).drop("dup_count")
+
+    # 2. near dedup: capped trigram-Jaccard pairs; greedy drop of id_b
+    pairs = D.ngram_jaccard_pairs(
+        uniq, "text", "doc_id", n=3, jaccard_threshold=_E2E_JT, maxdf=_E2E_MAXDF
+    )
+    near = uniq.join(
+        pairs.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    # 3. decontamination vs the held-out slice of the RAW corpus
+    is_eval = T.hash_bucket("doc_id", 10) == 1
+    train = near.filter(~is_eval)
+    report = P.contamination_report(train, docs.filter(is_eval), n=3)
+    contaminated = report.filter(
+        F.col("contamination") >= _E2E_CONTAM_T
+    ).select("doc_id")
+    clean = train.join(contaminated, "doc_id", "left_anti")
+
+    # 4. quality gate (row-local shape heuristics, funnel parameters)
+    toks = T.tokens("text")
+    ntok = F.size(toks)
+    ndist = F.size(F.array_distinct(toks))
+    nonws = F.length(F.regexp_replace("text", r"\s", ""))
+    qual = clean.filter(
+        F.col("lang").isin(*_E2E_LANGS)
+        & ntok.between(20, 1000)
+        & (ndist >= 0.3 * ntok)
+        & nonws.between(3 * ntok, 12 * ntok)
+    )
+
+    # 5. stratified per-language sample (exact quotas, reproducible order)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    sampled = (
+        qual.select("doc_id", "text", "lang", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= _E2E_QUOTA)
+        .drop("__rn")
+    )
+    # three consumers (packing, vocabulary, encoding) — materialize once so
+    # the corpus-sized upstream runs exactly one time
+    sampled = sampled.persist()
+
+    # 6. contiguous-fill packing per hash bucket
+    packed = pack_documents(
+        sampled, token_budget=_E2E_BUDGET, buckets=_E2E_BUCKETS
+    )
+
+    # 7. vocabulary (from the sampled corpus) + token ids
+    vocab = P.top_vocabulary(sampled, _E2E_V)
+    ids = P.vocab_encode(sampled, vocab)
+
+    return (
+        sampled.select("doc_id", "lang")
+        .join(packed, "doc_id")
+        .join(ids, "doc_id")
+        .select(
+            "doc_id", "lang", "bucket", "n_tokens", "start_offset",
+            "pack_id", "ids",
+        )
+        .orderBy("doc_id")
     )
