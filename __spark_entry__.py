@@ -37,101 +37,83 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-5 rotation — close the never-driver-checked gap in one pass: the
-# 43 oracled entries that have never held a driver correctness row in
-# CORRECTNESS_r01-r04 ALL move into the window (round-4/5 additions like
-# the KMV sketch, hopping windows, PQ-era quantization audits, GROUPING
-# SETS, Markov transitions, modality routing, vocab encoding, BPE merges,
-# native session windows, keep-best dedup, per-group OLS, stream-merge
-# SCD1 — plus every round-3 corpus/prep extension that had only
-# local-sweep coverage: decontamination, chunking, weighted/mixture/
-# stratified sampling, OOV, packing, z-order keys, dim stats, CMS grid,
-# skew report, MAD outliers, funnel, triangles, ...). The other 7 slots
-# are a proven spine: the flagship (pricing_summary), the only-coverage
-# operators pinned by tests/test_registry_order.py (as-of join, range
-# join, exact percentiles, multimodal decode), one deep-join anchor
-# (revenue_by_nation) and one dedup anchor (minhash_near_dup_pairs).
+# Round-6 rotation — same policy that closed the r5 gap: the 42-entry
+# POST_FREEZE slate (every oracled entry registered after the round-5
+# window froze — none has ever held a driver correctness row) moves into
+# the window WHOLESALE, exactly as pre-agreed in the round-5
+# tests/test_registry_order.py::POST_FREEZE. The other 8 slots:
 #
-# Entries ADDED during round 5 AFTER this window froze (winsorize, EWMA,
-# boilerplate spans, source report, filter funnel, group centroids,
-# RI/erasure audits, WOE, PSI, lift, IVM, mean shift, within-watermark
-# dedup, multi-touch attribution, A/B, paths, rollup-stream, hashing-TF,
-# TWAP, MI, cosine histogram, checksum, KMV overlap, leaderboard, topic
-# clusters, RFM, variant, schema evolution — plus the late-round wave:
-# association rules, Benford, autocorrelation, seasonal backtest, fuzzy
-# linkage, UDTF spans, stream full-outer, Kaplan-Meier, Gini, peak
-# concurrency) are tail by policy — enumerated in
-# tests/test_registry_order.py::POST_FREEZE as the round-6 rotation
-# slate (43 entries ≈ a full window: round 6 can rotate the slate in
-# wholesale, keeping the same proven-spine pattern); every one is
-# locally oracle-checked by the full sweep.
+# - a 5-entry proven spine: the flagship (pricing_summary) and the
+#   only-coverage operators pinned by tests/test_registry_order.py
+#   (as-of join, range join, exact percentiles, multimodal decode);
+# - the 3 round-6 additions/reworks, each needing its first driver row
+#   under its new shape: multimodal_image_dims (native PNG/GIF header
+#   parsing), corpus_training_manifest (the end-to-end corpus-assembly
+#   composition), and embedding_near_dup_pairs (now SELF-SIZING its LSH
+#   planes from the corpus count — the round-5 scale-killer fix).
 #
-# Demoted entries all held green driver rows in r1-r4 (see
-# CORRECTNESS_r0*.json) and/or are shape-siblings of window members;
-# tests/test_battery.py's full-registry oracle sweep (ALL entries at
-# sf0.001) remains the mandatory regression net for everything outside
-# the window. Entries WITHOUT an oracle stay in the tail by policy
-# (embedding_opq_audit + the approx-percentile twins + HLL + first-fit
-# packing: non-SQL-expressible; each pinned by a dedicated local test —
+# Demoted entries (the whole round-5 window minus the spine) all hold
+# green rows in CORRECTNESS_r05.json; tests/test_battery.py's
+# full-registry oracle sweep (ALL entries at sf0.001) remains the
+# mandatory regression net for everything outside the window. Entries
+# WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
+# the approx-percentile twins + HLL + first-fit packing:
+# non-SQL-expressible; each pinned by a dedicated local test —
 # tests/test_opq.py, test_approx_percentile.py, test_hll_accuracy.py).
 _WINDOW = [
-    # proven spine (revenue_by_nation / minhash_near_dup_pairs rotated OUT
-    # mid-round-5 — both held green rows in r1-r4 and their shapes stay
-    # window-covered by nation_year_widget_revenue / doc_dedup_decisions —
-    # in favor of the two most novel round-5 additions: the left-outer
-    # stream-stream join and exact-substring boilerplate mining)
+    # proven spine
     "pricing_summary",
-    "view_click_left_outer_stream",
-    "doc_boilerplate_spans",
     "click_view_attribution",
     "event_window_density",
     "event_value_percentiles",
     "multimodal_features",
-    # never driver-checked until round 5 (43 = every oracled entry with
-    # no green row in CORRECTNESS_r01-r04)
-    "doc_bpe_merges",
-    "closed_sessions_stream_native",
-    "event_value_hourly_trend",
-    "doc_keep_best_dedup",
-    "customer_weighted_price_udaf",
-    "doc_repetition_ratio",
-    "doc_tfidf_top_terms",
-    "doc_pack_assignments",
-    "doc_stratified_sample",
-    "distinct_user_event_types_stream",
-    "event_zorder_keys",
-    "incremental_daily_rollup",
-    "doc_decontamination",
-    "doc_chunk_windows",
-    "doc_weighted_sample",
-    "doc_oov_rate",
-    "corpus_mixture_sample",
-    "doc_length_histogram",
-    "embedding_dim_stats",
-    "doc_chunk_dedup_rate",
-    "doc_dedup_decisions",
-    "table_quality_report",
-    "user_count_cms_estimates",
-    "enriched_events_stream",
-    "doc_contiguous_ids",
-    "event_value_zscore",
-    "order_price_deciles",
-    "doc_incremental_dedup",
-    "signup_click_purchase_funnel",
-    "embedding_int8_quant",
-    "event_key_skew_report",
-    "multimodal_frame_sample",
-    "event_value_mad_outliers",
-    "near_dup_triangles",
-    "orders_scd1_stream_merge",
-    "multimodal_modality_route",
-    "doc_token_ids",
-    "user_kmv_distinct",
-    "hopping_event_counts",
-    "nation_year_widget_revenue",
-    "embedding_pq_audit",
-    "status_month_grouping_sets",
-    "event_type_transitions",
+    # round-6 additions / reworked entries (first driver row each)
+    "multimodal_image_dims",
+    "corpus_training_manifest",
+    "embedding_near_dup_pairs",
+    # the round-5 POST_FREEZE slate, wholesale (42 — never driver-checked)
+    "doc_heavy_hitters",
+    "event_value_interpolated",
+    "doc_bpe_encode",
+    "event_value_winsorized",
+    "user_value_ewma",
+    "embedding_group_centroids",
+    "doc_source_report",
+    "corpus_filter_funnel",
+    "referential_integrity_audit",
+    "user_erasure_audit",
+    "event_value_woe_bins",
+    "order_status_psi_drift",
+    "session_event_type_lift",
+    "nation_revenue_view_ivm",
+    "event_hourly_mean_shift",
+    "distinct_user_event_types_within_wm_stream",
+    "purchase_multitouch_attribution",
+    "ab_test_event_value",
+    "top_session_paths",
+    "daily_rollup_stream_merge",
+    "doc_hashing_tf",
+    "user_value_twap",
+    "event_type_hour_mutual_info",
+    "embedding_cosine_histogram",
+    "orders_table_checksum",
+    "orders_customer_key_overlap_kmv",
+    "top_users_stream",
+    "doc_topic_clusters",
+    "customer_rfm_segments",
+    "event_props_variant",
+    "orders_schema_evolution",
+    "shipping_latency_sla",
+    "part_brand_cooccurrence",
+    "order_benford_digits",
+    "event_value_lag_autocorr",
+    "event_seasonal_baseline",
+    "part_name_fuzzy_pairs",
+    "doc_word_spans_udtf",
+    "view_click_full_outer_stream",
+    "order_gap_survival",
+    "customer_revenue_gini",
+    "peak_concurrent_sessions",
 ]
 CHECKED_WINDOW = 50
 

@@ -123,26 +123,43 @@ def main() -> int:
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "battery_total_wall",
-                "value": warm_total,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "cold_total": cold_total,
-                "timing_mode": "warm-of-2",
-                "sf": sf_val,
-                "n_queries": len(warm),
-            },
-            fh,
-            indent=1,
-        )
-        fh.write("\n")
+    detail = {
+        "metric": "battery_total_wall",
+        "value": warm_total,
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "cold_total": cold_total,
+        "timing_mode": "warm-of-2",
+        "sf": sf_val,
+        "n_queries": len(warm),
+    }
+    root = os.path.dirname(os.path.abspath(__file__))
+    # BENCH_DETAIL.json stays the "latest" pointer; a round-stamped copy
+    # (BENCH_DETAIL_r{N}.json, round from $SPARK_GRAFT_ROUND or inferred
+    # as max existing BENCH_r{N}.json) lands BESIDE it so round-over-round
+    # per-query comparison never needs git archaeology of an overwritten
+    # file. Subset runs (SPARK_GRAFT_ONLY) skip the stamped copy — they
+    # are targeted experiments, not the round record.
+    paths = [os.path.join(root, "BENCH_DETAIL.json")]
+    if not only:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            stamped = [
+                n for n in os.listdir(root)
+                if n.startswith("BENCH_r") and n.endswith(".json")
+            ]
+            nums = [
+                int(n[len("BENCH_r"):-len(".json")])
+                for n in stamped
+                if n[len("BENCH_r"):-len(".json")].isdigit()
+            ]
+            rnd = str(max(nums) + 1) if nums else "1"
+        paths.append(os.path.join(root, f"BENCH_DETAIL_r{int(rnd):02d}.json"))
+    for p in paths:
+        with open(p, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
 
     print(
         _fit_line(

@@ -97,8 +97,40 @@ def main() -> int:
         if r
         else df,
     )
+
+    write_events_zipf(spark, out, reps)
     spark.stop()
     return 0
+
+
+def write_events_zipf(spark, out: str, reps: int) -> None:
+    """Zipf-keyed events variant: same rows and volume as the replicated
+    events table, but user_id redrawn LOG-UNIFORMLY over the replicated
+    user universe — rank-1 frequency ∝ 1/ln(N), the Zipf(s≈1) shape real
+    user traffic has. The driver testdata is ~uniform, so skewed-key
+    behavior (AQE skew-join, operators.skew.salted_join) can only be
+    measured against this variant (tools/skew_bench.py --events).
+    Deterministic: the rank comes from the md5-derived unit hash of
+    event_id, so the table is rerun- and partition-invariant."""
+    import math
+
+    n_users = reps * 1500  # distinct user_ids in the replicated events
+    ev = load_table(spark, out, "events")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("zipf-"), F.col("event_id"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(16**6))
+    zipf_uid = F.floor(F.exp(u * F.lit(float(math.log(n_users)))))
+    ev.withColumn("user_id", zipf_uid.cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/events_zipf.parquet")
+    print("events_zipf: written")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,15 @@ Three runs of the same logical aggregate-after-join:
   salted     AQE off, operators.skew.salted_join(buckets=8)
 
 Usage: python tools/skew_bench.py [n_left] [n_keys] [hot_frac] [mult]
+   or: python tools/skew_bench.py --events <sf_dir> [mult]
 Prints one JSON line.
+
+The ``--events`` mode measures the same three strategies on the
+Zipf-keyed events table ``tools/make_scale.py`` writes
+(events_zipf.parquet: user_id log-uniform over the user universe — the
+rank-frequency shape real user traffic has, rather than one synthetic
+hot key): LEFT = the skewed fact, RIGHT = the full user universe × mult
+rows (broadcast disabled to force the big-big shuffle-join regime).
 """
 
 from __future__ import annotations
@@ -61,17 +69,41 @@ def run(spark, fn) -> tuple[float, list]:
     return round(time.perf_counter() - t0, 2), [tuple(r) for r in rows]
 
 
+def build_events(spark, sf_dir: str, mult: int):
+    """LEFT = the Zipf-keyed events fact (make_scale's events_zipf);
+    RIGHT = its full distinct-user universe × mult rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events_zipf.parquet")
+    left = ev.select(
+        F.col("user_id").alias("k"), F.col("value").alias("v")
+    )
+    users = ev.select("user_id").distinct()
+    right = users.join(
+        spark.range(mult).select(F.col("id").alias("__m"))
+    ).select(
+        F.col("user_id").alias("rk"),
+        (F.col("user_id") % 13 + F.col("__m")).cast("double").alias("w"),
+    )
+    return left, right
+
+
 def main() -> int:
-    n_left = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
-    hot_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.6
-    mult = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    events_mode = len(sys.argv) > 1 and sys.argv[1] == "--events"
     spark = get_spark_session(app_name="skew-bench", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.range(10).count()
 
-    left, right = build(spark, n_left, n_keys, hot_frac, mult)
+    if events_mode:
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+        mult = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+        n_left = n_keys = hot_frac = None
+        left, right = build_events(spark, sf_dir, mult)
+    else:
+        n_left = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+        n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+        hot_frac = float(sys.argv[3]) if len(sys.argv) > 3 else 0.6
+        mult = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+        left, right = build(spark, n_left, n_keys, hot_frac, mult)
     left.cache().count()
     right.cache().count()
 
@@ -110,13 +142,33 @@ def main() -> int:
         sec, rows = run(spark, fn)
         report[label] = sec
         answers[label] = rows
-    assert answers["naive"] == answers["aqe_skew"] == answers["salted"], (
-        "strategies disagree on the join result"
+    # identical logical result across strategies; double sums compare
+    # with rel-tol (partitioning changes float addition order — ulp-level
+    # drift over tens of millions of terms, not a correctness difference)
+    import math
+
+    def same(a, b):
+        return len(a) == len(b) and all(
+            (
+                math.isclose(x, y, rel_tol=1e-9)
+                if isinstance(x, float) or isinstance(y, float)
+                else x == y
+            )
+            for ra, rb in zip(a, b)
+            for x, y in zip(ra, rb)
+        )
+
+    assert same(answers["naive"], answers["aqe_skew"]) and same(
+        answers["naive"], answers["salted"]
+    ), "strategies disagree on the join result"
+    report["params"] = (
+        {"mode": "events_zipf", "mult": mult}
+        if events_mode
+        else {
+            "n_left": n_left, "n_keys": n_keys,
+            "hot_frac": hot_frac, "mult": mult,
+        }
     )
-    report["params"] = {
-        "n_left": n_left, "n_keys": n_keys,
-        "hot_frac": hot_frac, "mult": mult,
-    }
     print(json.dumps({"skew_bench": report}))
     spark.stop()
     return 0
