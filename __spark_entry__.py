@@ -123,6 +123,7 @@ def _registry():
         battery,
         battery_corpus,
         battery_ext,
+        battery_extras,
         battery_lake,
         battery_mining,
         battery_prep,

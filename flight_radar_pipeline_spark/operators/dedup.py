@@ -665,3 +665,70 @@ def keep_best_decisions(
         .withColumn("kept", F.row_number().over(w) == 1)
         .select(id_col, cluster_col, score_col, "kept")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    containment_threshold: float = 0.8,
+    maxdf: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram containment near-dup via the same inverted-index
+    device as ``ngram_jaccard_pairs`` → ``(src_id, dst_id, containment)``
+    with ``containment = |src ∩ dst| / |src| ≥ threshold``, both
+    directions emitted independently.
+
+    Containment is what Jaccard misses: a short document wholly quoted
+    inside a long one scores J ≈ |short|/|long| (tiny) but containment
+    1.0 — the subset-copy / quotation / boilerplate-inclusion case a
+    training-corpus dedup actually wants to catch (the relation behind
+    suffix-array–based dedup pipelines, expressed over gram sets).
+
+    Scale: identical to the Jaccard op's capped path — ``maxdf`` drops
+    stop-grams BEFORE the item-keyed self-join (fan-out ≤ maxdf² per
+    gram), sizes and intersections both live in the capped gram universe
+    (the oracle restates the cap), one pair-keyed aggregate. The
+    Jaccard prefix filter does NOT apply here (a low-Jaccard pair can
+    still have containment 1.0), so the candidate set is the full
+    shared-gram relation — the cap is the one pruning that stays sound.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams_arr = F.array_distinct(word_ngrams(toks, n))
+    g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    if maxdf is not None:
+        gram_df = gram_df.filter(F.col("__df") <= maxdf)
+    g = g.join(gram_df.select("gram"), "gram")
+    sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = g.select(F.col(id_col).alias("id_a"), "gram").alias("l")
+    b = g.select(F.col(id_col).alias("id_b"), "gram").alias("r")
+    inter = (
+        a.join(
+            b,
+            (F.col("l.gram") == F.col("r.gram")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    sized = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+    )
+    directed = sized.select(
+        F.col("id_a").alias("src_id"),
+        F.col("id_b").alias("dst_id"),
+        (F.col("inter_sz") / F.col("sz_a")).alias("__c"),
+    ).unionByName(
+        sized.select(
+            F.col("id_b").alias("src_id"),
+            F.col("id_a").alias("dst_id"),
+            (F.col("inter_sz") / F.col("sz_b")).alias("__c"),
+        )
+    )
+    return (
+        directed.filter(F.col("__c") >= containment_threshold)
+        .select("src_id", "dst_id", F.round("__c", 4).alias("containment"))
+    )

@@ -251,3 +251,90 @@ def connected_components_star(
         .agg(F.min("label").alias("label"))
         .select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     )
+
+
+def n_hop_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first reach from a seed set: every node within
+    ``max_hops`` directed hops, labeled with its MINIMUM hop distance
+    (seeds are hop 0). The bounded-iteration frontier-expansion class on
+    DataFrames — blast-radius / influence-neighborhood queries.
+
+    Each hop is one frontier→edges equi-join on ``src`` plus one
+    left-anti join against the visited set, so per-round cost tracks the
+    frontier size, not the graph size. ``edges`` is repartitioned on
+    ``src`` ONCE and cached so every hop reuses the same partitioning;
+    the visited set is localCheckpoint-ed per round to cut the growing
+    lineage (same posture as ``connected_components``). Hop count is a
+    fixed small constant — this is NOT transitive closure; unbounded
+    reachability wants ``connected_components_star``.
+    """
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    e = e.repartition("__src").cache()
+    visited = seeds.select(
+        F.col(node).alias("__node"), F.lit(0).alias("hop")
+    ).distinct()
+    frontier = visited.select("__node")
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["__node"] == e["__src"])
+            .select(F.col("__dst").alias("__node"))
+            .distinct()
+            .join(visited.select("__node"), "__node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.union(nxt.select("__node", F.lit(hop).alias("hop")))
+        visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited.select(F.col("__node").alias(node), "hop")
+
+
+def adamic_adar_pairs(
+    membership: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    maxdf: int = 1000,
+    min_common: int = 2,
+) -> DataFrame:
+    """Link prediction over a bipartite membership table: for every pair
+    of users sharing ≥ ``min_common`` items, the common-neighbor count
+    and the Adamic–Adar score Σ 1/ln(deg(item)) over the shared items —
+    rare shared items weigh more than popular ones.
+
+    Scale posture is the inverted-index one (same as n-gram Jaccard):
+    candidate pairs are generated PER ITEM, so the self-join is quadratic
+    in per-item degree, and ``maxdf`` drops hot items BEFORE the join —
+    bounding fan-out at ``maxdf``² per item and making the score a
+    rare-item score by construction (the analysis restriction every
+    at-scale common-neighbors system applies; the caller's oracle must
+    restate the same cap). Degree-1 items can't form pairs and are
+    dropped with the same filter. One membership-distinct shuffle, one
+    item-keyed self-join, one pair-keyed aggregate.
+    """
+    m = membership.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    deg = (
+        m.groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__d"))
+        .filter((F.col("__d") >= 2) & (F.col("__d") <= maxdf))
+    )
+    md = m.join(deg, "__i")
+    a = md.select(F.col("__u").alias("id_a"), "__i", "__d")
+    b = md.select(F.col("__u").alias("id_b"), F.col("__i").alias("__i2"))
+    return (
+        a.join(b, (F.col("__i") == F.col("__i2")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("__d"))), 4).alias("adamic_adar"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -1,0 +1,169 @@
+"""Spatial proximity without an all-pairs join: grid-cell bucketing.
+
+Proximity self-joins ("every pair of points within R km") are the
+spatial analogue of near-dup pair generation, and the same scale rule
+applies: candidates must come from BUCKETS, never from a cross join.
+The standard grid trick — snap each point to a lat/lon cell at least as
+wide as the radius in every direction, then probe only the 3×3 cell
+neighborhood — turns the O(n²) predicate into one equi-join whose
+candidate volume is bounded by local point density.
+
+Correctness guarantee: if every cell edge is >= the radius (in km, at
+every latitude the data can reach), then any two points within the
+radius land in the same or an adjacent cell, so the 3×3 probe misses
+nothing. Longitude degrees shrink with cos(lat), so the guarantee must
+be checked at the MAX absolute latitude — ``geo_cell_pairs`` enforces
+that bound rather than silently under-covering near the poles.
+
+100 TB posture: one explode (×9 on the probe side only), one equi-join
+on (cell_x, cell_y), verification on candidates only. Urban-density
+skew concentrates pairs in hot cells — that is data skew on the join
+key, visible to ``operators.skew.skew_report`` and AQE, and cell size
+is the knob (halving it quarters per-cell occupancy at the cost of a
+wider probe pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.functions.geo import haversine_km
+
+_KM_PER_DEG = 111.195  # mean earth radius * pi / 180
+
+
+def geo_cell_pairs(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    cell_deg: float,
+    max_abs_lat: float = 90.0,
+) -> DataFrame:
+    """All pairs of points within ``radius_km``, via grid-cell bucketing.
+
+    Returns ``(id_a, id_b, distance_km)`` with ``id_a < id_b``, each
+    qualifying pair exactly once: the left side explodes to its 3×3
+    cell neighborhood, the right side keeps its home cell, and the
+    ``id_a < id_b`` ordering keeps only one orientation (a pair's home
+    cell appears in the other point's neighborhood at most once).
+
+    ``cell_deg`` must give the adjacency guarantee at the data's
+    latitude extreme: ``cell_deg * 111.195 * cos(max_abs_lat)`` (the
+    narrowest edge a cell can have, km) must be >= ``radius_km``.
+    Raises ``ValueError`` otherwise — a silently under-covered grid is
+    a recall bug, not a tuning choice.
+    """
+    if max_abs_lat >= 90.0:
+        raise ValueError(
+            "geo_cell_pairs: max_abs_lat must be < 90 (longitude cells have "
+            "zero width at the pole — no grid satisfies the radius there)"
+        )
+    narrowest_km = cell_deg * _KM_PER_DEG * math.cos(math.radians(max_abs_lat))
+    if narrowest_km < radius_km:
+        raise ValueError(
+            f"geo_cell_pairs: cell_deg={cell_deg} gives {narrowest_km:.1f} km "
+            f"cells at lat {max_abs_lat} — smaller than radius_km={radius_km}; "
+            "the 3x3 probe would miss pairs. Grow cell_deg or bound the data."
+        )
+
+    cx = F.floor(F.col(lat_col) / cell_deg).cast("long")
+    cy = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    base = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(lat_col).cast("double").alias("__lat"),
+        F.col(lon_col).cast("double").alias("__lon"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+    )
+    probe = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__lat").alias("__lat_a"),
+        F.col("__lon").alias("__lon_a"),
+        F.explode(
+            F.sequence(F.col("__cx") - 1, F.col("__cx") + 1)
+        ).alias("__cx"),
+        F.col("__cy").alias("__cy0"),
+    ).select(
+        "id_a",
+        "__lat_a",
+        "__lon_a",
+        "__cx",
+        F.explode(
+            F.sequence(F.col("__cy0") - 1, F.col("__cy0") + 1)
+        ).alias("__cy"),
+    )
+    home = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__lat").alias("__lat_b"),
+        F.col("__lon").alias("__lon_b"),
+        "__cx",
+        "__cy",
+    )
+    dist = haversine_km(
+        F.col("__lat_a"), F.col("__lon_a"), F.col("__lat_b"), F.col("__lon_b")
+    )
+    return (
+        probe.join(home, ["__cx", "__cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= F.lit(float(radius_km)))
+        .select("id_a", "id_b", "distance_km")
+    )
+
+
+def geo_nearest_within(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    radius_km: float,
+    cell_deg: float,
+    max_abs_lat: float = 90.0,
+    tie_decimals: int = 6,
+) -> DataFrame:
+    """Each point's nearest OTHER point within ``radius_km`` →
+    ``(id, nn_id, nn_km)``; points with no neighbor in range are absent
+    (inner semantics — left-join against the input to keep them).
+
+    Same grid device and adjacency guarantee as ``geo_cell_pairs``
+    (``cell_deg`` is validated identically), but candidates keep both
+    orientations (each point must find ITS nearest, so the pair set is
+    directed) and the argmin folds into one aggregate:
+    ``min(struct(dist, nn_id))`` — distance first, id tiebreak, fully
+    deterministic. The radius bound is what makes "nearest neighbor"
+    grid-local and thus scalable: an unbounded NN would need expanding
+    probes for isolated points — unbounded worst-case work per point.
+
+    Distances are quantized to ``tie_decimals`` (default 1 mm) BEFORE
+    the argmin so the id tiebreak — not last-bit float noise from a
+    particular evaluation order of the haversine — decides between
+    physically-equal candidates; any independent reimplementation (e.g.
+    a SQL oracle) then agrees on the winner.
+    """
+    pairs = geo_cell_pairs(
+        points, id_col, lat_col, lon_col, radius_km, cell_deg, max_abs_lat
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("id"),
+        F.col("id_b").alias("__cand"),
+        F.round("distance_km", tie_decimals).alias("__km"),
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"),
+            F.col("id_a").alias("__cand"),
+            F.round("distance_km", tie_decimals).alias("__km"),
+        )
+    )
+    best = directed.groupBy("id").agg(
+        F.min(F.struct(F.col("__km").alias("km"), F.col("__cand").alias("nn"))).alias("__best")
+    )
+    return best.select(
+        "id",
+        F.col("__best.nn").alias("nn_id"),
+        F.col("__best.km").alias("nn_km"),
+    )

@@ -124,6 +124,71 @@ def range_join_bucketed(
     )
 
 
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_col: str = "interval_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval–interval overlap self-join (``a.start < b.end AND
+    b.start < a.end``, half-open) distributed as an equi-join on coarse
+    time buckets — the interval analogue of ``range_join_bucketed``.
+
+    Both sides explode to every bucket they cover, join on the bucket,
+    and each overlapping pair is kept exactly ONCE: at the bucket
+    containing the overlap's start instant (``greatest(a.start,
+    b.start)``), which both intervals necessarily cover. That
+    count-once filter replaces a post-join ``distinct`` — no second
+    shuffle over the pair set.
+
+    Returns ``(id_a, id_b, overlap_start, overlap_end)`` with
+    ``id_a < id_b``. Candidate volume is bounded by per-bucket
+    concurrency (peak overlapping intervals), not by the table size —
+    the quantity ``peak_concurrent_sessions``-style sweeps measure.
+    """
+    b = int(bucket_seconds)
+    iv = intervals.select(
+        F.col(id_col).alias("__id"),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    ).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_timestamp(__s) div {b}"),
+                F.expr(f"unix_timestamp(__e) div {b}"),
+            )
+        ),
+    )
+    a = iv.select(
+        F.col("__id").alias("id_a"),
+        F.col("__s").alias("__sa"),
+        F.col("__e").alias("__ea"),
+        "__bucket",
+    )
+    c = iv.select(
+        F.col("__id").alias("id_b"),
+        F.col("__s").alias("__sb"),
+        F.col("__e").alias("__eb"),
+        "__bucket",
+    )
+    ov_start = F.greatest("__sa", "__sb")
+    ov_end = F.least("__ea", "__eb")
+    return (
+        a.join(c, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("__sa") < F.col("__eb")) & (F.col("__sb") < F.col("__ea")))
+        .filter(F.expr(f"unix_timestamp(greatest(__sa, __sb)) div {b}") == F.col("__bucket"))
+        .select(
+            "id_a",
+            "id_b",
+            ov_start.alias("overlap_start"),
+            ov_end.alias("overlap_end"),
+        )
+    )
+
+
 def funnel_stages(
     events: DataFrame,
     steps: Sequence[str],

@@ -2,6 +2,7 @@
 
 from flight_radar_pipeline_spark.pipeline.silver import (
     build_silver,
+    cdc_apply,
     dedup_by_key,
     merge_rollup,
     merge_snapshot,
@@ -16,6 +17,7 @@ __all__ = [
     "run_corpus_prep",
     "build_silver",
     "build_gold",
+    "cdc_apply",
     "dedup_by_key",
     "merge_snapshot",
     "merge_rollup",

@@ -147,3 +147,35 @@ def merge_rollup(
     return merged.groupBy(*key_list).agg(
         *[F.sum(c).alias(c) for c in sum_cols]
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize the final table state from a CDC change log
+    (insert/update/delete rows): per key, the row with the highest
+    ``seq_col`` wins, and keys whose winning operation is ``delete_op``
+    are dropped entirely (tombstone semantics — the piece
+    ``merge_snapshot`` SCD1 lacks).
+
+    Contract: ``(keys, seq_col)`` is unique — a log that assigns the same
+    sequence to two changes of one key has no defined winner, so ties are
+    broken deterministically on ``op_col`` descending only to keep reruns
+    stable, not to bless such logs. Sequence may be a commit LSN, a
+    source-db transaction id, or an ingest timestamp — anything totally
+    ordered per key.
+
+    Scale: exactly the ``dedup_by_key`` window shape — one shuffle on the
+    key, rank-1 per key, then the tombstone filter. Replaying a log
+    segment is idempotent (same winners), and compaction = cdc_apply over
+    (previous state tagged with seq −∞) ∪ (new log). With a transactional
+    format the same logical op is MERGE INTO ... WHEN MATCHED [DELETE].
+    """
+    latest = dedup_by_key(
+        changes, list(keys), order_by=[F.desc(seq_col), F.desc(op_col)]
+    )
+    return latest.filter(F.col(op_col) != delete_op).drop(seq_col, op_col)

@@ -1,0 +1,872 @@
+"""Round-7 battery additions: spatial grid proximity + nearest
+neighbor, bounded graph traversal, Adamic–Adar link prediction,
+interval–interval overlap, asymmetric n-gram containment, CDC apply
+with tombstones, SCD2 point-in-time enrichment, time-decayed scoring,
+Holt double-exponential smoothing, weighted medians, unpivot/melt, and
+character-class entropy.
+
+Each entry pairs the Spark plan with a DuckDB oracle that restates the
+semantics independently — for the bucketed operators (geo cells,
+interval banding) the oracle is deliberately the NAIVE quadratic join,
+so the hash match proves the bucketing optimization loses nothing.
+
+Registered into the shared REGISTRY on import (see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.operators.graph import n_hop_reach
+from flight_radar_pipeline_spark.operators.spatial import geo_cell_pairs
+from flight_radar_pipeline_spark.operators.temporal import interval_overlap_pairs
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# grid-cell proximity self-join (bucketed vs naive-oracle)
+# --------------------------------------------------------------------------
+
+# synthetic coordinates md5-derived from keys (the battery's standard
+# partition-invariant randomness device — a multiplicative lattice like
+# customer_haversine's would correlate lat with lon and starve the join
+# of close pairs): lat in [-45, 45), lon in [-30, 30) — bounded latitude
+# so the 2-degree grid keeps the adjacency guarantee
+# (2 * 111.195 * cos(45) = 157 km narrowest cell edge >= 120 km radius)
+_GEO_LAT = (
+    "(('0x' || substr(md5('lat-' || c_custkey), 1, 12))::bigint % 900)"
+    " / 10.0 - 45.0"
+)
+_GEO_LON = (
+    "(('0x' || substr(md5('lon-' || c_custkey), 1, 12))::bigint % 600)"
+    " / 10.0 - 30.0"
+)
+_GEO_RADIUS_KM = 120.0
+
+
+def _geo_coord(col: str, salt: str, mod: int, half: float):
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "-"), F.col(col).cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % mod) / F.lit(10.0) - F.lit(half)
+
+
+def _hav_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return f"""2 * 6371 * asin(sqrt(
+        pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)
+        + cos(radians({lat1})) * cos(radians({lat2}))
+        * pow(sin((radians({lon2}) - radians({lon1})) / 2), 2)))"""
+
+
+_GEO_ORACLE = f"""
+    with p as (
+        select c_custkey as id, {_GEO_LAT} as lat, {_GEO_LON} as lon
+        from customer
+    )
+    select a.id as id_a, b.id as id_b,
+           round({_hav_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 2) as distance_km
+    from p a join p b on a.id < b.id
+    where {_hav_sql("a.lat", "a.lon", "b.lat", "b.lon")} <= {_GEO_RADIUS_KM}
+    order by id_a, id_b
+"""
+
+
+@register("customer_geo_cell_pairs", _GEO_ORACLE)
+def customer_geo_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity self-join — every customer pair within 120 km of
+    synthetic key-derived coordinates — via ``operators.spatial.
+    geo_cell_pairs`` 2° grid bucketing: one ×9 probe-side explode, one
+    equi-join on the cell, haversine verify on candidates only. The
+    oracle is the NAIVE all-pairs join, so the hash match is a recall
+    proof for the grid (no pair within the radius escapes the 3×3
+    neighborhood at |lat| <= 45). 100 TB: candidate volume tracks local
+    density, never n²."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord("c_custkey", "lat", 900, 45.0).alias("lat"),
+        _geo_coord("c_custkey", "lon", 600, 30.0).alias("lon"),
+    )
+    pairs = geo_cell_pairs(
+        pts, "id", "lat", "lon",
+        radius_km=_GEO_RADIUS_KM, cell_deg=2.0, max_abs_lat=45.0,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("distance_km", 2).alias("distance_km")
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# bounded BFS reach over the customer–supplier transaction graph
+# --------------------------------------------------------------------------
+
+_REACH_HOPS = 3
+_REACH_SEEDS = 25
+
+_REACH_ORACLE = f"""
+    with pair as (
+        select distinct 'c' || o_custkey as a, 's' || l_suppkey as b
+        from lineitem join orders on l_orderkey = o_orderkey
+    ), edges as (
+        select a as src, b as dst from pair
+        union all
+        select b as src, a as dst from pair
+    ), h0 as (
+        select distinct 'c' || c_custkey as node from customer
+        where c_custkey <= {_REACH_SEEDS}
+    ), h1 as (
+        select distinct e.dst as node
+        from edges e join h0 on e.src = h0.node
+        where not exists (select 1 from h0 v where v.node = e.dst)
+    ), h2 as (
+        select distinct e.dst as node
+        from edges e join h1 on e.src = h1.node
+        where not exists (select 1 from h0 v where v.node = e.dst)
+          and not exists (select 1 from h1 v where v.node = e.dst)
+    ), h3 as (
+        select distinct e.dst as node
+        from edges e join h2 on e.src = h2.node
+        where not exists (select 1 from h0 v where v.node = e.dst)
+          and not exists (select 1 from h1 v where v.node = e.dst)
+          and not exists (select 1 from h2 v where v.node = e.dst)
+    )
+    select node, 0 as hop from h0
+    union all select node, 1 from h1
+    union all select node, 2 from h2
+    union all select node, 3 from h3
+    order by hop, node
+"""
+
+
+@register("entity_reach_3hop", _REACH_ORACLE)
+def entity_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blast radius of the top-{seeds} customers on the symmetrized
+    customer–supplier graph: every entity within 3 hops, labeled with
+    its minimum hop (``operators.graph.n_hop_reach`` — per-round cost
+    tracks the frontier, edges partitioned on src once). Completes the
+    graph family (components, PageRank, triangles) with bounded
+    traversal; the oracle unrolls the same BFS as anti-joined CTE
+    layers."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _REACH_SEEDS)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return n_hop_reach(edges, seeds, _REACH_HOPS).orderBy("hop", "node")
+
+
+# --------------------------------------------------------------------------
+# exponentially time-decayed popularity scores
+# --------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_H = 24.0
+
+_DECAY_ORACLE = f"""
+    with mx as (
+        select floor(epoch(max(ts)))::bigint as t from events
+    )
+    select event_type,
+           count(*) as n,
+           round(sum(exp(-ln(2) * ((mx.t - floor(epoch(ts))::bigint) / 3600.0)
+                          / {_DECAY_HALF_LIFE_H})), 4) as decayed_count,
+           round(sum(value * exp(-ln(2) * ((mx.t - floor(epoch(ts))::bigint) / 3600.0)
+                          / {_DECAY_HALF_LIFE_H})), 4) as decayed_value
+    from events cross join mx
+    group by event_type
+    order by event_type
+"""
+
+
+@register("event_decayed_type_scores", _DECAY_ORACLE)
+def event_decayed_type_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted popularity: per event type, counts and value
+    sums decayed exponentially with a 24 h half-life from the corpus
+    max timestamp — the trending-now score that a ranked feed or cache
+    admission policy reads. The anchor is a 1-row aggregate
+    broadcast-crossed back in (no driver collect); the decay itself is
+    a pure column expression folded into one hash aggregate, so the op
+    costs exactly one scan + one shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.unix_timestamp(F.max("ts")).alias("__t"))
+    age_h = (F.col("__t") - F.unix_timestamp("ts")) / F.lit(3600.0)
+    w = F.exp(-F.log(F.lit(2.0)) * age_h / F.lit(_DECAY_HALF_LIFE_H))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(w), 4).alias("decayed_count"),
+            F.round(F.sum(F.col("value") * w), 4).alias("decayed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# per-document character-class entropy (quality signal)
+# --------------------------------------------------------------------------
+
+_ENTROPY_CLASSES = [
+    ("n_lower", "[^a-z]"),
+    ("n_upper", "[^A-Z]"),
+    ("n_digit", "[^0-9]"),
+    ("n_space", "[^ ]"),
+]
+
+_ENT_TERMS_SQL = " + ".join(
+    f"case when {c} > 0 then -({c} / n::double) * log2({c} / n::double) else 0 end"
+    for c in [name for name, _ in _ENTROPY_CLASSES] + ["n_other"]
+)
+
+_ENTROPY_ORACLE = f"""
+    with c as (
+        select doc_id, length(text) as n,
+               {", ".join(
+                   f"length(regexp_replace(text, '{pat}', '', 'g')) as {name}"
+                   for name, pat in _ENTROPY_CLASSES
+               )}
+        from documents
+    ), t as (
+        select doc_id, n, n_lower, n_upper, n_digit, n_space,
+               n - n_lower - n_upper - n_digit - n_space as n_other
+        from c where n > 0
+    )
+    select doc_id, n, n_lower, n_upper, n_digit, n_space, n_other,
+           round({_ENT_TERMS_SQL}, 4) as class_entropy
+    from t
+    order by doc_id
+"""
+
+
+@register("doc_char_class_entropy", _ENTROPY_ORACLE)
+def doc_char_class_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy over five character classes (lower/upper/digit/
+    space/other) per document — the cheap gibberish-vs-prose signal a
+    corpus quality gate thresholds on (all-one-class ⇒ 0 bits;
+    machine-generated id dumps score far from prose's profile). Counts
+    come from sequential regexp_replace+length expressions — one scan,
+    shuffle-free, whole-stage-codegen territory; entropy is a closed
+    column expression over the five counts, zero-count classes
+    contributing exactly 0 by the same guarded term on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        *[
+            F.length(F.regexp_replace("text", pat, "")).alias(name)
+            for name, pat in _ENTROPY_CLASSES
+        ],
+    ).filter(F.col("n") > 0)
+    counts = counts.withColumn(
+        "n_other",
+        F.col("n") - F.col("n_lower") - F.col("n_upper")
+        - F.col("n_digit") - F.col("n_space"),
+    )
+
+    def term(c: str):
+        p = F.col(c) / F.col("n").cast("double")
+        return F.when(F.col(c) > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+
+    ent = sum(
+        (term(name) for name, _ in _ENTROPY_CLASSES[1:]),
+        term(_ENTROPY_CLASSES[0][0]),
+    ) + term("n_other")
+    return counts.select(
+        "doc_id", "n", "n_lower", "n_upper", "n_digit", "n_space", "n_other",
+        F.round(ent, 4).alias("class_entropy"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# weighted median (cumulative-weight crossing, no sort-collect)
+# --------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+    with g as (
+        select l_returnflag as returnflag, l_extendedprice as price,
+               sum(l_quantity) as w
+        from lineitem
+        group by 1, 2
+    ), c as (
+        select returnflag, price, w,
+               sum(w) over (partition by returnflag order by price
+                            rows between unbounded preceding and current row) as cw,
+               sum(w) over (partition by returnflag) as tot
+        from g
+    )
+    select returnflag,
+           round(min(price), 2) as weighted_median_price,
+           round(min(tot), 2) as total_weight
+    from c
+    where cw >= tot / 2
+    group by returnflag
+    order by returnflag
+"""
+
+
+@register("lineitem_weighted_median", _WMEDIAN_ORACLE)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the group total. Pre-aggregating to DISTINCT prices
+    first makes the running sum deterministic (no within-tie order
+    dependence) and shrinks the window input from row count to distinct
+    price count; one groupBy shuffle + one partitioned window, never a
+    sort-collect of raw rows. The exact-median complement to the
+    approx-percentile twins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    wc = (
+        Window.partitionBy("returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("returnflag")
+    c = g.select(
+        "returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cw") >= F.col("tot") / 2)
+        .groupBy("returnflag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.round(F.min("tot"), 2).alias("total_weight"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# interval–interval overlap self-join (banded vs naive-oracle)
+# --------------------------------------------------------------------------
+
+_SESS_GAP_MIN = 30
+_SESS_PAD_MIN = 5
+_SESS_USER_MOD = "user_id % 5 < 2"  # deterministic user sample on both engines
+
+_OVERLAP_ORACLE = f"""
+    with e as (
+        select user_id, ts,
+               case when ts - lag(ts) over (partition by user_id
+                                            order by ts, event_id)
+                         > interval {_SESS_GAP_MIN} minute
+                         or lag(ts) over (partition by user_id
+                                          order by ts, event_id) is null
+                    then 1 else 0 end as brk
+        from events where {_SESS_USER_MOD}
+    ), s as (
+        select user_id, ts,
+               sum(brk) over (partition by user_id order by ts
+                              rows between unbounded preceding and current row) as seq
+        from e
+    ), iv as (
+        select (user_id * 100000 + seq)::bigint as interval_id,
+               min(ts) as start_ts,
+               max(ts) + interval {_SESS_PAD_MIN} minute as end_ts
+        from s group by user_id, seq
+    )
+    select a.interval_id as id_a, b.interval_id as id_b,
+           strftime(greatest(a.start_ts, b.start_ts), '%Y-%m-%d %H:%M:%S') as overlap_start,
+           strftime(least(a.end_ts, b.end_ts), '%Y-%m-%d %H:%M:%S') as overlap_end
+    from iv a join iv b
+      on a.interval_id < b.interval_id
+     and a.start_ts < b.end_ts and b.start_ts < a.end_ts
+    order by id_a, id_b
+"""
+
+
+@register("session_overlap_pairs", _OVERLAP_ORACLE)
+def session_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session detection: every pair of (gap-sessionized,
+    5-min-padded) sessions whose time ranges overlap, computed by
+    ``operators.temporal.interval_overlap_pairs`` hour-bucket banding —
+    both sides explode to covered buckets, equi-join on the bucket, and
+    the pair counts ONCE at the bucket holding the overlap start (no
+    post-join distinct). The oracle is the NAIVE quadratic overlap
+    join, so the hash match proves the banding exact. Candidate volume
+    is bounded by peak concurrency per bucket, not table size — the
+    interval-join posture that survives 100 TB of telemetry."""
+    ev = load_table(spark, sf_dir, "events").filter(F.expr(_SESS_USER_MOD))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+            > _SESS_GAP_MIN * 60,
+            1,
+        )
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    seq_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.select("user_id", "ts", "event_id", brk.alias("brk")).select(
+        "user_id", "ts", F.sum("brk").over(seq_w).alias("seq")
+    )
+    iv = s.groupBy("user_id", "seq").agg(
+        (F.col("user_id") * 100000 + F.col("seq")).alias("interval_id"),
+        F.min("ts").alias("start_ts"),
+        (F.max("ts") + F.expr(f"interval {_SESS_PAD_MIN} minutes")).alias("end_ts"),
+    )
+    pairs = interval_overlap_pairs(
+        iv.select("interval_id", "start_ts", "end_ts"),
+        id_col="interval_id",
+        bucket_seconds=3600,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.date_format("overlap_start", "yyyy-MM-dd HH:mm:ss").alias("overlap_start"),
+        F.date_format("overlap_end", "yyyy-MM-dd HH:mm:ss").alias("overlap_end"),
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt (round-trips the pivot)
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_UNPIVOT_ORACLE = f"""
+    select user_id, event_type, count(*) as n_events
+    from events
+    where event_type in ({", ".join(f"'{t}'" for t in _EVENT_TYPES)})
+    group by user_id, event_type
+    order by user_id, event_type
+"""
+
+
+@register("user_event_type_unpivot", _UNPIVOT_ORACLE)
+def user_event_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native ``DataFrame.unpivot`` (Expand
+    node, one pass, no per-column union): pivot user×type counts to a
+    wide frame, then unpivot back to (user_id, event_type, n_events)
+    and drop the pivot-introduced empty cells. The oracle is the direct
+    long-form aggregate — the hash match is the algebraic round-trip
+    proof melt(pivot(x)) = x. Expand multiplies rows by the value-column
+    count BEFORE the exchange, so wide tables should prune value columns
+    first at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=_EVENT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )
+    return (
+        long.filter(F.col("n_events").isNotNull() & (F.col("n_events") > 0))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend), bounded history
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_CAP = 40  # first N observations per user: bounds per-key state
+
+_HOLT_ORACLE = f"""
+    with recursive o as (
+        select user_id, value,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rn
+        from events
+    ), x as (
+        select * from o where rn <= {_HOLT_CAP}
+    ), init as (
+        select x1.user_id, x2.value as l, x2.value - x1.value as b
+        from x x1 join x x2
+          on x1.user_id = x2.user_id and x1.rn = 1 and x2.rn = 2
+    ), h as (
+        select user_id, 2 as t, l, b from init
+        union all
+        select h.user_id, h.t + 1,
+               {_HOLT_ALPHA} * x.value + (1 - {_HOLT_ALPHA}) * (h.l + h.b),
+               {_HOLT_BETA} * (({_HOLT_ALPHA} * x.value
+                                + (1 - {_HOLT_ALPHA}) * (h.l + h.b)) - h.l)
+                   + (1 - {_HOLT_BETA}) * h.b
+        from h join x on x.user_id = h.user_id and x.rn = h.t + 1
+    )
+    select user_id,
+           max(t) as n_points,
+           round(max_by(l, t), 4) as level,
+           round(max_by(b, t), 4) as trend,
+           round(max_by(l, t) + max_by(b, t), 4) as forecast_1
+    from h
+    group by user_id
+    order by user_id
+"""
+
+
+@register("user_value_holt", _HOLT_ORACLE)
+def user_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double-exponential smoothing per user
+    (α=0.5, β=0.3, classic init l₂=x₂, b₂=x₂−x₁), folded JVM-side with
+    ``F.aggregate`` carrying a (level, trend) struct over the
+    array-sorted value sequence — the coupled recursion no closed-form
+    window can express, still zero Python UDFs. History is capped at
+    the first {cap} observations per key, bounding per-key state at any
+    scale (the EWMA entry's truncation argument, applied to a 2-state
+    recursion). The oracle runs the SAME recursion as a recursive CTE —
+    engine-independent sequential semantics, bit-aligned arithmetic
+    order. Emits final level/trend and the one-step forecast."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.slice(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        1,
+        _HOLT_CAP,
+    )
+    g = ev.groupBy("user_id").agg(seq.alias("__seq"))
+    xs = F.transform(F.col("__seq"), lambda s: s["value"])
+    n = F.size(xs)
+    a, b = F.lit(_HOLT_ALPHA), F.lit(_HOLT_BETA)
+    init = F.struct(
+        F.element_at(xs, 2).alias("l"),
+        (F.element_at(xs, 2) - F.element_at(xs, 1)).alias("b"),
+    )
+
+    def step(acc, x):
+        lvl = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (b * (lvl - acc["l"]) + (F.lit(1.0) - b) * acc["b"]).alias("b"),
+        )
+
+    fin = F.aggregate(F.slice(xs, 3, F.greatest(n - 2, F.lit(0))), init, step)
+    return (
+        g.filter(n >= 2)
+        .select(
+            "user_id",
+            n.alias("n_points"),
+            F.round(fin["l"], 4).alias("level"),
+            F.round(fin["b"], 4).alias("trend"),
+            F.round(fin["l"] + fin["b"], 4).alias("forecast_1"),
+        )
+        .orderBy("user_id")
+    )
+
+
+user_value_holt.__doc__ = user_value_holt.__doc__.format(cap=_HOLT_CAP)
+
+
+# --------------------------------------------------------------------------
+# Adamic–Adar link prediction (customer pairs via shared parts)
+# --------------------------------------------------------------------------
+
+_AA_MAXDF = 20
+_AA_MIN_COMMON = 2
+
+_AA_ORACLE = f"""
+    with ci as (
+        select distinct o_custkey as u, l_partkey as i
+        from lineitem join orders on l_orderkey = o_orderkey
+    ), deg as (
+        select i, count(*) as d from ci
+        group by i having count(*) between 2 and {_AA_MAXDF}
+    ), pairs as (
+        select a.u as id_a, b.u as id_b,
+               count(*) as n_common,
+               round(sum(1.0 / ln(deg.d)), 4) as adamic_adar
+        from ci a
+        join ci b on a.i = b.i and a.u < b.u
+        join deg on deg.i = a.i
+        group by 1, 2
+    )
+    select id_a, id_b, n_common, adamic_adar
+    from pairs where n_common >= {_AA_MIN_COMMON}
+    order by id_a, id_b
+"""
+
+
+@register("customer_adamic_adar", _AA_ORACLE)
+def customer_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the customer–part bipartite graph
+    (``operators.graph.adamic_adar_pairs``): customer pairs sharing ≥2
+    sufficiently-rare parts, scored Σ 1/ln(deg) so rare co-purchases
+    dominate. The ``maxdf`` cap drops hot parts BEFORE the item-keyed
+    self-join — the inverted-index posture (fan-out ≤ maxdf² per item)
+    that keeps common-neighbor mining off the n² cliff at 100 TB; the
+    oracle restates the identical cap."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    from flight_radar_pipeline_spark.operators.graph import adamic_adar_pairs
+
+    membership = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+    )
+    return (
+        adamic_adar_pairs(
+            membership, "u", "i", maxdf=_AA_MAXDF, min_common=_AA_MIN_COMMON
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# asymmetric n-gram containment (subset-copy detection)
+# --------------------------------------------------------------------------
+
+_CONT_T = 0.6
+_CONT_MAXDF = 20
+_SNIP_TOKENS = 25
+_SNIP_MOD = 7
+_SNIP_OFFSET = 100000
+
+_CONT_ORACLE = rf"""
+    with corpus as (
+        select doc_id, text from documents
+        union all
+        select doc_id + {_SNIP_OFFSET},
+               array_to_string(regexp_split_to_array(trim(text), '\s+')[1:{_SNIP_TOKENS}], ' ')
+        from documents where doc_id % {_SNIP_MOD} = 0
+    ), t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as toks from corpus
+    ), g0 as (
+        select doc_id, unnest(list_distinct(
+            case when len(toks) >= 3
+                 then [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       for i in range(1, len(toks) - 1)]
+                 else [] end)) as gram
+        from t
+    ), dfreq as (
+        select gram from g0 group by gram having count(*) <= {_CONT_MAXDF}
+    ), g as (
+        select g0.doc_id, g0.gram from g0 join dfreq using (gram)
+    ), sizes as (
+        select doc_id, count(*) as sz from g group by doc_id
+    ), inter as (
+        select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter_sz
+        from g a join g b on a.gram = b.gram and a.doc_id < b.doc_id
+        group by 1, 2
+    ), directed as (
+        select id_a as src_id, id_b as dst_id, inter_sz / sa.sz as c
+        from inter join sizes sa on sa.doc_id = id_a
+        union all
+        select id_b, id_a, inter_sz / sb.sz
+        from inter join sizes sb on sb.doc_id = id_b
+    )
+    select src_id, dst_id, round(c, 4) as containment
+    from directed where c >= {_CONT_T}
+    order by src_id, dst_id
+"""
+
+
+@register("doc_containment_pairs", _CONT_ORACLE)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (``operators.dedup.
+    ngram_containment_pairs``) over documents ∪ synthesized 25-token
+    excerpts: an excerpt scores containment ≈1.0 into its source while
+    Jaccard stays tiny — the subset-copy / quotation relation symmetric
+    dedup misses. Same maxdf-capped inverted-index scale posture as the
+    Jaccard op (the Jaccard PREFIX filter is unsound for containment and
+    is deliberately absent); oracle restates the whole construction."""
+    from flight_radar_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % _SNIP_MOD == 0).select(
+        (F.col("doc_id") + _SNIP_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, _SNIP_TOKENS), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(snippets)
+    return ngram_containment_pairs(
+        corpus, "text", "doc_id", n=3,
+        containment_threshold=_CONT_T, maxdf=_CONT_MAXDF,
+    ).orderBy("src_id", "dst_id")
+
+
+# --------------------------------------------------------------------------
+# CDC apply with tombstones
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    with log as (
+        select o_orderkey, o_totalprice as price, 1 as seq, 'I' as op from orders
+        union all
+        select o_orderkey, o_totalprice + 50, 2, 'U' from orders
+        where o_orderkey % 7 = 0
+        union all
+        select o_orderkey, cast(null as double), 3, 'D' from orders
+        where o_orderkey % 13 = 0
+    ), r as (
+        select *, row_number() over (partition by o_orderkey
+                                     order by seq desc, op desc) as rn
+        from log
+    )
+    select o_orderkey, round(price, 2) as price
+    from r where rn = 1 and op <> 'D'
+    order by o_orderkey
+"""
+
+
+@register("orders_cdc_apply", _CDC_ORACLE)
+def orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture materialization (``pipeline.cdc_apply``): an
+    insert/update/delete log (synthesized: every order inserted at seq 1,
+    every 7th updated at seq 2, every 13th tombstoned at seq 3) collapses
+    to final state — highest sequence wins per key, keys whose winner is
+    a delete vanish. The tombstone semantics SCD1 merge lacks; one
+    key-shuffle window, replay-idempotent. Round-trips the lakehouse
+    MERGE ... WHEN MATCHED DELETE shape over plain files."""
+    from flight_radar_pipeline_spark.pipeline import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    ins = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 50).alias("price"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("price"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    out = cdc_apply(log, ["o_orderkey"], seq_col="seq", op_col="op")
+    return out.select(
+        "o_orderkey", F.round("price", 2).alias("price")
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time enrichment (as-of against a version history)
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+    with hist as (
+        select c_custkey as custkey, c_mktsegment as segment,
+               timestamp '1990-01-01' as valid_from
+        from customer
+        union all
+        select c_custkey, 'UPGRADED', timestamp '1995-07-01'
+        from customer where c_custkey % 10 = 0
+    )
+    select o_orderkey, o_custkey as custkey,
+           max_by(h.segment, h.valid_from) as segment
+    from orders
+    join hist h on h.custkey = o_custkey
+               and h.valid_from <= o_orderdate::timestamp
+    group by 1, 2
+    order by o_orderkey
+"""
+
+
+@register("orders_pit_segment", _PIT_ORACLE)
+def orders_pit_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each order enriched with the
+    customer segment THAT WAS VALID on its order date, against a
+    synthesized 2-version segment history (every 10th customer upgraded
+    mid-1995) — the read side of SCD2, expressed as the backward as-of
+    join (``operators.temporal.asof_join``: one key shuffle + one
+    in-partition carry-forward window, no per-version range join, no
+    interval explosion). The oracle restates it as argmax-over-validity;
+    time-travel correctness at any scale the as-of join reaches."""
+    from flight_radar_pipeline_spark.operators.temporal import asof_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.to_timestamp(F.lit("1990-01-01")).alias("valid_from"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").alias("custkey"),
+            F.lit("UPGRADED").alias("segment"),
+            F.to_timestamp(F.lit("1995-07-01")).alias("valid_from"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    )
+    out = asof_join(orders, hist, on="custkey", left_ts="odate", right_ts="valid_from")
+    return out.select("o_orderkey", "custkey", "segment").orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# grid nearest-neighbor within radius
+# --------------------------------------------------------------------------
+
+_NN_ORACLE = f"""
+    with p as (
+        select c_custkey as id, {_GEO_LAT} as lat, {_GEO_LON} as lon
+        from customer
+    ), cand as (
+        select a.id as id, b.id as cand,
+               round({_hav_sql("a.lat", "a.lon", "b.lat", "b.lon")}, 6) as km
+        from p a join p b on a.id <> b.id
+        where {_hav_sql("a.lat", "a.lon", "b.lat", "b.lon")} <= {_GEO_RADIUS_KM}
+    )
+    select id, cand as nn_id, round(km, 2) as nn_km
+    from cand
+    qualify row_number() over (partition by id order by km, cand) = 1
+    order by id
+"""
+
+
+@register("customer_nearest_neighbor", _NN_ORACLE)
+def customer_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest neighbor per customer (``operators.
+    spatial.geo_nearest_within``): grid-cell candidates in both
+    orientations folded to one deterministic argmin —
+    ``min(struct(km, id))``. The radius bound is the scalability
+    contract (unbounded NN needs expanding probes); the oracle is the
+    naive directed join + rank. Same md5 coordinates and 2° grid as
+    ``customer_geo_cell_pairs``."""
+    from flight_radar_pipeline_spark.operators.spatial import geo_nearest_within
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord("c_custkey", "lat", 900, 45.0).alias("lat"),
+        _geo_coord("c_custkey", "lon", 600, 30.0).alias("lon"),
+    )
+    nn = geo_nearest_within(
+        pts, "id", "lat", "lon",
+        radius_km=_GEO_RADIUS_KM, cell_deg=2.0, max_abs_lat=45.0,
+    )
+    return nn.select(
+        "id", "nn_id", F.round("nn_km", 2).alias("nn_km")
+    ).orderBy("id")

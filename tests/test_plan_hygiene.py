@@ -52,6 +52,7 @@ ALLOWED_BNLJ = {
     "order_benford_digits",       # 1-row digit-total broadcast
     "order_gap_survival",         # 1-row censor-horizon broadcast
     "customer_rfm_segments",      # 1-row max-date + 12-number fence broadcasts
+    "event_decayed_type_scores",  # 1-row corpus-max-ts broadcast (decay anchor)
 }
 
 

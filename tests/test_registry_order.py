@@ -49,7 +49,22 @@ def test_unique_operator_coverage_inside_window():
 
 # entries registered AFTER the round-6 window froze (they become rotation
 # candidates for round 7; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    # battery_extras (round-6 additions, registered post-freeze)
+    "customer_geo_cell_pairs",
+    "entity_reach_3hop",
+    "event_decayed_type_scores",
+    "doc_char_class_entropy",
+    "lineitem_weighted_median",
+    "session_overlap_pairs",
+    "user_event_type_unpivot",
+    "user_value_holt",
+    "customer_adamic_adar",
+    "doc_containment_pairs",
+    "orders_cdc_apply",
+    "orders_pit_segment",
+    "customer_nearest_neighbor",
+}
 
 
 def test_round6_window_covers_all_never_checked_oracled_entries():

@@ -35,6 +35,7 @@ FAMILIES = [
     "doc_dedup_decisions",
     # embeddings / ANN
     "embedding_near_dup_pairs",
+    "embedding_cosine_histogram",
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
     "embedding_kmeans_clusters",
