@@ -870,3 +870,399 @@ def customer_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select(
         "id", "nn_id", F.round("nn_km", 2).alias("nn_km")
     ).orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage scoring
+# --------------------------------------------------------------------------
+
+# (m, u) priors per comparison field: P(agree | match), P(agree | non-match).
+# u(p_type) = 1/6 (six types, uniform); the weight literals below are the
+# exact doubles math.log(m/u)/log(2) etc. produces, mirrored verbatim in
+# the oracle so both engines sum identical IEEE values.
+_FS_MU = {"p_type": (0.9, 1 / 6), "p_name": (0.7, 0.08), "p_retailprice": (0.8, 0.1)}
+
+_FS_ORACLE = """
+    with b as (
+        select p_partkey, p_brand, p_size, p_type, p_name, p_retailprice
+        from part
+    )
+    select a.p_partkey as id_a, c.p_partkey as id_b,
+           coalesce(a.p_type = c.p_type, false) as p_type_agree,
+           coalesce(split_part(a.p_name, ' ', 1) = split_part(c.p_name, ' ', 1),
+                    false) as p_name_agree,
+           coalesce(abs(a.p_retailprice - c.p_retailprice) <= 10.0,
+                    false) as p_retailprice_agree,
+           round(
+             (case when coalesce(a.p_type = c.p_type, false)
+                   then 2.4329594072761065 else -3.058893689053569 end)
+           + (case when coalesce(split_part(a.p_name, ' ', 1)
+                                 = split_part(c.p_name, ' ', 1), false)
+                   then 3.129283016944967 else -1.6166713604484941 end)
+           + (case when coalesce(abs(a.p_retailprice - c.p_retailprice) <= 10.0,
+                                 false)
+                   then 3.0 else -2.169925001442313 end), 4) as weight
+    from b a join b c
+      on a.p_brand = c.p_brand and a.p_size = c.p_size
+     and a.p_partkey < c.p_partkey
+    order by id_a, id_b
+"""
+
+
+@register("part_fs_match_weights", _FS_ORACLE)
+def part_fs_match_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter match weights (``operators.mining.
+    fellegi_sunter_weights``) over (brand, size)-blocked part pairs:
+    type equality, name-head-token equality, and a ±10 price band each
+    contribute log2(m/u) / log2((1−m)/(1−u)) — calibrated multi-field
+    evidence instead of ``part_name_fuzzy_pairs``' single edit distance.
+    Nulls count as disagreement. Quadratic work confined inside blocks
+    whose key cardinality grows with the data (brand × 50 sizes here;
+    ids/phonetic codes in production). Oracle mirrors the weight
+    literals bit-for-bit."""
+    from flight_radar_pipeline_spark.operators.mining import fellegi_sunter_weights
+
+    part = load_table(spark, sf_dir, "part")
+    out = fellegi_sunter_weights(
+        part,
+        "p_partkey",
+        ["p_brand", "p_size"],
+        _FS_MU,
+        agree_fns={
+            "p_name": lambda a, b: F.split_part(a, F.lit(" "), F.lit(1))
+            == F.split_part(b, F.lit(" "), F.lit(1)),
+            "p_retailprice": lambda a, b: F.abs(a - b) <= F.lit(10.0),
+        },
+    )
+    return out.select(
+        "id_a", "id_b", "p_type_agree", "p_name_agree", "p_retailprice_agree",
+        F.round("weight", 4).alias("weight"),
+    ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# per-language token-distribution drift (smoothed KL divergence)
+# --------------------------------------------------------------------------
+
+_KL_MIN_COUNT = 10
+
+_KL_ORACLE = rf"""
+    with tok as (
+        select lang, unnest(regexp_split_to_array(trim(text), '\s+')) as t
+        from documents
+    ), vocab as (
+        select t, count(*) as cg from tok
+        group by t having count(*) >= {_KL_MIN_COUNT}
+    ), gtot as (
+        select count(*) as v, sum(cg) as tg from vocab
+    ), lc as (
+        select tok.lang, tok.t, count(*) as c
+        from tok join vocab on vocab.t = tok.t
+        group by 1, 2
+    ), lt as (
+        select lang, sum(c) as tl from lc group by lang
+    ), grid as (
+        select lt.lang, lt.tl, vocab.t, vocab.cg, coalesce(lc.c, 0) as c
+        from lt cross join vocab
+        left join lc on lc.lang = lt.lang and lc.t = vocab.t
+    )
+    select lang,
+           cast(max(tl) as bigint) as n_tokens,
+           round(sum(
+             ((c + 1) / (tl + gtot.v))
+             * log2(((c + 1) / (tl + gtot.v)) / ((cg + 1) / (gtot.tg + gtot.v)))
+           ), 6) as kl_bits
+    from grid cross join gtot
+    group by lang
+    order by lang
+"""
+
+
+@register("doc_lang_kl_drift", _KL_ORACLE)
+def doc_lang_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift audit: per language, the add-one-smoothed KL
+    divergence (bits) between that slice's token distribution and the
+    whole corpus — the distribution-shift number a training-mixture
+    designer watches (0 = slice looks like the corpus). The vocabulary
+    is count-thresholded, so V is bounded and the lang × vocab smoothing
+    grid stays tiny no matter the corpus size (the grid is the standard
+    add-one device: absent tokens still carry probability 1/(T+V));
+    corpus-sized work is two token-keyed aggregates. Sum order is
+    engine-independent at 6 dp for bounded-V sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("cg"))
+        .filter(F.col("cg") >= _KL_MIN_COUNT)
+    )
+    glob = vocab.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("cg").alias("tg")
+    )
+    lc = (
+        tok.join(vocab.select("t"), "t")
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lt = lc.groupBy("lang").agg(F.sum("c").alias("tl"))
+    grid = (
+        lt.crossJoin(F.broadcast(vocab))
+        .join(lc, ["lang", "t"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(glob))
+    )
+    p = (F.col("c") + 1) / (F.col("tl") + F.col("v"))
+    q = (F.col("cg") + 1) / (F.col("tg") + F.col("v"))
+    return (
+        grid.groupBy("lang")
+        .agg(
+            F.max("tl").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(p * F.log2(p / q)), 6).alias("kl_bits"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity / l-diversity audit
+# --------------------------------------------------------------------------
+
+_KANON_K = 10
+
+_KANON_ORACLE = f"""
+    select c_mktsegment as segment, c_nationkey as nationkey,
+           cast(count(*) as bigint) as group_size,
+           cast(count(distinct c_acctbal) as bigint) as l_diversity,
+           count(*) < {_KANON_K} as k_violation
+    from customer
+    group by 1, 2
+    order by segment, nationkey
+"""
+
+
+@register("customer_k_anonymity", _KANON_ORACLE)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: treat (segment, nation) as the
+    quasi-identifier and report each equivalence class's size
+    (k-anonymity: any class under k={k} re-identifies members by the QI
+    alone) and its distinct sensitive-value count (l-diversity on the
+    account balance: a class where everyone shares one value leaks it
+    even at large k). One groupBy shuffle; completes the governance
+    family (`user_erasure_audit`, `doc_pii_redaction`) with the
+    release-gate metric an anonymized-export pipeline checks."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct("c_acctbal").cast("bigint").alias("l_diversity"),
+            (F.count(F.lit(1)) < _KANON_K).alias("k_violation"),
+        )
+        .orderBy("segment", "nationkey")
+    )
+
+
+customer_k_anonymity.__doc__ = customer_k_anonymity.__doc__.format(k=_KANON_K)
+
+
+# --------------------------------------------------------------------------
+# rolling 7-day distinct users via mergeable KMV partials
+# --------------------------------------------------------------------------
+
+_RKMV_K = 32
+
+_RKMV_ORACLE = f"""
+    with du as (
+        select distinct date_trunc('day', ts)::date as d, user_id from events
+    ), w as (
+        select distinct d + (off::int) as wend, user_id
+        from du cross join range(7) t(off)
+    ), h as (
+        select wend, user_id,
+               ((('0x' || substr(md5('kmv-' || user_id::varchar), 1, 6))::bigint
+                 + 0.5) / 16777216.0) as hv
+        from w
+    ), r as (
+        select wend, hv,
+               row_number() over (partition by wend order by hv, user_id) as rn
+        from h
+    ), x as (
+        select wend, count(*) as n_exact from w group by wend
+    ), kth as (
+        select wend, hv as hk from r where rn = {_RKMV_K}
+    )
+    select strftime(x.wend, '%Y-%m-%d') as window_end,
+           x.n_exact,
+           case when x.n_exact <= {_RKMV_K} then x.n_exact::double
+                else round(({_RKMV_K} - 1) / k.hk, 3) end as kmv_estimate
+    from x left join kth k using (wend)
+    order by window_end
+"""
+
+
+@register("user_kmv_rolling_7d", _RKMV_ORACLE)
+def user_kmv_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimate from MERGEABLE per-day KMV
+    partials: each day keeps only its k smallest unit-hashes (bounded
+    state), each sliding window merges ≤7 such k-arrays — union,
+    struct-dedup, re-take k — and reads the classic (k−1)/h_k estimate.
+    Mergeability is exact for KMV (the window's k smallest hashes are
+    each within their day's k smallest), so the hash match against the
+    oracle's DIRECT per-window computation is the partial-merge ≡
+    from-scratch proof — the property that lets a 100 TB rollup keep one
+    tiny sketch per (day, key) and answer any window without re-scanning
+    history. The exact column is the yardstick the sketch replaces
+    (its per-window distinct costs the 7× replication the partials
+    avoid); production keeps only the estimate."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    daily = (
+        du.select("d", "user_id", unit_hash("user_id", "kmv").alias("hv"))
+        .groupBy("d")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("hv", "user_id"))),
+                1,
+                _RKMV_K,
+            ).alias("__mins")
+        )
+    )
+    merged = (
+        daily.withColumn(
+            "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        )
+        .groupBy("wend")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("__mins")))
+                ),
+                1,
+                _RKMV_K,
+            ).alias("__mins")
+        )
+        .select(
+            "wend",
+            F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
+        )
+    )
+    exact = (
+        du.withColumn(
+            "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        )
+        .select("wend", "user_id")
+        .distinct()
+        .groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(merged, "wend", "left")
+        .select(
+            F.date_format("wend", "yyyy-MM-dd").alias("window_end"),
+            "n_exact",
+            F.when(
+                F.col("n_exact") <= _RKMV_K, F.col("n_exact").cast("double")
+            )
+            .otherwise(F.round(F.lit(_RKMV_K - 1) / F.col("hk"), 3))
+            .alias("kmv_estimate"),
+        )
+        .orderBy("window_end")
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming CDC apply (tombstones retained for cross-batch arbitration)
+# --------------------------------------------------------------------------
+
+@register("orders_cdc_stream_apply", _CDC_ORACLE)
+def orders_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: the same 3-batch I/U/D log as
+    ``orders_cdc_apply`` arrives as a file stream ONE FILE PER
+    MICROBATCH (maxFilesPerTrigger=1), and ``foreachBatch`` folds each
+    batch into a versioned parquet state with ``dedup_by_key`` on
+    (seq desc) — crucially the state RETAINS tombstone rows and their
+    sequence numbers, so a late-replayed lower-seq change can never
+    resurrect a deleted key (the arbitration batch ``cdc_apply`` gets
+    for free by seeing the whole log at once); the read view filters
+    tombstones at the end. Final state provably equals the batch
+    operator — the oracle is shared verbatim. Production note:
+    tombstones are GC'd past the replay horizon, exactly like
+    stream-state watermarks."""
+    import os
+    import tempfile
+
+    from flight_radar_pipeline_spark.pipeline.silver import dedup_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    stage = os.path.join(work, "log")
+    os.makedirs(stage)
+    ins = orders.select(
+        "o_orderkey", F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("seq"), F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 50).alias("price"),
+        F.lit(2).alias("seq"), F.lit("U").alias("op"),
+    )
+    dels = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey", F.lit(None).cast("double").alias("price"),
+        F.lit(3).alias("seq"), F.lit("D").alias("op"),
+    )
+    for i, batch in enumerate((ins, upd, dels)):
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(stage, f"b{i}")
+        )
+    # flatten: the file source lists leaf files; one data file per batch dir
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        bdir = os.path.join(stage, f"b{i}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(bdir, f), os.path.join(flat, f"{i:03d}.parquet"))
+                n += 1
+    assert n == 3, "expected exactly one data file per CDC batch"
+
+    schema = ins.schema
+    log_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(flat)
+    )
+    versions = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        if versions[-1] is None:
+            merged = dedup_by_key(batch, ["o_orderkey"], order_by=[F.desc("seq"), F.desc("op")])
+        else:
+            cur = spark.read.parquet(versions[-1])
+            merged = dedup_by_key(
+                cur.unionByName(batch),
+                ["o_orderkey"],
+                order_by=[F.desc("seq"), F.desc("op")],
+            )
+        nxt = os.path.join(work, f"v{len(versions)}")
+        merged.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    q = (
+        log_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(versions[-1]).filter(F.col("op") != "D")
+    return final.select(
+        "o_orderkey", F.round("price", 2).alias("price")
+    ).orderBy("o_orderkey")

@@ -53,6 +53,7 @@ ALLOWED_BNLJ = {
     "order_gap_survival",         # 1-row censor-horizon broadcast
     "customer_rfm_segments",      # 1-row max-date + 12-number fence broadcasts
     "event_decayed_type_scores",  # 1-row corpus-max-ts broadcast (decay anchor)
+    "doc_lang_kl_drift",          # |langs|-row × bounded-vocab smoothing grid
 }
 
 

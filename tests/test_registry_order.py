@@ -64,6 +64,11 @@ POST_FREEZE: set[str] = {
     "orders_cdc_apply",
     "orders_pit_segment",
     "customer_nearest_neighbor",
+    "part_fs_match_weights",
+    "doc_lang_kl_drift",
+    "customer_k_anonymity",
+    "user_kmv_rolling_7d",
+    "orders_cdc_stream_apply",
 }
 
 
