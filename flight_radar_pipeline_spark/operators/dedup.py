@@ -717,17 +717,25 @@ def ngram_containment_pairs(
     ).join(
         sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
     )
+    # both directions from ONE pass over the pair set (explode of a
+    # 2-struct array) — a union of two selects would make Catalyst
+    # recompute the whole index-join subtree per direction
     directed = sized.select(
-        F.col("id_a").alias("src_id"),
-        F.col("id_b").alias("dst_id"),
-        (F.col("inter_sz") / F.col("sz_a")).alias("__c"),
-    ).unionByName(
-        sized.select(
-            F.col("id_b").alias("src_id"),
-            F.col("id_a").alias("dst_id"),
-            (F.col("inter_sz") / F.col("sz_b")).alias("__c"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    (F.col("inter_sz") / F.col("sz_a")).alias("__c"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    (F.col("inter_sz") / F.col("sz_b")).alias("__c"),
+                ),
+            )
+        ).alias("__d")
+    ).select("__d.src_id", "__d.dst_id", "__d.__c")
     return (
         directed.filter(F.col("__c") >= containment_threshold)
         .select("src_id", "dst_id", F.round("__c", 4).alias("containment"))

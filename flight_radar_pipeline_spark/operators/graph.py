@@ -26,6 +26,7 @@ handful of rounds instead of 99. Same edge-list in, same
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -302,6 +303,7 @@ def adamic_adar_pairs(
     item_col: str = "item",
     maxdf: int = 1000,
     min_common: int = 2,
+    storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Link prediction over a bipartite membership table: for every pair
     of users sharing ≥ ``min_common`` items, the common-neighbor count
@@ -326,7 +328,12 @@ def adamic_adar_pairs(
         .agg(F.count(F.lit(1)).alias("__d"))
         .filter((F.col("__d") >= 2) & (F.col("__d") <= maxdf))
     )
+    # the capped membership relation feeds BOTH sides of the self-join;
+    # persist it so the scan → distinct → degree-join subtree runs once
+    # (same knob semantics as ngram_jaccard_pairs's sets_storage)
     md = m.join(deg, "__i")
+    if storage is not None:
+        md = md.persist(storage)
     a = md.select(F.col("__u").alias("id_a"), "__i", "__d")
     b = md.select(F.col("__u").alias("id_b"), F.col("__i").alias("__i2"))
     return (
