@@ -1266,3 +1266,367 @@ def orders_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "o_orderkey", F.round("price", 2).alias("price")
     ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# degree-distribution power-law fit (log-log OLS over the histogram)
+# --------------------------------------------------------------------------
+
+_PL_ORACLE = """
+    with deg as (
+        select user_id, count(*) as d from events group by user_id
+    ), hist as (
+        select d, count(*) as cnt from deg group by d
+    ), pts as (
+        select ln(d::double) as x, ln(cnt::double) as y from hist where d >= 1
+    ), s as (
+        select count(*) as n, sum(x) as sx, sum(y) as sy,
+               sum(x * x) as sxx, sum(x * y) as sxy, sum(y * y) as syy
+        from pts
+    )
+    select cast(n as bigint) as n_points,
+           round(-( (n * sxy - sx * sy) / (n * sxx - sx * sx) ), 6) as alpha,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) as intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2
+    from s
+"""
+
+
+@register("user_degree_powerlaw", _PL_ORACLE)
+def user_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent fit for the user-activity degree distribution:
+    histogram the per-user event counts, OLS on (ln degree, ln count),
+    report α = −slope with the fit's r² — the heavy-tail diagnostic that
+    decides whether skew mitigation (salting, AQE) is needed BEFORE a
+    key ever hotspots (r² near 1 with α in [1.5, 3] ⇒ scale-free-ish
+    keys; the uniform testdata scores a poor fit by design, which is
+    itself the reading). Everything after the two count-aggregates is
+    closed-form sums over histogram points — |distinct degrees| rows,
+    never the raw data. Complements `event_key_skew_report` (top-k mass)
+    with the parametric tail shape."""
+    ev = load_table(spark, sf_dir, "events")
+    deg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    pts = hist.filter(F.col("d") >= 1).select(
+        F.log(F.col("d").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# clamped running balance (floor-at-zero recursion, no window form)
+# --------------------------------------------------------------------------
+
+_BAL_DRAW = 50.0
+_BAL_CAP = 60
+
+_BAL_ORACLE = f"""
+    with recursive o as (
+        select user_id, value - {_BAL_DRAW} as delta,
+               row_number() over (partition by user_id
+                                  order by ts, event_id) as rn
+        from events
+    ), x as (
+        select * from o where rn <= {_BAL_CAP}
+    ), h as (
+        select user_id, 1 as t,
+               greatest(0.0, delta) as bal,
+               case when delta < 0 then 1 else 0 end as clamps
+        from x where rn = 1
+        union all
+        select h.user_id, h.t + 1,
+               greatest(0.0, h.bal + x.delta),
+               h.clamps + case when h.bal + x.delta < 0 then 1 else 0 end
+        from h join x on x.user_id = h.user_id and x.rn = h.t + 1
+    )
+    select user_id,
+           max(t) as n_points,
+           round(max_by(bal, t), 4) as final_balance,
+           max_by(clamps, t) as n_clamps
+    from h
+    group by user_id
+    order by user_id
+"""
+
+
+@register("user_balance_clamped", _BAL_ORACLE)
+def user_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance per user (credits = event values,
+    a fixed {draw} draw per event): bal′ = max(0, bal + Δ). The clamp
+    makes the recursion NON-LINEAR — no prefix-sum/window rewrite exists
+    (the clamp at step i changes every later step), so it folds JVM-side
+    with ``F.aggregate`` over the array-sorted sequence, like the Holt
+    entry but with a data-dependent branch per step; also counts how
+    often the floor engaged. History capped at {cap} events per key
+    bounding per-key state; the oracle runs the identical recursion as a
+    recursive CTE. The inventory / prepaid-quota / rate-limiter state
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.slice(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        1,
+        _BAL_CAP,
+    )
+    g = ev.groupBy("user_id").agg(seq.alias("__seq"))
+    deltas = F.transform(
+        F.col("__seq"), lambda s: s["value"] - F.lit(_BAL_DRAW)
+    )
+    init = F.struct(F.lit(0.0).alias("bal"), F.lit(0).alias("clamps"))
+
+    def step(acc, d):
+        raw = acc["bal"] + d
+        return F.struct(
+            F.greatest(F.lit(0.0), raw).alias("bal"),
+            (acc["clamps"] + F.when(raw < 0, 1).otherwise(0)).alias("clamps"),
+        )
+
+    fin = F.aggregate(deltas, init, step)
+    return g.select(
+        "user_id",
+        F.size("__seq").alias("n_points"),
+        F.round(fin["bal"], 4).alias("final_balance"),
+        fin["clamps"].alias("n_clamps"),
+    ).orderBy("user_id")
+
+
+user_balance_clamped.__doc__ = user_balance_clamped.__doc__.format(
+    draw=_BAL_DRAW, cap=_BAL_CAP
+)
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood blocking (linkage pass #3)
+# --------------------------------------------------------------------------
+
+_SN_WINDOW = 3
+_SN_PREFIX = 4
+_SN_MAXDIST = 3
+
+_SN_ORACLE = f"""
+    with names as (
+        select distinct p_name from part
+    ), r as (
+        select p_name, substr(p_name, 1, {_SN_PREFIX}) as blk,
+               row_number() over (partition by substr(p_name, 1, {_SN_PREFIX})
+                                  order by p_name) as rn
+        from names
+    )
+    select a.p_name as name_a, b.p_name as name_b,
+           levenshtein(a.p_name, b.p_name) as dist
+    from r a join r b
+      on a.blk = b.blk and b.rn > a.rn and b.rn <= a.rn + {_SN_WINDOW}
+    where levenshtein(a.p_name, b.p_name) <= {_SN_MAXDIST}
+    order by name_a, name_b
+"""
+
+
+@register("part_sorted_neighborhood_pairs", _SN_ORACLE)
+def part_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking, the third linkage candidate
+    strategy beside token blocking (`part_name_fuzzy_pairs`) and
+    probabilistic scoring (`part_fs_match_weights`): names sort within a
+    prefix block and each name pairs with its next {w} neighbors in
+    sort order — candidate count is EXACTLY w·n regardless of block-size
+    skew (token blocking is Σ|block|², which a hot token blows up).
+    The sort window runs per prefix block, never globally, so the sort
+    parallelizes; edit distance verifies candidates only. Misses pairs
+    differing in the prefix itself — the same single-pass blind spot as
+    token blocking, fixed the same way (a second pass on another key)."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    blk = F.substring("p_name", 1, _SN_PREFIX)
+    w = Window.partitionBy(blk).orderBy("p_name")
+    r = names.select(
+        "p_name", blk.alias("__blk"), F.row_number().over(w).alias("__rn")
+    )
+    a = r.select(
+        F.col("p_name").alias("name_a"),
+        F.col("__blk").alias("__ba"),
+        F.col("__rn").alias("__ra"),
+    )
+    b = r.select(
+        F.col("p_name").alias("name_b"),
+        F.col("__blk").alias("__bb"),
+        F.col("__rn").alias("__rb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("__ba") == F.col("__bb"))
+            & (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") <= F.col("__ra") + _SN_WINDOW),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= _SN_MAXDIST)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+part_sorted_neighborhood_pairs.__doc__ = part_sorted_neighborhood_pairs.__doc__.format(
+    w=_SN_WINDOW
+)
+
+
+# --------------------------------------------------------------------------
+# hybrid retrieval: BM25 ∪ vector ranking fused with RRF
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 50
+_RRF_OUT = 20
+_RRF_QVEC = 0
+
+_HYBRID_ORACLE = f"""
+    with tok as (
+        select doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) as term
+        from documents
+    ), tf as (
+        select doc_id, term, count(*) as tf from tok
+        where term in ('spark', 'shuffle', 'broadcast')
+        group by doc_id, term
+    ), dfreq as (
+        select term, count(*) as ndocs from tf group by term
+    ), dlen as (
+        select doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+'))::double as dl
+        from documents
+    ), stats as (
+        select count(*) as nn,
+               avg(len(regexp_split_to_array(trim(text), '\\s+'))::double) as avgdl
+        from documents
+    ), bm25 as (
+        -- ranks use the ROUNDED score, mirroring bm25_scores' 4-dp
+        -- engine-portable rounding
+        select tf.doc_id,
+               round(sum(ln((stats.nn - dfreq.ndocs + 0.5)
+                            / (dfreq.ndocs + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))
+               ), 4) as score
+        from tf
+        join dfreq using (term)
+        join dlen on dlen.doc_id = tf.doc_id
+        cross join stats
+        group by tf.doc_id
+        having round(sum(ln((stats.nn - dfreq.ndocs + 0.5)
+                            / (dfreq.ndocs + 0.5) + 1.0)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dl / stats.avgdl))), 4) > 0
+    ), lex as (
+        select doc_id,
+               row_number() over (order by score desc, doc_id) as lex_rank
+        from bm25
+        qualify lex_rank <= {_RRF_LIST}
+    ), q as (
+        select embedding::DOUBLE[] as qv from embeddings
+        where vec_id = {_RRF_QVEC}
+    ), cos as (
+        select vec_id as doc_id,
+               round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) as cosine
+        from embeddings cross join q
+        where vec_id != {_RRF_QVEC}
+    ), vec as (
+        select doc_id,
+               row_number() over (order by cosine desc, doc_id) as vec_rank
+        from cos
+        qualify vec_rank <= {_RRF_LIST}
+    ), fused as (
+        select coalesce(lex.doc_id, vec.doc_id) as doc_id,
+               coalesce(lex.lex_rank, 0) as lex_rank,
+               coalesce(vec.vec_rank, 0) as vec_rank,
+               (case when lex.lex_rank is null then 0.0
+                     else 1.0 / ({_RRF_K} + lex.lex_rank) end)
+             + (case when vec.vec_rank is null then 0.0
+                     else 1.0 / ({_RRF_K} + vec.vec_rank) end) as rrf
+        from lex full outer join vec using (doc_id)
+    )
+    select doc_id, lex_rank, vec_rank, round(rrf, 6) as rrf
+    from fused
+    order by rrf desc, doc_id
+    limit {_RRF_OUT}
+"""
+
+
+@register("doc_hybrid_rrf_search", _HYBRID_ORACLE)
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: the BM25 lexical ranking (same query bag and
+    parameters as `doc_bm25_query`) and an exact cosine ranking against
+    one query embedding fuse with Reciprocal Rank Fusion —
+    Σ 1/({k}+rank) over the lists a document appears in, rank 0 marking
+    absence. RRF is THE production hybrid-search combiner (rank-based,
+    so the two scorers' incomparable scales never meet). Both lists are
+    top-{n} capped; at scale each side is its own pruned retrieval (ANN
+    for vectors, impact-ordered postings for BM25) and the fusion is a
+    |lists|·{n}-row full outer join — driver-free, shuffle on doc_id
+    only."""
+    from flight_radar_pipeline_spark.operators import similarity as S
+    from flight_radar_pipeline_spark.operators.tfidf import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # prune to the top-N FIRST (TakeOrderedAndProject — a distributed
+    # partial top-k, no global sort), then rank the bounded N-row list
+    # with a trivially-small window
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        bm25_scores(docs, ["spark", "shuffle", "broadcast"], k1=1.2, b=0.75)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_LIST)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+    queries = emb.filter(F.col("vec_id") == _RRF_QVEC)
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    vec = (
+        S.topk_neighbors_bruteforce(emb, queries, k=_RRF_LIST)
+        .orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        .limit(_RRF_LIST)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.row_number().over(w_vec).alias("vec_rank"),
+        )
+    )
+    rrf = (
+        F.when(F.col("lex_rank") > 0, 1.0 / (F.lit(_RRF_K) + F.col("lex_rank")))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("vec_rank") > 0, 1.0 / (F.lit(_RRF_K) + F.col("vec_rank")))
+        .otherwise(F.lit(0.0))
+    )
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        )
+        .withColumn("rrf", F.round(rrf, 6))
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_OUT)

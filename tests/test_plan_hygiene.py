@@ -54,6 +54,7 @@ ALLOWED_BNLJ = {
     "customer_rfm_segments",      # 1-row max-date + 12-number fence broadcasts
     "event_decayed_type_scores",  # 1-row corpus-max-ts broadcast (decay anchor)
     "doc_lang_kl_drift",          # |langs|-row × bounded-vocab smoothing grid
+    "doc_hybrid_rrf_search",      # exact-cosine side: 1-query broadcast, != cond
 }
 
 

@@ -69,6 +69,10 @@ POST_FREEZE: set[str] = {
     "customer_k_anonymity",
     "user_kmv_rolling_7d",
     "orders_cdc_stream_apply",
+    "user_degree_powerlaw",
+    "user_balance_clamped",
+    "part_sorted_neighborhood_pairs",
+    "doc_hybrid_rrf_search",
 }
 
 
