@@ -1630,3 +1630,72 @@ def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rrf", F.round(rrf, 6))
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_OUT)
+
+
+# --------------------------------------------------------------------------
+# ratio-to-parent / ratio-to-total report
+# --------------------------------------------------------------------------
+
+_SHARE_ORACLE = """
+    with rev as (
+        select r.r_name as region, n.n_name as nation,
+               sum(o.o_totalprice) as revenue
+        from orders o
+        join customer c on c.c_custkey = o.o_custkey
+        join nation n on n.n_nationkey = c.c_nationkey
+        join region r on r.r_regionkey = n.n_regionkey
+        group by 1, 2
+    )
+    select region, nation,
+           round(revenue, 2) as revenue,
+           round(revenue / sum(revenue) over (partition by region), 6)
+               as share_of_region,
+           round(revenue / sum(revenue) over (), 6) as share_of_total,
+           cast(row_number() over (partition by region
+                                   order by revenue desc, nation)
+                as bigint) as rank_in_region
+    from rev
+    order by region, rank_in_region
+"""
+
+
+@register("nation_revenue_share", _SHARE_ORACLE)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent analytics: each nation's revenue as a share of
+    its region and of the grand total, plus rank within region — the
+    contribution-report window pattern (two window SUMs over one
+    pre-aggregated frame). The fact table collapses to |nations| rows
+    BEFORE any window, so the global-total window runs over ~25 rows —
+    the pre-aggregate-then-window discipline that keeps share-of-total
+    off the all-data-one-partition cliff at 100 TB. Dimensions join as
+    broadcasts."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy("region").orderBy(
+        F.desc("revenue"), F.asc("nation")
+    )
+    return rev.select(
+        "region",
+        "nation",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_region), 6).alias(
+            "share_of_region"
+        ),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+        F.row_number().over(w_rank).cast("bigint").alias("rank_in_region"),
+    ).orderBy("region", "rank_in_region")

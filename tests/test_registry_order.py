@@ -73,6 +73,7 @@ POST_FREEZE: set[str] = {
     "user_balance_clamped",
     "part_sorted_neighborhood_pairs",
     "doc_hybrid_rrf_search",
+    "nation_revenue_share",
 }
 
 
