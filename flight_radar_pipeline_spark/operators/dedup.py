@@ -674,6 +674,7 @@ def ngram_containment_pairs(
     n: int = 3,
     containment_threshold: float = 0.8,
     maxdf: int | None = 1000,
+    grams_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Asymmetric n-gram containment near-dup via the same inverted-index
     device as ``ngram_jaccard_pairs`` → ``(src_id, dst_id, containment)``
@@ -701,6 +702,11 @@ def ngram_containment_pairs(
     if maxdf is not None:
         gram_df = gram_df.filter(F.col("__df") <= maxdf)
     g = g.join(gram_df.select("gram"), "gram")
+    # the capped gram relation feeds the size aggregate AND both self-join
+    # sides; persist it so tokenize + explode + df-cap runs once (same
+    # knob semantics as ngram_jaccard_pairs's sets_storage)
+    if grams_storage is not None:
+        g = g.persist(grams_storage)
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = g.select(F.col(id_col).alias("id_a"), "gram").alias("l")
     b = g.select(F.col(id_col).alias("id_b"), "gram").alias("r")
