@@ -11,6 +11,10 @@ O(n²/k), so a 10× corpus at FIXED k pays ~10× more verify work per row,
 while k grown 10× keeps per-row work flat. Both variants run at sf1.
 
 Usage: python tools/scale_run.py [sf01_dir] [sf1_dir]
+       python tools/scale_run.py --extras [sf01_dir] [sf1_dir]
+         (times only EXTRA_FAMILIES — the round-6 operator additions —
+          and MERGES them into SCALE_RUN.json under r6_-prefixed keys,
+          like the r5_* records)
 """
 
 from __future__ import annotations
@@ -50,6 +54,22 @@ FAMILIES = [
     "closed_sessions_stream",
     "closed_sessions_stream_native",
     "click_view_pairs_stream",
+]
+
+# round-6 additions, measured separately (--extras) and appended as r6_*
+EXTRA_FAMILIES = [
+    "customer_geo_cell_pairs",      # output is density-quadratic by physics
+    "customer_nearest_neighbor",
+    "session_overlap_pairs",        # output is concurrency-quadratic
+    "entity_reach_3hop",
+    "customer_adamic_adar",         # maxdf cap bounds cost as items heat up
+    "doc_containment_pairs",
+    "user_kmv_rolling_7d",
+    "doc_hybrid_rrf_search",
+    "doc_lang_kl_drift",
+    "user_balance_clamped",
+    "orders_cdc_apply",
+    "orders_pit_segment",
 ]
 
 
@@ -102,7 +122,40 @@ def _semantic_dedup_at_k(spark, sf_dir: str, k: int):
     return S.semantic_dedup_decisions(emb, cents, threshold=0.35)
 
 
+def run_extras(sf01: str, sf1: str) -> int:
+    """Time EXTRA_FAMILIES at both SFs, merge as r6_* into SCALE_RUN.json."""
+    spark = get_spark_session(app_name="frp-scale-extras", timezone="UTC")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries = entrymod.queries()
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "SCALE_RUN.json")
+    report = json.load(open(out_path)) if os.path.exists(out_path) else {}
+    for name in EXTRA_FAMILIES:
+        fn = queries[name]
+        _clear_shared_caches()
+        c01, w01 = _time_query(spark, fn, sf01)
+        _clear_shared_caches()
+        c1, w1 = _time_query(spark, fn, sf1)
+        ratio = round(w1 / w01, 2) if w01 > 0 and w1 >= 0 else None
+        report[f"r6_{name}"] = {
+            "sf0.1_warm": w01, "sf1_warm": w1,
+            "sf0.1_cold": c01, "sf1_cold": c1, "ratio": ratio,
+        }
+        print(f"{name}: sf0.1 {w01}s  sf1 {w1}s  ratio {ratio}", flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(report, fh, indent=1)
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--extras":
+        sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+        sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
+        return run_extras(sf01, sf1)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
     spark = get_spark_session(app_name="frp-scale-run", timezone="UTC")
