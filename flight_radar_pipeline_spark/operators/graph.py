@@ -345,3 +345,61 @@ def adamic_adar_pairs(
         )
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def time_respecting_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    ts: str = "ts",
+    node: str = "node",
+    seed_ts: str = "ts0",
+) -> DataFrame:
+    """Temporal BFS: which nodes can be reached from the seeds through
+    edges whose timestamps are NON-DECREASING along the path, starting
+    no earlier than each seed's ``seed_ts`` — the information-flow /
+    contact-tracing reachability that plain ``n_hop_reach`` overstates
+    (a path that goes back in time carries nothing). Labels each reached
+    node with its minimum hop and, at that hop, the EARLIEST arrival
+    time (earlier arrival can only enable more onward edges, so
+    min-arrival dominates any other same-hop state).
+
+    Same frontier mechanics as ``n_hop_reach`` (edges repartitioned on
+    ``src`` once; per-round localCheckpoint), with the frontier carrying
+    ``(node, arrival)`` and the hop join demanding ``edge.ts >=
+    arrival``. A node re-reachable at a later hop with an earlier
+    arrival is NOT revisited — for min-HOP labeling the first visit
+    wins; callers needing full earliest-arrival semantics should
+    iterate to fixpoint instead of a hop cap.
+    """
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"), F.col(ts).alias("__ts")
+    )
+    e = e.repartition("__src").cache()
+    visited = seeds.select(
+        F.col(node).alias("__node"),
+        F.lit(0).alias("hop"),
+        F.col(seed_ts).alias("arrival"),
+    ).groupBy("__node", "hop").agg(F.min("arrival").alias("arrival"))
+    frontier = visited.select("__node", "arrival")
+    for hop in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["__node"] == e["__src"])
+            .filter(F.col("__ts") >= F.col("arrival"))
+            .groupBy(F.col("__dst").alias("__n2"))
+            .agg(F.min("__ts").alias("arrival"))
+            .select(F.col("__n2").alias("__node"), "arrival")
+            .join(visited.select("__node"), "__node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(
+            nxt.select("__node", F.lit(hop).alias("hop"), "arrival")
+        )
+        visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return visited.select(
+        F.col("__node").alias(node), "hop", "arrival"
+    )

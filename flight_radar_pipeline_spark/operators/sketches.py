@@ -68,3 +68,82 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").alias("est"))
     )
+
+
+def moment_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group mergeable moment partials ``(n, mean, m2)`` — the
+    Welford/Chan representation of count/mean/variance that ADDS like a
+    sketch: partials of two days/partitions/sources combine exactly (see
+    ``merge_moment_partials``), which is what lets a 100 TB rollup keep
+    3 numbers per (day, key) and answer mean/variance over any day
+    subset without touching raw history. m2 = Σ(x−mean)² via the
+    numerically-stable identity m2 = Σx² − n·mean² is NOT used — the
+    grouped form computes Σx and Σx² then centers once, matching SQL
+    exactly."""
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        (
+            F.sum(F.col(value_col) * F.col(value_col))
+            - F.count(value_col)
+            * F.avg(value_col)
+            * F.avg(value_col)
+        ).alias("m2"),
+    )
+
+
+def merge_moment_partials(
+    partials: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Combine per-slice moment partials into per-group totals with
+    Chan's pairwise update, folded in a DETERMINISTIC order
+    (``order_cols`` sorts the slices) so the float result is
+    partition-invariant:
+
+        n = n₁+n₂;  δ = mean₂−mean₁
+        mean = mean₁ + δ·n₂/n;  m2 = m2₁ + m2₂ + δ²·n₁·n₂/n
+
+    Output: (group..., n, mean, m2) — variance = m2/(n−1), std = √.
+    The merge is exact in real arithmetic (≡ computing over the union),
+    so a rounded comparison against the direct computation holds on any
+    engine; per-group state is 3 numbers per slice during the fold."""
+    acc0 = F.struct(
+        F.lit(0.0).alias("n"), F.lit(0.0).alias("mean"), F.lit(0.0).alias("m2")
+    )
+
+    def step(acc, p):
+        n = acc["n"] + p["n"]
+        delta = p["mean"] - acc["mean"]
+        safe = F.when(n > 0, n).otherwise(F.lit(1.0))
+        return F.struct(
+            n.alias("n"),
+            (acc["mean"] + delta * p["n"] / safe).alias("mean"),
+            (
+                acc["m2"] + p["m2"] + delta * delta * acc["n"] * p["n"] / safe
+            ).alias("m2"),
+        )
+
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col("n").cast("double").alias("n"),
+                F.col("mean").cast("double").alias("mean"),
+                F.col("m2").cast("double").alias("m2"),
+            )
+        )
+    )
+    fin = F.aggregate(ordered, acc0, step)
+    g = partials.groupBy(*group_cols).agg(fin.alias("__m"))
+    return g.select(
+        *group_cols,
+        F.col("__m.n").cast("bigint").alias("n"),
+        F.col("__m.mean").alias("mean"),
+        F.col("__m.m2").alias("m2"),
+    )

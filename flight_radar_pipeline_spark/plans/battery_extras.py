@@ -1699,3 +1699,231 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.row_number().over(w_rank).cast("bigint").alias("rank_in_region"),
     ).orderBy("region", "rank_in_region")
+
+
+# --------------------------------------------------------------------------
+# time-respecting (temporal) reachability
+# --------------------------------------------------------------------------
+
+_TR_HOPS = 3
+_TR_SEEDS = 25
+_TR_T0 = "1996-06-01"
+
+_TR_ORACLE = f"""
+    with pair as (
+        select distinct 'c' || o_custkey as a, 's' || l_suppkey as b,
+               o_orderdate as ts
+        from lineitem join orders on l_orderkey = o_orderkey
+    ), edges as (
+        select a as src, b as dst, ts from pair
+        union all
+        select b as src, a as dst, ts from pair
+    ), h0 as (
+        select 'c' || c_custkey as node, timestamp '{_TR_T0}' as arrival
+        from customer where c_custkey <= {_TR_SEEDS}
+    ), h1 as (
+        select e.dst as node, min(e.ts) as arrival
+        from edges e join h0 on e.src = h0.node and e.ts >= h0.arrival
+        where not exists (select 1 from h0 v where v.node = e.dst)
+        group by e.dst
+    ), h2 as (
+        select e.dst as node, min(e.ts) as arrival
+        from edges e join h1 on e.src = h1.node and e.ts >= h1.arrival
+        where not exists (select 1 from h0 v where v.node = e.dst)
+          and not exists (select 1 from h1 v where v.node = e.dst)
+        group by e.dst
+    ), h3 as (
+        select e.dst as node, min(e.ts) as arrival
+        from edges e join h2 on e.src = h2.node and e.ts >= h2.arrival
+        where not exists (select 1 from h0 v where v.node = e.dst)
+          and not exists (select 1 from h1 v where v.node = e.dst)
+          and not exists (select 1 from h2 v where v.node = e.dst)
+        group by e.dst
+    )
+    select node, 0 as hop, strftime(arrival, '%Y-%m-%d') as arrival from h0
+    union all select node, 1, strftime(arrival, '%Y-%m-%d') from h1
+    union all select node, 2, strftime(arrival, '%Y-%m-%d') from h2
+    union all select node, 3, strftime(arrival, '%Y-%m-%d') from h3
+    order by hop, node
+"""
+
+
+@register("entity_reach_temporal", _TR_ORACLE)
+def entity_reach_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (``operators.graph.
+    time_respecting_reach``): who the top-{seeds} customers can reach
+    through transaction edges whose ORDER DATES never decrease along the
+    path, starting {t0} — the contact-tracing / information-flow
+    semantics plain BFS overstates (`entity_reach_3hop` counts
+    back-in-time paths; this one can't). Frontier carries earliest
+    arrival per node; each hop is one edge join filtered ts ≥ arrival +
+    one min-aggregate + one anti-join. Oracle unrolls the identical
+    layers."""
+    from flight_radar_pipeline_spark.operators.graph import time_respecting_reach
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+            F.col("o_orderdate").alias("ts"),
+        )
+        .distinct()
+    )
+    edges = pair.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "ts"
+    ).union(pair.select(F.col("b").alias("src"), F.col("a").alias("dst"), "ts"))
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _TR_SEEDS)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"),
+            F.to_timestamp(F.lit(_TR_T0)).alias("ts0"),
+        )
+    )
+    out = time_respecting_reach(edges, seeds, _TR_HOPS)
+    return out.select(
+        "node", "hop", F.date_format("arrival", "yyyy-MM-dd").alias("arrival")
+    ).orderBy("hop", "node")
+
+
+entity_reach_temporal.__doc__ = entity_reach_temporal.__doc__.format(
+    seeds=_TR_SEEDS, t0=_TR_T0
+)
+
+
+# --------------------------------------------------------------------------
+# mergeable moment partials (count/mean/variance rollup)
+# --------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+    select event_type,
+           cast(count(value) as bigint) as n,
+           round(avg(value), 4) as mean,
+           round(var_samp(value), 4) as variance
+    from events
+    group by event_type
+    order by event_type
+"""
+
+
+@register("event_value_stats_merged", _MOM_ORACLE)
+def event_value_stats_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance: per-(type, day) moment
+    partials (n, mean, m2) merged to per-type totals with Chan's
+    pairwise update folded in deterministic day order
+    (``operators.sketches.moment_partials`` / ``merge_moment_partials``)
+    — the hash match against the oracle's DIRECT variance proves
+    partial-merge ≡ from-scratch, the mergeable-variance companion to
+    `incremental_daily_rollup` (sums) and `user_kmv_rolling_7d`
+    (distincts). A 100 TB metrics store keeps 3 numbers per (day, key)
+    and re-aggregates any date range without raw history."""
+    from flight_radar_pipeline_spark.operators.sketches import (
+        merge_moment_partials,
+        moment_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "value"
+    )
+    partials = moment_partials(ev, ["event_type", "d"], "value")
+    merged = merge_moment_partials(partials, ["event_type"], ["d"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round(F.col("m2") / (F.col("n") - 1), 4).alias("variance"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# day-over-day rank shift (trending report)
+# --------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+    with d as (
+        select date_trunc('day', ts)::date as day, event_type,
+               cast(count(*) as bigint) as n
+        from events group by 1, 2
+    ), r as (
+        select day, event_type, n,
+               cast(row_number() over (partition by day
+                                       order by n desc, event_type)
+                    as bigint) as rnk
+        from d
+    )
+    select strftime(day, '%Y-%m-%d') as day, event_type, n, rnk,
+           cast(coalesce(lag(rnk) over (partition by event_type order by day),
+                         rnk) - rnk as bigint) as rank_gain
+    from r
+    order by day, rnk
+"""
+
+
+@register("daily_type_rank_shift", _RANK_ORACLE)
+def daily_type_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: each day's event-type leaderboard with the
+    day-over-day rank movement (positive = climbed). Two windows over
+    the |days|×|types| PRE-AGGREGATED frame — same discipline as
+    `nation_revenue_share`: the fact table collapses first, so the
+    leaderboard windows never see raw-event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_day = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    r = d.select(
+        "day", "event_type", "n", F.row_number().over(w_day).cast("bigint").alias("rnk")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("day")
+    return r.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        "rnk",
+        (
+            F.coalesce(F.lag("rnk").over(w_type), F.col("rnk")) - F.col("rnk")
+        ).cast("bigint").alias("rank_gain"),
+    ).orderBy("day", "rnk")
+
+
+# --------------------------------------------------------------------------
+# training-label balance audit
+# --------------------------------------------------------------------------
+
+_LBL_ORACLE = """
+    with c as (
+        select label, cast(count(*) as bigint) as n from embeddings group by label
+    )
+    select label, n,
+           round(n / sum(n) over (), 6) as share,
+           round(n / max(n) over (), 6) as vs_majority,
+           round(-log2(n / sum(n) over ()) , 4) as surprisal_bits
+    from c
+    order by label
+"""
+
+
+@register("embedding_label_balance", _LBL_ORACLE)
+def embedding_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit over the training labels: per-label share,
+    ratio to the majority class, and surprisal — the imbalance report
+    that decides resampling weights before a training run (a label with
+    vs_majority ≪ 1 needs oversampling or loss weighting). Windows run
+    over the |labels|-row pre-aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_all = Window.partitionBy()
+    return c.select(
+        "label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_all), 6).alias("share"),
+        F.round(F.col("n") / F.max("n").over(w_all), 6).alias("vs_majority"),
+        F.round(-F.log2(F.col("n") / F.sum("n").over(w_all)), 4).alias(
+            "surprisal_bits"
+        ),
+    ).orderBy("label")

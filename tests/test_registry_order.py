@@ -74,6 +74,10 @@ POST_FREEZE: set[str] = {
     "part_sorted_neighborhood_pairs",
     "doc_hybrid_rrf_search",
     "nation_revenue_share",
+    "entity_reach_temporal",
+    "event_value_stats_merged",
+    "daily_type_rank_shift",
+    "embedding_label_balance",
 }
 
 
