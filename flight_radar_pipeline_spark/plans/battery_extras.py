@@ -1927,3 +1927,216 @@ def embedding_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surprisal_bits"
         ),
     ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# streaming-maintained KMV partials (same result as the batch rolling entry)
+# --------------------------------------------------------------------------
+
+@register("user_kmv_stream_partials", _RKMV_ORACLE)
+def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: events arrive in 3 microbatches
+    (hash-split files) and ``foreachBatch`` folds each batch's per-day
+    KMV k-min arrays into a versioned partial-table — merge = union,
+    struct-dedup, re-take-k per day, the same exact-mergeability used
+    window-side. After the stream drains, the sliding-window merge and
+    estimator run over the MAINTAINED partials and must equal the batch
+    entry bit-for-bit (the oracle is shared verbatim with
+    `user_kmv_rolling_7d`): the proof that a 100 TB metrics stream can
+    keep one bounded sketch per (day, key), update it incrementally
+    forever, and answer any window without ever revisiting raw events.
+    The exact yardstick column is computed batch-side as before."""
+    import os
+    import tempfile
+
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="kmv_stream_")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage)
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, f"b{i}"))
+        )
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        bdir = os.path.join(stage, f"b{i}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f), os.path.join(flat, f"{i:03d}.parquet")
+                )
+
+    def day_partials(batch: DataFrame) -> DataFrame:
+        du = batch.select(F.to_date("ts").alias("d"), "user_id").distinct()
+        return (
+            du.select("d", "user_id", unit_hash("user_id", "kmv").alias("hv"))
+            .groupBy("d")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(F.struct("hv", "user_id"))),
+                    1,
+                    _RKMV_K,
+                ).alias("__mins")
+            )
+        )
+
+    versions: list[str | None] = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        p = day_partials(batch)
+        if versions[-1] is not None:
+            prev = spark.read.parquet(versions[-1])
+            p = (
+                prev.unionByName(p)
+                .groupBy("d")
+                .agg(
+                    F.slice(
+                        F.array_sort(
+                            F.array_distinct(F.flatten(F.collect_list("__mins")))
+                        ),
+                        1,
+                        _RKMV_K,
+                    ).alias("__mins")
+                )
+            )
+        nxt = os.path.join(work, f"v{len(versions)}")
+        p.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    daily = spark.read.parquet(versions[-1])
+    merged = (
+        daily.withColumn(
+            "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        )
+        .groupBy("wend")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("__mins")))
+                ),
+                1,
+                _RKMV_K,
+            ).alias("__mins")
+        )
+        .select(
+            "wend",
+            F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
+        )
+    )
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    exact = (
+        du.withColumn(
+            "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+        )
+        .select("wend", "user_id")
+        .distinct()
+        .groupBy("wend")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        exact.join(merged, "wend", "left")
+        .select(
+            F.date_format("wend", "yyyy-MM-dd").alias("window_end"),
+            "n_exact",
+            F.when(
+                F.col("n_exact") <= _RKMV_K, F.col("n_exact").cast("double")
+            )
+            .otherwise(F.round(F.lit(_RKMV_K - 1) / F.col("hk"), 3))
+            .alias("kmv_estimate"),
+        )
+        .orderBy("window_end")
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup restatement diff (late-data backfill detection)
+# --------------------------------------------------------------------------
+
+_RESTATE_ORACLE = """
+    with base as (
+        select o_orderpriority, cast(count(*) as bigint) as n_orders,
+               round(sum(o_totalprice), 2) as revenue
+        from orders where o_orderkey % 11 != 0
+        group by o_orderpriority
+    ), late as (
+        select o_orderpriority, cast(count(*) as bigint) as n_orders,
+               round(sum(o_totalprice), 2) as revenue
+        from orders where o_orderkey % 11 = 0
+        group by o_orderpriority
+    ), full_r as (
+        -- mirrors merge_rollup: the stored partials are ALREADY rounded,
+        -- so the restated value is the rounded sum of rounded parts
+        select coalesce(b.o_orderpriority, l.o_orderpriority) as o_orderpriority,
+               coalesce(b.n_orders, 0) + coalesce(l.n_orders, 0) as n_orders,
+               round(coalesce(b.revenue, 0) + coalesce(l.revenue, 0), 2) as revenue
+        from base b full outer join late l using (o_orderpriority)
+    )
+    select coalesce(b.o_orderpriority, f.o_orderpriority) as o_orderpriority,
+           case when b.o_orderpriority is null then 'added'
+                when f.o_orderpriority is null then 'removed'
+                else 'changed' end as change_type
+    from base b full outer join full_r f using (o_orderpriority)
+    where b.o_orderpriority is null or f.o_orderpriority is null
+       or b.n_orders != f.n_orders or b.revenue != f.revenue
+    order by o_orderpriority
+"""
+
+
+@register("rollup_restatement_diff", _RESTATE_ORACLE)
+def rollup_restatement_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill restatement detection: a late slice (every 11th order)
+    arrives after the rollup was published; merging its delta restates
+    some groups, and `operators.cdc.snapshot_changes` diffs stored vs
+    restated rollups to name EXACTLY the groups needing republication —
+    the partition-level invalidation signal an incremental pipeline
+    feeds to dynamic partition overwrite (re-land only changed groups,
+    never the full rollup). Composes merge_rollup + fingerprint diff;
+    both rollups are |groups|-row frames."""
+    from flight_radar_pipeline_spark.operators.cdc import (
+        row_fingerprint,
+        snapshot_changes,
+    )
+    from flight_radar_pipeline_spark.pipeline import merge_rollup
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+
+    base = rollup(orders.filter(F.col("o_orderkey") % 11 != 0))
+    late = rollup(orders.filter(F.col("o_orderkey") % 11 == 0)).withColumn(
+        "revenue", F.col("revenue")
+    )
+    restated = merge_rollup(base, late, ["o_orderpriority"], ["n_orders", "revenue"])
+    restated = restated.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("revenue", 2).alias("revenue"),
+    )
+    fp = row_fingerprint(
+        [F.col("n_orders").cast("string"), F.format_number("revenue", 2)]
+    )
+    return snapshot_changes(base, restated, "o_orderpriority", fp).orderBy(
+        "o_orderpriority"
+    )

@@ -78,6 +78,8 @@ POST_FREEZE: set[str] = {
     "event_value_stats_merged",
     "daily_type_rank_shift",
     "embedding_label_balance",
+    "user_kmv_stream_partials",
+    "rollup_restatement_diff",
 }
 
 
