@@ -35,6 +35,15 @@ BUDGET = {
     "part_brand_cooccurrence": 6,
     "doc_word_spans_udtf": 4,
     "entity_pagerank": 25,
+    # round-6 additions (audited static counts + 2 headroom; the
+    # persist-backed plans count both in-memory branches statically)
+    "customer_geo_cell_pairs": 4,
+    "session_overlap_pairs": 6,
+    "customer_adamic_adar": 18,
+    "doc_containment_pairs": 17,
+    "user_kmv_rolling_7d": 10,
+    "doc_hybrid_rrf_search": 12,
+    "event_value_stats_merged": 5,
 }
 # deliberately NOT budgeted: entries consuming the shared sketch-pair
 # cache (ngram_jaccard_pairs, edit_distance_near_dup, ...) — their static
