@@ -35,12 +35,13 @@ BUDGET = {
     "part_brand_cooccurrence": 6,
     "doc_word_spans_udtf": 4,
     "entity_pagerank": 25,
-    # round-6 additions (audited static counts + 2 headroom; the
-    # persist-backed plans count both in-memory branches statically)
+    # round-6 additions (audited static counts + 2 headroom).
+    # customer_adamic_adar and doc_containment_pairs are deliberately NOT
+    # budgeted: both persist a shared relation, so their static plans
+    # differ between cached and uncached session states (the same class
+    # as the sketch-pair-cache entries above).
     "customer_geo_cell_pairs": 4,
     "session_overlap_pairs": 6,
-    "customer_adamic_adar": 18,
-    "doc_containment_pairs": 17,
     "user_kmv_rolling_7d": 10,
     "doc_hybrid_rrf_search": 12,
     "event_value_stats_merged": 5,

@@ -70,6 +70,12 @@ EXTRA_FAMILIES = [
     "user_balance_clamped",
     "orders_cdc_apply",
     "orders_pit_segment",
+    "entity_reach_temporal",
+    "event_value_stats_merged",
+    "daily_type_rank_shift",
+    "part_fs_match_weights",
+    "nation_revenue_share",
+    "rollup_restatement_diff",
 ]
 
 
