@@ -2140,3 +2140,53 @@ def rollup_restatement_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_changes(base, restated, "o_orderpriority", fp).orderBy(
         "o_orderpriority"
     )
+
+
+# --------------------------------------------------------------------------
+# incremental maintenance of a JOIN view (delta rule, no aggregation)
+# --------------------------------------------------------------------------
+
+_JIVM_ORACLE = """
+    select o.o_orderkey, l.l_linenumber, o.o_custkey,
+           round(l.l_extendedprice, 2) as price
+    from orders o join lineitem l on l.l_orderkey = o.o_orderkey
+    order by o_orderkey, l_linenumber
+"""
+
+
+@register("orders_lineitem_join_ivm", _JIVM_ORACLE)
+def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a NON-aggregate join view
+    V = orders ⋈ lineitem under insert deltas on BOTH sides, via the
+    bilinear delta rule ΔV = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB (joins distribute
+    over union, so the maintained V₀ ∪ ΔV provably equals the full
+    join — which is exactly what the oracle computes). Every 9th order
+    and every 7th lineitem play the delta batch; the stored V₀ is the
+    base⋈base join. At 100 TB the three delta joins touch only
+    delta-keyed partitions of each base (the stored view is appended,
+    never rebuilt) — the non-aggregate complement to
+    `nation_revenue_view_ivm`'s signed-delta aggregate maintenance.
+    All four joins share one key, so co-partitioned/bucketed bases make
+    them shuffle-free on the big side."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a_delta = F.col("o_orderkey") % 9 == 0
+    b_delta = F.col("l_orderkey") % 7 == 0
+    a0, da = orders.filter(~a_delta), orders.filter(a_delta)
+    b0, db = li.filter(~b_delta), li.filter(b_delta)
+
+    def j(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+
+    v0 = j(a0, b0)
+    maintained = (
+        v0.unionByName(j(da, b0)).unionByName(j(a0, db)).unionByName(j(da, db))
+    )
+    return maintained.orderBy("o_orderkey", "l_linenumber")

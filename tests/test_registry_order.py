@@ -80,6 +80,7 @@ POST_FREEZE: set[str] = {
     "embedding_label_balance",
     "user_kmv_stream_partials",
     "rollup_restatement_diff",
+    "orders_lineitem_join_ivm",
 }
 
 
