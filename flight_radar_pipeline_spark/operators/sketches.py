@@ -147,3 +147,60 @@ def merge_moment_partials(
         F.col("__m.mean").alias("mean"),
         F.col("__m.m2").alias("m2"),
     )
+
+
+def kmv_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV partial: the k smallest (unit-hash, key) structs
+    over the group's DISTINCT keys → (group..., __mins array). Bounded
+    state (≤ k structs per group), exactly mergeable
+    (``merge_kmv_partials``) because the k smallest hashes of a union
+    are each among the k smallest of their slice. The estimator reads
+    (k−1)/h_k off the k-th struct. Dedupe keys per group FIRST when a
+    key can repeat (same (hv, key) struct merges away on
+    ``array_distinct``, so repeats across slices are harmless — only
+    in-slice repeats inflate the partial build's input)."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    return (
+        df.select(*group_cols, F.col(key_col).alias("__k"))
+        .distinct()
+        .select(*group_cols, "__k", unit_hash("__k", salt).alias("__hv"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__hv").alias("hv"), F.col("__k").alias("user_id"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("__mins")
+        )
+    )
+
+
+def merge_kmv_partials(
+    partials: DataFrame,
+    group_cols: list[str],
+    k: int,
+    mins_col: str = "__mins",
+) -> DataFrame:
+    """Combine KMV partials into per-group partials of the union:
+    flatten, struct-dedup (the same key arriving from several slices
+    carries an identical (hv, key) struct), re-take the k smallest.
+    Exact — the merged partial equals the partial computed from the
+    union directly, on any split of the data (property-tested)."""
+    return partials.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list(mins_col)))),
+            1,
+            k,
+        ).alias(mins_col)
+    )

@@ -1118,39 +1118,23 @@ def user_kmv_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. The exact column is the yardstick the sketch replaces
     (its per-window distinct costs the 7× replication the partials
     avoid); production keeps only the estimate."""
-    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+    from flight_radar_pipeline_spark.operators.sketches import (
+        kmv_partials,
+        merge_kmv_partials,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    daily = (
-        du.select("d", "user_id", unit_hash("user_id", "kmv").alias("hv"))
-        .groupBy("d")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list(F.struct("hv", "user_id"))),
-                1,
-                _RKMV_K,
-            ).alias("__mins")
-        )
-    )
-    merged = (
+    daily = kmv_partials(du, ["d"], "user_id", _RKMV_K)
+    merged = merge_kmv_partials(
         daily.withColumn(
             "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
-        )
-        .groupBy("wend")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("__mins")))
-                ),
-                1,
-                _RKMV_K,
-            ).alias("__mins")
-        )
-        .select(
-            "wend",
-            F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
-        )
+        ),
+        ["wend"],
+        _RKMV_K,
+    ).select(
+        "wend",
+        F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
     )
     exact = (
         du.withColumn(
@@ -1949,7 +1933,10 @@ def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+    from flight_radar_pipeline_spark.operators.sketches import (
+        kmv_partials,
+        merge_kmv_partials,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="kmv_stream_")
@@ -1973,17 +1960,9 @@ def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     def day_partials(batch: DataFrame) -> DataFrame:
-        du = batch.select(F.to_date("ts").alias("d"), "user_id").distinct()
-        return (
-            du.select("d", "user_id", unit_hash("user_id", "kmv").alias("hv"))
-            .groupBy("d")
-            .agg(
-                F.slice(
-                    F.array_sort(F.collect_list(F.struct("hv", "user_id"))),
-                    1,
-                    _RKMV_K,
-                ).alias("__mins")
-            )
+        return kmv_partials(
+            batch.select(F.to_date("ts").alias("d"), "user_id"),
+            ["d"], "user_id", _RKMV_K,
         )
 
     versions: list[str | None] = [None]
@@ -1992,19 +1971,7 @@ def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = day_partials(batch)
         if versions[-1] is not None:
             prev = spark.read.parquet(versions[-1])
-            p = (
-                prev.unionByName(p)
-                .groupBy("d")
-                .agg(
-                    F.slice(
-                        F.array_sort(
-                            F.array_distinct(F.flatten(F.collect_list("__mins")))
-                        ),
-                        1,
-                        _RKMV_K,
-                    ).alias("__mins")
-                )
-            )
+            p = merge_kmv_partials(prev.unionByName(p), ["d"], _RKMV_K)
         nxt = os.path.join(work, f"v{len(versions)}")
         p.write.mode("overwrite").parquet(nxt)
         versions.append(nxt)
@@ -2022,24 +1989,15 @@ def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
 
     daily = spark.read.parquet(versions[-1])
-    merged = (
+    merged = merge_kmv_partials(
         daily.withColumn(
             "wend", F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
-        )
-        .groupBy("wend")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list("__mins")))
-                ),
-                1,
-                _RKMV_K,
-            ).alias("__mins")
-        )
-        .select(
-            "wend",
-            F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
-        )
+        ),
+        ["wend"],
+        _RKMV_K,
+    ).select(
+        "wend",
+        F.try_element_at("__mins", F.lit(_RKMV_K))["hv"].alias("hk"),
     )
     du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
     exact = (

@@ -104,3 +104,33 @@ def test_moment_merge_single_and_tiny_slices(spark):
     assert out.n == 4
     assert math.isclose(out.mean, 5.0, rel_tol=1e-12)
     assert math.isclose(out.m2 / 3, float(np.var([2, 4, 6, 8], ddof=1)), rel_tol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# KMV partial mergeability (split invariance)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("seed,n_splits", [(5, 2), (29, 4)])
+def test_kmv_merge_invariant_to_split(spark, seed, n_splits):
+    """Merging per-slice KMV partials must equal the partial computed
+    over the whole data, for ANY split — including keys repeating
+    across slices."""
+    from flight_radar_pipeline_spark.operators.sketches import (
+        kmv_partials,
+        merge_kmv_partials,
+    )
+
+    rng = np.random.default_rng(seed)
+    k = 8
+    rows = [
+        (f"g{int(rng.integers(0, 3))}", int(rng.integers(0, 200)),
+         int(rng.integers(0, n_splits)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, key long, split long")
+    direct = kmv_partials(df, ["g"], "key", k)
+    per_slice = kmv_partials(df, ["g", "split"], "key", k).drop("split")
+    merged = merge_kmv_partials(per_slice, ["g"], k)
+    got_direct = {r.g: [(x.hv, x.user_id) for x in r["__mins"]] for r in direct.collect()}
+    got_merged = {r.g: [(x.hv, x.user_id) for x in r["__mins"]] for r in merged.collect()}
+    assert got_direct == got_merged
