@@ -2148,3 +2148,75 @@ def orders_lineitem_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         v0.unionByName(j(da, b0)).unionByName(j(a0, db)).unionByName(j(da, db))
     )
     return maintained.orderBy("o_orderkey", "l_linenumber")
+
+
+# --------------------------------------------------------------------------
+# k-fold split parity audit (stratification check)
+# --------------------------------------------------------------------------
+
+_FOLD_K = 5
+
+_PARITY_ORACLE = f"""
+    with f as (
+        select doc_id, lang,
+               ('0x' || substr(md5(doc_id::varchar), 1, 12))::bigint
+                   % {_FOLD_K} as fold
+        from documents
+    ), fl as (
+        select fold, lang, cast(count(*) as bigint) as n from f group by 1, 2
+    ), tot as (
+        select lang, sum(n) as lang_n from fl group by lang
+    ), ftot as (
+        select fold, sum(n) as fold_n from fl group by fold
+    ), alln as (
+        select sum(n) as total from fl
+    )
+    select fl.fold, fl.lang, fl.n,
+           round(fl.n / ftot.fold_n, 6) as fold_share,
+           round(tot.lang_n / alln.total, 6) as corpus_share,
+           round(abs(fl.n / ftot.fold_n - tot.lang_n / alln.total), 6) as abs_dev
+    from fl
+    join tot using (lang)
+    join ftot using (fold)
+    cross join alln
+    order by fold, lang
+"""
+
+
+@register("doc_fold_label_parity", _PARITY_ORACLE)
+def doc_fold_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation stratification audit: assign documents to
+    {k} md5-derived folds (reproducible on any engine — the same
+    auditable-split property as `doc_deterministic_sample`), then
+    compare each fold's language mix against the corpus mix — abs_dev
+    near 0 everywhere means the folds are exchangeable; a hot deviation
+    says stratified assignment is needed before metrics on that fold
+    mean anything. Everything after the (fold, lang) count is
+    |folds|×|langs|-row arithmetic via broadcast-sized joins."""
+    from flight_radar_pipeline_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "lang", T.hash_bucket(F.col("doc_id"), _FOLD_K).alias("fold")
+    )
+    fl = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = fl.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    ftot = fl.groupBy("fold").agg(F.sum("n").alias("fold_n"))
+    alln = fl.agg(F.sum("n").alias("total"))
+    return (
+        fl.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(ftot), "fold")
+        .crossJoin(F.broadcast(alln))
+        .select(
+            "fold",
+            "lang",
+            "n",
+            F.round(F.col("n") / F.col("fold_n"), 6).alias("fold_share"),
+            F.round(F.col("lang_n") / F.col("total"), 6).alias("corpus_share"),
+            F.round(
+                F.abs(F.col("n") / F.col("fold_n") - F.col("lang_n") / F.col("total")),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("fold", "lang")
+    )

@@ -81,6 +81,7 @@ POST_FREEZE: set[str] = {
     "user_kmv_stream_partials",
     "rollup_restatement_diff",
     "orders_lineitem_join_ivm",
+    "doc_fold_label_parity",
 }
 
 
