@@ -2220,3 +2220,128 @@ def doc_fold_label_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming-maintained drift alarm (mergeable moments, incremental)
+# --------------------------------------------------------------------------
+
+_DRIFT_ORACLE = """
+    with overall as (
+        select event_type,
+               cast(count(value) as bigint) as n,
+               avg(value) as mean_overall,
+               var_samp(value) as var_overall
+        from events group by event_type
+    ), last_day as (
+        select event_type, avg(value) as mean_last,
+               cast(count(*) as bigint) as n_last
+        from events
+        where date_trunc('day', ts)::date
+              = (select max(date_trunc('day', ts)::date) from events)
+        group by event_type
+    )
+    select o.event_type, o.n,
+           round(o.mean_overall, 4) as mean_overall,
+           round(o.var_overall, 4) as var_overall,
+           l.n_last,
+           round(l.mean_last, 4) as mean_last,
+           round((l.mean_last - o.mean_overall) / sqrt(o.var_overall), 4)
+               as shift_sigma
+    from overall o join last_day l using (event_type)
+    order by event_type
+"""
+
+
+@register("event_drift_stream_moments", _DRIFT_ORACLE)
+def event_drift_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift alarm on incrementally-maintained moments: events
+    arrive in 3 microbatches; ``foreachBatch`` appends per (type, day,
+    batch) moment partials to a state table — pure appends, never a
+    recompute — and the final report merges them (Chan fold in
+    deterministic (day, batch) order) into per-type overall mean/var
+    plus the LAST day's mean, flagging the level shift in pooled-σ
+    units. The oracle computes everything DIRECTLY from raw events, so
+    the hash match proves the maintained-state path end-to-end: the
+    monitoring pattern where a 100 TB feed keeps 3 numbers per
+    (key, day) and the drift query never touches raw history."""
+    import os
+    import tempfile
+
+    from flight_radar_pipeline_spark.operators.sketches import (
+        merge_moment_partials,
+        moment_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="drift_stream_")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage)
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, f"b{i}"))
+        )
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        bdir = os.path.join(stage, f"b{i}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f), os.path.join(flat, f"{i:03d}.parquet")
+                )
+
+    state_dir = os.path.join(work, "state")
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        p = moment_partials(
+            batch.select("event_type", F.to_date("ts").alias("d"), "value"),
+            ["event_type", "d"],
+            "value",
+        ).withColumn("b", F.lit(int(bid)))
+        p.write.mode("append").parquet(state_dir)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(state_dir)
+    overall = merge_moment_partials(partials, ["event_type"], ["d", "b"])
+    last_day = partials.agg(F.max("d").alias("__maxd"))
+    last = merge_moment_partials(
+        partials.join(F.broadcast(last_day), partials["d"] == last_day["__maxd"]),
+        ["event_type"],
+        ["d", "b"],
+    ).select(
+        F.col("event_type").alias("__t2"),
+        F.col("n").alias("n_last"),
+        F.col("mean").alias("mean_last"),
+    )
+    return (
+        overall.join(last, overall["event_type"] == F.col("__t2"))
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 4).alias("mean_overall"),
+            F.round(F.col("m2") / (F.col("n") - 1), 4).alias("var_overall"),
+            "n_last",
+            F.round("mean_last", 4).alias("mean_last"),
+            F.round(
+                (F.col("mean_last") - F.col("mean"))
+                / F.sqrt(F.col("m2") / (F.col("n") - 1)),
+                4,
+            ).alias("shift_sigma"),
+        )
+        .orderBy("event_type")
+    )

@@ -82,6 +82,7 @@ POST_FREEZE: set[str] = {
     "rollup_restatement_diff",
     "orders_lineitem_join_ivm",
     "doc_fold_label_parity",
+    "event_drift_stream_moments",
 }
 
 
