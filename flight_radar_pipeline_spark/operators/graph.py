@@ -403,3 +403,69 @@ def time_respecting_reach(
     return visited.select(
         F.col("__node").alias(node), "hop", "arrival"
     )
+
+
+def bounded_min_cost(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+) -> DataFrame:
+    """Weighted shortest distance from a seed set, bounded to paths of
+    at most ``max_hops`` edges — delta-stepping-flavored Bellman–Ford on
+    DataFrames. Returns every node whose bounded distance is finite with
+    its minimum path cost (seeds are cost 0). Non-negative weights
+    assumed (a negative edge makes "min over ≤k-hop paths" still
+    well-defined, but the improved-only frontier below would remain
+    correct only because every round re-relaxes all improved nodes —
+    documented for k-bounded semantics, not general SSSP).
+
+    Scale posture mirrors ``n_hop_reach``: ``edges`` is repartitioned on
+    ``src`` once and cached so each relaxation round's join reuses the
+    partitioning; each round joins only the IMPROVED frontier (nodes
+    whose best-known cost changed last round) against the edges, does a
+    map-side-combinable ``min`` per destination, and merges into the
+    distance table via a full-outer coalesce-min. Rounds are a fixed
+    small constant and both sides are localCheckpoint-ed per round, so
+    lineage stays flat and per-round cost tracks the improved set, not
+    the graph.
+    """
+    e = edges.select(
+        F.col(src).alias("__src"),
+        F.col(dst).alias("__dst"),
+        F.col(weight).alias("__w"),
+    )
+    e = e.repartition("__src").cache()
+    dist = seeds.select(F.col(node).alias("__node")).distinct().select(
+        "__node", F.lit(0).cast("bigint").alias("cost")
+    )
+    frontier = dist
+    for _ in range(int(max_hops)):
+        cand = (
+            frontier.join(e, frontier["__node"] == e["__src"])
+            .groupBy(F.col("__dst").alias("__n2"))
+            .agg(F.min(F.col("cost") + F.col("__w")).alias("new_cost"))
+            .select(F.col("__n2").alias("__node"), "new_cost")
+        )
+        merged = (
+            dist.join(cand, "__node", "full_outer")
+            .select(
+                "__node",
+                F.least(
+                    F.coalesce(F.col("cost"), F.col("new_cost")),
+                    F.coalesce(F.col("new_cost"), F.col("cost")),
+                ).alias("cost"),
+                (
+                    F.col("cost").isNull()
+                    | (F.col("new_cost") < F.col("cost"))
+                ).alias("__improved"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        frontier = merged.filter("__improved").select("__node", "cost")
+        dist = merged.select("__node", "cost")
+    e.unpersist()
+    return dist.select(F.col("__node").alias(node), F.col("cost").alias("min_cost"))

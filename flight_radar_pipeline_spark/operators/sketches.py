@@ -204,3 +204,94 @@ def merge_kmv_partials(
             k,
         ).alias(mins_col)
     )
+
+
+def hist_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram partials: per group, the count of values in
+    each of ``nbins`` fixed [lo, hi) bins (out-of-range values clamp to
+    the edge bins, so mass is never dropped). The quantile analogue of
+    ``moment_partials``: partials over any partitioning of the data —
+    per day, per source, per executor — MERGE by adding bin counts
+    (``merge_hist_partials``), the merged state is ``nbins`` longs per
+    group regardless of row count, and the whole build is one
+    map-side-combinable groupBy. Fully deterministic (no sampling), so
+    estimates restate exactly in SQL — the property ``approx_percentile``
+    sketches can't give an oracle."""
+    w = (hi - lo) / nbins
+    bucket = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / w).cast("int")),
+    ).alias("bucket")
+    return (
+        df.select(*group_cols, bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("bin_count"))
+    )
+
+
+def merge_hist_partials(partials: DataFrame, group_cols: list) -> DataFrame:
+    """Add bin counts across partials that share a group — the linear
+    merge that makes the histogram a distributed sketch."""
+    return partials.groupBy(*group_cols, "bucket").agg(
+        F.sum("bin_count").alias("bin_count")
+    )
+
+
+def hist_quantiles(
+    merged: DataFrame,
+    group_cols: list,
+    probs: list,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Quantile estimates from merged histogram state: for each prob p,
+    the FIRST bin whose cumulative count reaches p·n, linearly
+    interpolated inside the bin — the classic equi-width estimator with
+    error bounded by one bin width. Window cumsum per group (state is
+    nbins rows/group, so the window is trivially small), then one
+    row_number pick per (group, p). Returns (group..., p, quantile, n)."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / nbins
+    cum_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*group_cols)
+    cums = merged.select(
+        *group_cols,
+        "bucket",
+        "bin_count",
+        F.sum("bin_count").over(cum_w).alias("cum"),
+        F.sum("bin_count").over(tot_w).alias("n"),
+    )
+    probs_col = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("p")
+    cand = cums.select(*group_cols, "bucket", "bin_count", "cum", "n", probs_col)
+    target = F.col("p") * F.col("n")
+    pick_w = Window.partitionBy(*group_cols, "p").orderBy("bucket")
+    first_hit = (
+        cand.filter(F.col("cum") >= target)
+        .withColumn("__rn", F.row_number().over(pick_w))
+        .filter(F.col("__rn") == 1)
+    )
+    est = F.lit(lo) + F.lit(w) * (
+        F.col("bucket")
+        + (target - (F.col("cum") - F.col("bin_count"))) / F.col("bin_count")
+    )
+    return first_hit.select(
+        *group_cols,
+        "p",
+        est.alias("quantile"),
+        F.col("n").cast("bigint").alias("n"),
+    )

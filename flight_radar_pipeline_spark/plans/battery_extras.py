@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.operators.graph import n_hop_reach
+from flight_radar_pipeline_spark.operators.graph import bounded_min_cost, n_hop_reach
 from flight_radar_pipeline_spark.operators.spatial import geo_cell_pairs
 from flight_radar_pipeline_spark.operators.temporal import interval_overlap_pairs
 from flight_radar_pipeline_spark.plans.battery import register
@@ -2345,3 +2345,271 @@ def event_drift_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# bounded weighted shortest distance (Bellman-Ford, k relaxation rounds)
+# --------------------------------------------------------------------------
+
+_MC_HOPS = 3
+_MC_SEEDS = 15
+
+_MC_ORACLE = f"""
+    with pair as (
+        select 'c' || o_custkey as a, 's' || l_suppkey as b,
+               min(floor(l_quantity))::bigint as w
+        from lineitem join orders on l_orderkey = o_orderkey
+        group by 1, 2
+    ), edges as (
+        select a as src, b as dst, w from pair
+        union all
+        select b as src, a as dst, w from pair
+    ), d0 as (
+        select 'c' || c_custkey as node, 0::bigint as cost
+        from customer where c_custkey <= {_MC_SEEDS}
+    ), d1 as (
+        select node, min(cost)::bigint as cost from (
+            select node, cost from d0
+            union all
+            select e.dst as node, d0.cost + e.w as cost
+            from edges e join d0 on e.src = d0.node
+        ) group by node
+    ), d2 as (
+        select node, min(cost)::bigint as cost from (
+            select node, cost from d1
+            union all
+            select e.dst as node, d1.cost + e.w as cost
+            from edges e join d1 on e.src = d1.node
+        ) group by node
+    ), d3 as (
+        select node, min(cost)::bigint as cost from (
+            select node, cost from d2
+            union all
+            select e.dst as node, d2.cost + e.w as cost
+            from edges e join d2 on e.src = d2.node
+        ) group by node
+    )
+    select node, cost as min_cost from d3 order by node
+"""
+
+
+@register("entity_min_cost_3hop", _MC_ORACLE)
+def entity_min_cost_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted companion to ``entity_reach_3hop``: minimum path COST
+    (edge weight = the pair's smallest lineitem quantity, an integer so
+    the comparison is exact) from the seed customers to every entity
+    reachable in <= 3 edges on the symmetrized customer-supplier graph,
+    via ``operators.graph.bounded_min_cost`` — Bellman-Ford with an
+    improved-only frontier, edges repartitioned on src once, min-merge
+    per round. The oracle unrolls the same three relaxation rounds as
+    CTE layers; improved-frontier pruning is provably lossless against
+    that full relaxation, so the hash match certifies the optimization."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .agg(F.min(F.floor("l_quantity")).cast("bigint").alias("w"))
+    )
+    edges = pair.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionByName(pair.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= _MC_SEEDS)
+        .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node"))
+    )
+    return bounded_min_cost(edges, seeds, _MC_HOPS).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# mergeable equi-width histogram quantiles
+# --------------------------------------------------------------------------
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 500.0, 50
+_HQ_PROBS = [0.5, 0.9, 0.99]
+
+_HQ_ORACLE = f"""
+    with b as (
+        select event_type,
+               least({_HQ_BINS - 1}, greatest(0,
+                   floor((value - {_HQ_LO}) / {(_HQ_HI - _HQ_LO) / _HQ_BINS})::int
+               )) as bucket
+        from events
+    ), m as (
+        select event_type, bucket, count(*)::bigint as bin_count
+        from b group by 1, 2
+    ), c as (
+        select event_type, bucket, bin_count,
+               sum(bin_count) over (partition by event_type order by bucket) as cum,
+               sum(bin_count) over (partition by event_type) as n
+        from m
+    ), x as (
+        select event_type, bucket, bin_count, cum, n, p
+        from c cross join (select unnest([{", ".join(str(p) for p in _HQ_PROBS)}]) as p) pp
+    ), f as (
+        select *, row_number() over (partition by event_type, p order by bucket) as rn
+        from x where cum >= p * n
+    )
+    select event_type, p,
+           round({_HQ_LO} + {(_HQ_HI - _HQ_LO) / _HQ_BINS}
+                 * (bucket + (p * n - (cum - bin_count)) / bin_count), 6) as quantile,
+           n::bigint as n
+    from f where rn = 1
+    order by event_type, p
+"""
+
+
+@register("event_value_hist_quantiles", _HQ_ORACLE)
+def event_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p50/p90/p99 from MERGED equi-width histogram partials
+    (``operators.sketches.hist_partials`` built per (type, day), added
+    across days by ``merge_hist_partials``, interpolated by
+    ``hist_quantiles``) — the fully-deterministic quantile sketch: unlike
+    ``approx_percentile`` the state restates exactly in SQL, so this
+    carries a full value-hash oracle where ``order_price_deciles_approx``
+    must stay rows-only. State is 50 longs per group whatever the row
+    count; the plan is one map-side-combinable groupBy plus a
+    50-row-per-group window — the shape that survives a 100 TB day-
+    partitioned fact table because partials merge without re-scanning."""
+    from flight_radar_pipeline_spark.operators.sketches import (
+        hist_partials,
+        hist_quantiles,
+        merge_hist_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    partials = hist_partials(
+        ev, "value", ["event_type", "day"], _HQ_LO, _HQ_HI, _HQ_BINS
+    )
+    merged = merge_hist_partials(partials, ["event_type"])
+    return (
+        hist_quantiles(
+            merged, ["event_type"], _HQ_PROBS, _HQ_LO, _HQ_HI, _HQ_BINS
+        )
+        .select(
+            "event_type", "p", F.round("quantile", 6).alias("quantile"), "n"
+        )
+        .orderBy("event_type", "p")
+    )
+
+
+# --------------------------------------------------------------------------
+# lead/lag cross-correlation between two hourly series
+# --------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3
+
+_CCF_ORACLE = """
+    with bounds as (
+        select date_trunc('hour', min(ts)) as lo, date_trunc('hour', max(ts)) as hi
+        from events
+    ), hours as (
+        select unnest(generate_series(lo, hi, interval 1 hour)) as hour_start
+        from bounds
+    ), v as (
+        select date_trunc('hour', ts) as hour_start, count(*) as n
+        from events where event_type = 'view' group by 1
+    ), c as (
+        select date_trunc('hour', ts) as hour_start, count(*) as n
+        from events where event_type = 'click' group by 1
+    ), g as (
+        select h.hour_start,
+               coalesce(v.n, 0)::double as x,
+               coalesce(c.n, 0)::double as y
+        from hours h
+        left join v on h.hour_start = v.hour_start
+        left join c on h.hour_start = c.hour_start
+    ), l as (
+        select x, y,
+               lead(y, 1) over (order by hour_start) as y1,
+               lead(y, 2) over (order by hour_start) as y2,
+               lead(y, 3) over (order by hour_start) as y3
+        from g
+    )
+    select 0 as lag, count(y)::bigint as n_pairs, round(corr(x, y), 4) as ccf from l
+    union all
+    select 1, count(y1)::bigint, round(corr(x, y1), 4) from l
+    union all
+    select 2, count(y2)::bigint, round(corr(x, y2), 4) from l
+    union all
+    select 3, count(y3)::bigint, round(corr(x, y3), 4) from l
+    order by lag
+"""
+
+
+@register("view_click_crosscorr", _CCF_ORACLE)
+def view_click_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly VIEW series and the
+    CLICK series at leads 0..3 — does click volume echo view volume an
+    hour later? Complements ``event_value_lag_autocorr`` (self) with the
+    two-series diagnostic behind feed-latency / campaign-lift questions.
+    The series is the gap-filled hourly spine (``hourly_timeline_dense``
+    shape) so missing hours count as 0 instead of silently contracting
+    the lag axis. The global-order window runs over the AGGREGATED
+    series — O(hours), thousands of rows at 100 TB of raw events — never
+    over the fact table; everything upstream is map-side-combinable
+    counts."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_start"
+        )
+    )
+
+    def hourly(t: str, name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    g = (
+        hours.join(hourly("view", "xv"), "hour_start", "left")
+        .join(hourly("click", "yc"), "hour_start", "left")
+        .select(
+            "hour_start",
+            F.coalesce("xv", F.lit(0)).cast("double").alias("x"),
+            F.coalesce("yc", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    w = Window.orderBy("hour_start")
+    lagged = g.select(
+        "x",
+        F.col("y").alias("y0"),
+        *[
+            F.lead("y", k).over(w).alias(f"y{k}")
+            for k in range(1, _CCF_MAX_LAG + 1)
+        ],
+    )
+    aggs = []
+    for k in range(_CCF_MAX_LAG + 1):
+        aggs.append(F.count(F.col(f"y{k}")).alias(f"n{k}"))
+        aggs.append(F.round(F.corr("x", f"y{k}"), 4).alias(f"c{k}"))
+    one = lagged.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"n{k}").alias("n_pairs"),
+                        F.col(f"c{k}").alias("ccf"),
+                    )
+                    for k in range(_CCF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.lag", "r.n_pairs", "r.ccf")
+    return rows.orderBy("lag")

@@ -83,6 +83,9 @@ POST_FREEZE: set[str] = {
     "orders_lineitem_join_ivm",
     "doc_fold_label_parity",
     "event_drift_stream_moments",
+    "entity_min_cost_3hop",
+    "event_value_hist_quantiles",
+    "view_click_crosscorr",
 }
 
 
