@@ -773,3 +773,58 @@ def semantic_dedup_decisions(
         F.coalesce("n_lower_dups", F.lit(0)).cast("bigint").alias("n_lower_dups"),
         F.col("n_lower_dups").isNull().alias("kept"),
     )
+
+
+def mutual_nn_pairs(
+    df: DataFrame,
+    num_tables: int = 4,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    n_dims: int | None = None,
+    signature_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs → (id_a, id_b, cosine), id_a < id_b:
+    each side is the other's top-1 cosine neighbor AMONG the LSH
+    candidates. The alignment/dedup primitive behind bitext mining and
+    cluster canonicalization — mutual-NN is a far stronger duplicate
+    signal than a one-way threshold because popularity hubs (one vector
+    near many) fail the reciprocity test.
+
+    Candidates come from the same multi-table sign-LSH as
+    ``cosine_near_dup_pairs`` (no corpus cross product; self-size
+    ``planes_per_table`` via ``recommended_planes``); the argmax per id
+    is a window over each id's candidate list (bounded by bucket
+    occupancy), and reciprocity is one self-equi-join of the nn table on
+    the reversed pair. Ties break toward the smaller neighbor id on both
+    engines."""
+    scored = cosine_near_dup_pairs(
+        df,
+        threshold=-2.0,  # keep every candidate; reciprocity is the filter
+        num_tables=num_tables,
+        planes_per_table=planes_per_table,
+        id_col=id_col,
+        vec_col=vec_col,
+        decimals=decimals,
+        n_dims=n_dims,
+        signature_storage=signature_storage,
+    )
+    sym = scored.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    nn = (
+        sym.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("src", "dst", "cosine")
+    )
+    fwd = nn.select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = nn.select(F.col("dst").alias("id_a"), F.col("src").alias("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "cosine")

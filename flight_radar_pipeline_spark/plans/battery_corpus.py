@@ -1356,3 +1356,76 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# mutual nearest neighbors (reciprocal top-1 within LSH candidates)
+# --------------------------------------------------------------------------
+
+_MNN_ORACLE = f"""
+    with sizing as (
+        select greatest(4, cast(ceil(log2(count(*) / {_LSH_TARGET_OCC}.0)) as int))
+                   as ppt
+        from embeddings
+    ), comps as (
+        select vec_id, unnest(embedding::DOUBLE[]) as x,
+               unnest(range(0, len(embedding))) as dim
+        from embeddings
+    ), planes as (
+        select plane, dim,
+               {_nibble_case("substr(md5(plane::varchar || '-' || dim::varchar), 1, 1)")}::double - 7.5 as comp
+        from (select unnest(range(0, {_NT} * ppt)) as plane from sizing)
+        cross join (select unnest(range(0, 64)) as dim)
+    ), dots as (
+        select c.vec_id, p.plane, sum(c.x * p.comp) as dot
+        from comps c join planes p on c.dim = p.dim
+        group by c.vec_id, p.plane
+    ), sig as (
+        select d.vec_id, d.plane // s.ppt as tbl,
+               string_agg(case when d.dot > 0 then '1' else '0' end, '' order by d.plane) as signature
+        from dots d cross join sizing s group by d.vec_id, d.plane // s.ppt
+    ), cand as (
+        select distinct l.vec_id as id_a, r.vec_id as id_b
+        from sig l join sig r
+          on l.tbl = r.tbl and l.signature = r.signature and l.vec_id < r.vec_id
+    ), v as (
+        select vec_id,
+               [x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                for x in embedding::DOUBLE[]] as u
+        from embeddings
+    ), scored as (
+        select id_a, id_b, round(list_inner_product(a.u, b.u), 6) as cosine
+        from cand join v a on a.vec_id = id_a join v b on b.vec_id = id_b
+    ), sym as (
+        select id_a as src, id_b as dst, cosine from scored
+        union all
+        select id_b as src, id_a as dst, cosine from scored
+    ), nn as (
+        select src, dst, cosine from (
+            select *, row_number() over (
+                partition by src order by cosine desc, dst
+            ) as rn from sym
+        ) where rn = 1
+    )
+    select a.src as id_a, a.dst as id_b, a.cosine
+    from nn a join nn b on a.src = b.dst and a.dst = b.src
+    where a.src < a.dst
+    order by id_a
+"""
+
+
+@register("embedding_mutual_nn", _MNN_ORACLE)
+def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal top-1 pairs: (a, b) where b is a's best cosine
+    neighbor among the LSH candidates AND a is b's — the bitext-mining /
+    cluster-canonicalization signal that one-way thresholds can't give
+    (popularity hubs fail reciprocity). Same self-sized multi-table
+    sign-LSH candidate generation as ``embedding_near_dup_pairs``; the
+    argmax is a window over each id's candidate list (bounded by bucket
+    occupancy), reciprocity one self-equi-join
+    (``operators.similarity.mutual_nn_pairs``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ppt = S.recommended_planes(emb.count(), target_bucket_occupancy=_LSH_TARGET_OCC)
+    return S.mutual_nn_pairs(
+        emb, num_tables=_NT, planes_per_table=ppt, n_dims=EMB_DIMS
+    ).orderBy("id_a")

@@ -86,6 +86,7 @@ POST_FREEZE: set[str] = {
     "entity_min_cost_3hop",
     "event_value_hist_quantiles",
     "view_click_crosscorr",
+    "embedding_mutual_nn",
 }
 
 
