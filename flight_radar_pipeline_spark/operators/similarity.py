@@ -810,19 +810,32 @@ def mutual_nn_pairs(
         n_dims=n_dims,
         signature_storage=signature_storage,
     )
+    # symmetrize with a row-local explode (NOT a self-union): the verify
+    # pipeline behind `scored` is the dominant cost and a union would
+    # compute it once per branch
     sym = scored.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
-    ).unionByName(
-        scored.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                ),
+            )
+        ).alias("__e"),
+        "cosine",
+    ).select("__e.src", "__e.dst", "cosine")
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
     nn = (
         sym.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("src", "dst", "cosine")
     )
+    if signature_storage is not None:
+        # both sides of the reciprocity join consume nn; without this the
+        # whole candidate-generation + verify pipeline runs twice
+        nn = nn.persist(signature_storage)
     fwd = nn.select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"
     ).filter(F.col("id_a") < F.col("id_b"))
