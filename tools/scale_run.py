@@ -76,6 +76,10 @@ EXTRA_FAMILIES = [
     "part_fs_match_weights",
     "nation_revenue_share",
     "rollup_restatement_diff",
+    "entity_min_cost_3hop",         # weighted Bellman-Ford, frontier-bounded
+    "event_value_hist_quantiles",   # state is nbins longs/group at any sf
+    "view_click_crosscorr",         # window over O(hours), not the fact
+    "embedding_mutual_nn",          # self-sized LSH → flat bucket occupancy
 ]
 
 
@@ -128,7 +132,7 @@ def _semantic_dedup_at_k(spark, sf_dir: str, k: int):
     return S.semantic_dedup_decisions(emb, cents, threshold=0.35)
 
 
-def run_extras(sf01: str, sf1: str) -> int:
+def run_extras(sf01: str, sf1: str, only: set[str] | None = None) -> int:
     """Time EXTRA_FAMILIES at both SFs, merge as r6_* into SCALE_RUN.json."""
     spark = get_spark_session(app_name="frp-scale-extras", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
@@ -140,6 +144,8 @@ def run_extras(sf01: str, sf1: str) -> int:
                             "..", "SCALE_RUN.json")
     report = json.load(open(out_path)) if os.path.exists(out_path) else {}
     for name in EXTRA_FAMILIES:
+        if only is not None and name not in only:
+            continue
         fn = queries[name]
         _clear_shared_caches()
         c01, w01 = _time_query(spark, fn, sf01)
@@ -161,7 +167,8 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--extras":
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
-        return run_extras(sf01, sf1)
+        only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+        return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
     spark = get_spark_session(app_name="frp-scale-run", timezone="UTC")
