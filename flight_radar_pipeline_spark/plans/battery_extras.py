@@ -2613,3 +2613,185 @@ def view_click_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.lag", "r.n_pairs", "r.ccf")
     return rows.orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# quantile-transform normalization via the broadcast histogram CDF
+# --------------------------------------------------------------------------
+
+_CDF_W = (_HQ_HI - _HQ_LO) / _HQ_BINS
+
+_CDF_ORACLE = f"""
+    with b as (
+        select event_type,
+               least({_HQ_BINS - 1}, greatest(0,
+                   floor((value - {_HQ_LO}) / {_CDF_W})::int)) as bucket,
+               count(*)::bigint as bin_count
+        from events group by 1, 2
+    ), c as (
+        select event_type, bucket, bin_count,
+               sum(bin_count) over (partition by event_type order by bucket) as cum,
+               sum(bin_count) over (partition by event_type) as n
+        from b
+    )
+    select e.event_id, e.event_type,
+           round((c.cum - c.bin_count
+                  + least(1.0, greatest(0.0,
+                        (e.value - ({_HQ_LO} + c.bucket * {_CDF_W})) / {_CDF_W}))
+                    * c.bin_count) / c.n, 6) as pct
+    from events e join c
+      on e.event_type = c.event_type
+     and c.bucket = least({_HQ_BINS - 1}, greatest(0,
+             floor((e.value - {_HQ_LO}) / {_CDF_W})::int))
+    order by e.event_id
+"""
+
+
+@register("event_value_cdf_norm", _CDF_ORACLE)
+def event_value_cdf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-transform feature normalization: every event's value
+    mapped to its approximate per-type percentile by interpolating the
+    MERGED histogram CDF (``operators.sketches.hist_partials`` state,
+    50 bins) — the scalable form of ``percent_rank`` over the fact
+    table, which would sort every type's full history per query. Here
+    the fact side only broadcast-joins the |types|×50-row CDF on
+    (type, bucket) and does row-local arithmetic: no fact-table window,
+    no sort, state independent of row count. Second consumer of the
+    histogram sketch (quantiles are the first), proving the state is a
+    reusable CDF, not a one-query intermediate."""
+    from flight_radar_pipeline_spark.operators.sketches import (
+        hist_partials,
+        merge_hist_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    merged = merge_hist_partials(
+        hist_partials(ev, "value", ["event_type"], _HQ_LO, _HQ_HI, _HQ_BINS),
+        ["event_type"],
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = merged.select(
+        "event_type",
+        "bucket",
+        "bin_count",
+        F.sum("bin_count").over(cum_w).alias("cum"),
+        F.sum("bin_count").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    bucket = F.least(
+        F.lit(_HQ_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - _HQ_LO) / _CDF_W).cast("int")),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.greatest(
+            F.lit(0.0),
+            (F.col("value") - (F.lit(_HQ_LO) + F.col("bucket") * F.lit(_CDF_W)))
+            / F.lit(_CDF_W),
+        ),
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .join(F.broadcast(cdf), ["event_type", "bucket"])
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                (F.col("cum") - F.col("bin_count") + frac * F.col("bin_count"))
+                / F.col("n"),
+                6,
+            ).alias("pct"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC / Pareto classification over part revenue
+# --------------------------------------------------------------------------
+
+_ABC_A, _ABC_B = 0.8, 0.95
+
+_ABC_ORACLE = f"""
+    with rev as (
+        -- integer cents so every running sum is exact on both engines
+        select l_partkey as partkey,
+               sum(floor(l_extendedprice * (1 - l_discount) * 100)::bigint)
+                   as rev_cents
+        from lineitem group by 1
+    ), ranked as (
+        select partkey, rev_cents,
+               sum(rev_cents) over (
+                   order by rev_cents desc, partkey
+               ) as cum_cents,
+               sum(rev_cents) over () as total_cents
+        from rev
+    ), classed as (
+        select partkey, rev_cents,
+               case when cum_cents <= {_ABC_A} * total_cents then 'A'
+                    when cum_cents <= {_ABC_B} * total_cents then 'B'
+                    else 'C' end as abc_class,
+               total_cents
+        from ranked
+    )
+    select abc_class,
+           count(*)::bigint as n_parts,
+           round(sum(rev_cents) / max(total_cents)::double, 6) as revenue_share
+    from classed
+    group by abc_class
+    order by abc_class
+"""
+
+
+@register("part_revenue_abc", _ABC_ORACLE)
+def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B to 95%, C
+    the tail — the classic working-capital report. Revenue is summed in
+    integer CENTS so the running sum is exact and the class boundary
+    can't flip on float summation order. The running-sum window runs
+    over the PRE-AGGREGATED |parts| frame (the dimension, not the
+    lineitem fact); its single-partition cost is the documented
+    pre-aggregate-then-window discipline (`nation_revenue_share`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("rev_cents")
+    )
+    cum_w = (
+        Window.orderBy(F.desc("rev_cents"), F.asc("partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy()
+    ranked = rev.select(
+        "partkey",
+        "rev_cents",
+        F.sum("rev_cents").over(cum_w).alias("cum_cents"),
+        F.sum("rev_cents").over(tot_w).alias("total_cents"),
+    )
+    classed = ranked.select(
+        "rev_cents",
+        "total_cents",
+        F.when(F.col("cum_cents") <= _ABC_A * F.col("total_cents"), "A")
+        .when(F.col("cum_cents") <= _ABC_B * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(
+                F.sum("rev_cents") / F.max("total_cents").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -55,6 +55,7 @@ ALLOWED_BNLJ = {
     "event_decayed_type_scores",  # 1-row corpus-max-ts broadcast (decay anchor)
     "doc_lang_kl_drift",          # |langs|-row × bounded-vocab smoothing grid
     "doc_hybrid_rrf_search",      # exact-cosine side: 1-query broadcast, != cond
+    "doc_fold_label_parity",      # 1-row corpus-total broadcast
 }
 
 

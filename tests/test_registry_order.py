@@ -87,6 +87,8 @@ POST_FREEZE: set[str] = {
     "event_value_hist_quantiles",
     "view_click_crosscorr",
     "embedding_mutual_nn",
+    "event_value_cdf_norm",
+    "part_revenue_abc",
 }
 
 
