@@ -2795,3 +2795,295 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# two-sample KS drift between type value distributions (histogram CDFs)
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = f"""
+    with b as (
+        select event_type,
+               least({_HQ_BINS - 1}, greatest(0,
+                   floor((value - {_HQ_LO}) / {_CDF_W})::int)) as bucket,
+               count(*)::bigint as bin_count
+        from events group by 1, 2
+    ), spine as (
+        select t.event_type, g.bucket
+        from (select distinct event_type from events) t
+        cross join (select unnest(range(0, {_HQ_BINS})) as bucket) g
+    ), dense as (
+        select s.event_type, s.bucket, coalesce(b.bin_count, 0) as bin_count
+        from spine s left join b using (event_type, bucket)
+    ), c as (
+        select event_type, bucket,
+               sum(bin_count) over (partition by event_type order by bucket)
+                   / (sum(bin_count) over (partition by event_type))::double
+                   as cdf,
+               sum(bin_count) over (partition by event_type) as n
+        from dense
+    )
+    select a.event_type as type_a, x.event_type as type_b,
+           round(max(abs(a.cdf - x.cdf)), 6) as ks_stat,
+           max(a.n)::bigint as n_a, max(x.n)::bigint as n_b
+    from c a join c x
+      on a.bucket = x.bucket and a.event_type < x.event_type
+    group by 1, 2
+    order by type_a, type_b
+"""
+
+
+@register("event_type_ks_drift", _KS_ORACLE)
+def event_type_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between every pair of
+    event types' value distributions, computed from the 50-bin histogram
+    CDFs — the third drift metric beside PSI (`order_status_psi_drift`)
+    and KL (`doc_lang_kl_drift`), and the third consumer of the
+    histogram sketch state. Exact given the binning (max over bin-edge
+    CDF gaps), never touches raw pairs: the comparison runs over a
+    |types|² × 50-row pre-aggregate, so two 100 TB distributions compare
+    in constant space from their mergeable partials."""
+    from flight_radar_pipeline_spark.operators.sketches import (
+        hist_partials,
+        merge_hist_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    merged = merge_hist_partials(
+        hist_partials(ev, "value", ["event_type"], _HQ_LO, _HQ_HI, _HQ_BINS),
+        ["event_type"],
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_HQ_BINS).select(F.col("id").cast("int").alias("bucket"))
+        )
+    )
+    dense = spine.join(merged, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("bin_count", F.lit(0)).alias("bin_count")
+    )
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("event_type")
+    c = dense.select(
+        "event_type",
+        "bucket",
+        (
+            F.sum("bin_count").over(cum_w)
+            / F.sum("bin_count").over(tot_w).cast("double")
+        ).alias("cdf"),
+        F.sum("bin_count").over(tot_w).alias("n"),
+    )
+    a = c.select(
+        F.col("event_type").alias("type_a"),
+        "bucket",
+        F.col("cdf").alias("cdf_a"),
+        F.col("n").alias("na"),
+    )
+    x = c.select(
+        F.col("event_type").alias("type_b"),
+        "bucket",
+        F.col("cdf").alias("cdf_b"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(x, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 6).alias(
+                "ks_stat"
+            ),
+            F.max("na").cast("bigint").alias("n_a"),
+            F.max("nb").cast("bigint").alias("n_b"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# differentially-private count release (seeded Laplace, auditable)
+# --------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+_DP_ORACLE = f"""
+    with g as (
+        select c_nationkey as nationkey, cast(count(*) as bigint) as n
+        from customer group by 1
+    ), u as (
+        select nationkey, n,
+               ((('0x' || substr(md5('dp-' || nationkey::varchar), 1, 6))::bigint
+                 + 0.5) / 16777216.0) as uv
+        from g
+    )
+    select nationkey, n,
+           round(n + (-1.0 / {_DP_EPS})
+                     * sign(uv - 0.5) * ln(1.0 - 2.0 * abs(uv - 0.5)), 4)
+               as dp_n
+    from u
+    order by nationkey
+"""
+
+
+@register("nation_dp_customer_counts", _DP_ORACLE)
+def nation_dp_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-nation customer counts
+    plus Laplace(1/ε) noise, ε={eps} — the release mechanism itself,
+    completing the governance family (k-anonymity flags risk, erasure
+    audits deletion, this publishes safely). Noise is drawn by inverse
+    CDF from the md5-derived uniform (`operators.corpus_prep.unit_hash`
+    scheme), so the release is partition-invariant, rerun-stable, and
+    auditable cross-engine — the determinism is per-release-key seeding,
+    exactly how a production DP pipeline makes releases reproducible.
+    One groupBy; the noise is row-local arithmetic on the aggregate."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    u = unit_hash(F.col("nationkey"), "dp")
+    noise = (
+        F.lit(-1.0 / _DP_EPS)
+        * F.signum(u - 0.5)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(u - 0.5))
+    )
+    return g.select(
+        "nationkey", "n", F.round(F.col("n") + noise, 4).alias("dp_n")
+    ).orderBy("nationkey")
+
+
+nation_dp_customer_counts.__doc__ = nation_dp_customer_counts.__doc__.format(
+    eps=_DP_EPS
+)
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals for the per-type mean
+# --------------------------------------------------------------------------
+
+_BOOT_B = 32
+# cumulative Poisson(1) probabilities (k = 0..7; 8 absorbs the tail) for
+# the inverse-CDF draw — identical literals on both engines
+_POIS_CUM = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253,
+]
+# manual percentile interpolation over the B sorted replicate means:
+# h = (B-1)p + 1 → (1-indexed floor, fraction)
+_BOOT_LO1, _BOOT_F1 = 1, (_BOOT_B - 1) * 0.025 + 1 - 1   # p = 0.025
+_BOOT_LO2, _BOOT_F2 = 31, (_BOOT_B - 1) * 0.975 + 1 - 31  # p = 0.975
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"when {u} < {c} then {k}" for k, c in enumerate(_POIS_CUM)
+    )
+    return f"(case {branches} else 8 end)"
+
+
+_BOOT_ORACLE = f"""
+    with reps as (
+        select e.event_type, e.value, b.b,
+               {_pois_case_sql(
+                   "((('0x' || substr(md5('boot-' || e.event_id::varchar"
+                   " || '-' || b.b::varchar), 1, 6))::bigint + 0.5)"
+                   " / 16777216.0)")} as w
+        from events e
+        cross join (select unnest(range(0, {_BOOT_B})) as b) b
+    ), means as (
+        select event_type, b,
+               sum(w * value) / sum(w)::double as m
+        from reps group by 1, 2
+    ), arr as (
+        select event_type, list_sort(list(m)) as ms
+        from means group by event_type
+    ), obs as (
+        select event_type, avg(value) as mean_obs,
+               cast(count(*) as bigint) as n
+        from events group by event_type
+    )
+    select o.event_type, round(o.mean_obs, 6) as mean_obs, o.n,
+           round(ms[{_BOOT_LO1}]
+                 + {_BOOT_F1} * (ms[{_BOOT_LO1 + 1}] - ms[{_BOOT_LO1}]), 6)
+               as ci_lo,
+           round(ms[{_BOOT_LO2}]
+                 + {_BOOT_F2} * (ms[{_BOOT_LO2 + 1}] - ms[{_BOOT_LO2}]), 6)
+               as ci_hi
+    from obs o join arr using (event_type)
+    order by event_type
+"""
+
+
+@register("event_value_bootstrap_ci", _BOOT_ORACLE)
+def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% CI for each type's mean value by POISSON bootstrap — the
+    resampling scheme that actually works distributed: instead of B
+    materialized resamples, every row carries B independent Poisson(1)
+    weights (multinomial → Poisson approximation), drawn by inverse CDF
+    from the md5 uniform so both engines see the SAME resample. One
+    row-local ×B explode, one (type, b) aggregate, then the percentile
+    interpolation runs on a B-element array per type — no resample ever
+    exists as data, which is why this shape survives 100 TB where
+    naive bootstrap (B full copies) cannot. Replicate means use the
+    standard weighted form; CI bounds interpolate the sorted replicate
+    means at p=0.025/0.975 with the textbook (n-1)p rule, written
+    identically in both engines."""
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    reps = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.explode(F.array(*[F.lit(b) for b in range(_BOOT_B)])).alias("b"),
+    )
+    u = unit_hash(
+        F.concat(
+            F.col("event_id").cast("string"), F.lit("-"), F.col("b").cast("string")
+        ),
+        "boot",
+    )
+    w = F.lit(8)
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(u < _POIS_CUM[k], F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("event_type", "b")
+        .agg(
+            (F.sum(F.col("w") * F.col("value")) / F.sum("w").cast("double")).alias(
+                "m"
+            )
+        )
+    )
+    arr = means.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("m")).alias("ms")
+    )
+    obs = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mean_obs"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def interp(lo: int, frac: float):
+        return F.element_at("ms", lo) + F.lit(frac) * (
+            F.element_at("ms", lo + 1) - F.element_at("ms", lo)
+        )
+
+    return (
+        obs.join(arr, "event_type")
+        .select(
+            "event_type",
+            F.round("mean_obs", 6).alias("mean_obs"),
+            "n",
+            F.round(interp(_BOOT_LO1, _BOOT_F1), 6).alias("ci_lo"),
+            F.round(interp(_BOOT_LO2, _BOOT_F2), 6).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )

@@ -89,6 +89,9 @@ POST_FREEZE: set[str] = {
     "embedding_mutual_nn",
     "event_value_cdf_norm",
     "part_revenue_abc",
+    "event_type_ks_drift",
+    "nation_dp_customer_counts",
+    "event_value_bootstrap_ci",
 }
 
 
