@@ -80,6 +80,11 @@ EXTRA_FAMILIES = [
     "event_value_hist_quantiles",   # state is nbins longs/group at any sf
     "view_click_crosscorr",         # window over O(hours), not the fact
     "embedding_mutual_nn",          # self-sized LSH → flat bucket occupancy
+    "event_value_cdf_norm",         # broadcast 50-bin CDF; fact side row-local
+    "part_revenue_abc",             # window over the |parts| pre-aggregate
+    "event_type_ks_drift",          # |types|²×50 pre-aggregate compare
+    "nation_dp_customer_counts",    # one groupBy + row-local noise
+    "event_value_bootstrap_ci",     # ×B row-local explode, (type,b) agg
 ]
 
 
