@@ -850,3 +850,146 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming foreachBatch SCD2 merge (full-history dimension maintenance)
+# --------------------------------------------------------------------------
+
+_S2_T1 = "1999-01-01 00:00:00"
+_S2_T2 = "1999-06-01 00:00:00"
+
+# two sequential update waves: %10 keys at T1, %20 keys (a subset) again
+# at T2 — %20 keys end with THREE versions, proving interval chaining
+_SCD2_STREAM_ORACLE = f"""
+    with cur0 as (
+        select o_orderkey, o_totalprice,
+               o_orderdate as valid_from, null::timestamp as valid_to
+        from orders
+    ), u1 as (
+        select o_orderkey, o_totalprice + 1000 as p
+        from orders where o_orderkey % 10 = 0
+    ), h1 as (
+        select c.o_orderkey, c.o_totalprice, c.valid_from,
+               timestamp '{_S2_T1}' as valid_to
+        from cur0 c
+        where exists (select 1 from u1 u where u.o_orderkey = c.o_orderkey)
+        union all
+        select c.o_orderkey, c.o_totalprice, c.valid_from, c.valid_to
+        from cur0 c
+        where not exists (select 1 from u1 u where u.o_orderkey = c.o_orderkey)
+        union all
+        select o_orderkey, p, timestamp '{_S2_T1}', null::timestamp from u1
+    ), u2 as (
+        select o_orderkey, o_totalprice + 2000 as p
+        from orders where o_orderkey % 20 = 0
+    ), h2 as (
+        select h.o_orderkey, h.o_totalprice, h.valid_from,
+               timestamp '{_S2_T2}' as valid_to
+        from h1 h
+        where h.valid_to is null
+          and exists (select 1 from u2 u where u.o_orderkey = h.o_orderkey)
+        union all
+        select h.o_orderkey, h.o_totalprice, h.valid_from, h.valid_to
+        from h1 h
+        where not (h.valid_to is null
+                   and exists (select 1 from u2 u where u.o_orderkey = h.o_orderkey))
+        union all
+        select o_orderkey, p, timestamp '{_S2_T2}', null::timestamp from u2
+    )
+    select o_orderkey, round(o_totalprice, 2) as price,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') as valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') as valid_to,
+           valid_to is null as is_current
+    from h2 order by o_orderkey, valid_from
+"""
+
+
+@register("orders_scd2_stream_merge", _SCD2_STREAM_ORACLE)
+def orders_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 sink: update waves arrive as a file stream, each
+    row carrying its effective timestamp, and ``foreachBatch`` applies
+    ``pipeline.scd2_apply`` per effective-ts in ASCENDING order against
+    a versioned parquet history — the full-history complement to
+    ``orders_scd1_stream_merge`` (which keeps only latest state). Keys
+    updated in both waves end with three chained validity intervals.
+    The in-batch ascending-ts loop makes the result invariant to how the
+    source batches the files (one wave per microbatch or both in one),
+    so checkpoint replays and availableNow coalescing cannot reorder
+    history. Per-batch work is the scd2_apply semi/anti key joins on the
+    CURRENT slice only; closed history passes through untouched — on a
+    transactional format this body becomes MERGE INTO."""
+    from flight_radar_pipeline_spark.pipeline import scd2_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    versions = [os.path.join(work, "v0")]
+    orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    ).write.mode("overwrite").parquet(versions[0])
+
+    stage = os.path.join(work, "updates")
+    os.makedirs(stage)
+    waves = [
+        (orders.filter(F.col("o_orderkey") % 10 == 0)
+         .select("o_orderkey",
+                 (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+                 F.lit(_S2_T1).alias("eff"))),
+        (orders.filter(F.col("o_orderkey") % 20 == 0)
+         .select("o_orderkey",
+                 (F.col("o_totalprice") + 2000).alias("o_totalprice"),
+                 F.lit(_S2_T2).alias("eff"))),
+    ]
+    for i, w in enumerate(waves):
+        wdir = os.path.join(work, f"w{i}")
+        w.coalesce(1).write.mode("overwrite").parquet(wdir)
+        for fname in sorted(os.listdir(wdir)):
+            if fname.endswith(".parquet"):
+                dst = os.path.join(stage, f"{i:03d}.parquet")
+                os.symlink(os.path.join(wdir, fname), dst)
+                # ascending mtimes bias the file source toward wave order
+                # (the per-batch ts loop below makes any order correct)
+                os.utime(dst, (1000000000 + i * 100, 1000000000 + i * 100),
+                         follow_symlinks=False)
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        effs = [r["eff"] for r in batch.select("eff").distinct().collect()]
+        cur = spark.read.parquet(versions[-1])
+        for ts in sorted(effs):
+            sub = batch.filter(F.col("eff") == ts).select(
+                "o_orderkey", "o_totalprice"
+            )
+            cur = scd2_apply(
+                cur, sub, ["o_orderkey"], F.to_timestamp(F.lit(ts))
+            )
+        nxt = os.path.join(work, f"v{len(versions)}")
+        cur.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    upd_schema = "o_orderkey bigint, o_totalprice double, eff string"
+    q = (
+        spark.readStream.schema(upd_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_orderkey", "valid_from")

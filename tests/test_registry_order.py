@@ -92,6 +92,7 @@ POST_FREEZE: set[str] = {
     "event_type_ks_drift",
     "nation_dp_customer_counts",
     "event_value_bootstrap_ci",
+    "orders_scd2_stream_merge",
 }
 
 
