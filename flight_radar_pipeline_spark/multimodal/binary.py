@@ -303,3 +303,104 @@ def route_modalities(
         detect_modality(payload_col).alias("modality"),
         F.octet_length(F.col(payload_col)).cast("bigint").alias("byte_len"),
     )
+
+
+_WAV_RIFF = b"RIFF"
+_WAV_WAVEFMT = b"WAVEfmt \x10\x00\x00\x00\x01\x00"  # fmt len 16, PCM
+_WAV_DATA = b"data"
+_WAV_BITS = 16
+
+
+def with_audio_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a mixed audio/text corpus with STRUCTURALLY REAL
+    PCM-WAV headers (RIFF chunk size, channel count, sample rate, byte
+    rate, block align, bits-per-sample, data chunk size — all
+    little-endian at their canonical offsets); the document's UTF-8
+    bytes stand in for the sample data. ``id % 2`` picks WAV or
+    headerless text; channels/rate derive deterministically from the id
+    so an oracle can synthesize byte-identical blobs while the PARSER
+    reads them back from the bytes alone (the image-dims device,
+    ``with_image_payload``, applied to audio)."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    did = F.col(id_col)
+    ch = (did % 2 + 1).cast("bigint")
+    rate = (
+        F.when(did % 3 == 0, 8000)
+        .when(did % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("bigint")
+    )
+    ds = (F.octet_length(body) * 64).cast("bigint")
+
+    def le(c, nbytes: int):
+        hx = F.lpad(F.hex(c), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.substring(hx, 2 * nbytes - 2 * i - 1, 2)
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    byterate = rate * ch * (_WAV_BITS // 8)
+    wav = F.concat(
+        F.lit(bytearray(_WAV_RIFF)),
+        le(ds + 36, 4),
+        F.lit(bytearray(_WAV_WAVEFMT)),
+        le(ch, 2),
+        le(rate, 4),
+        le(byterate, 4),
+        le(ch * (_WAV_BITS // 8), 2),
+        le(F.lit(_WAV_BITS).cast("bigint"), 2),
+        F.lit(bytearray(_WAV_DATA)),
+        le(ds, 4),
+        body,
+    )
+    payload = F.when(did % 2 == 0, wav).otherwise(body)
+    return df.select(did.alias(id_col), payload.alias("payload"))
+
+
+def parse_wav_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """→ (id, modality, channels, sample_rate, duration_s): PCM-WAV
+    stream parameters parsed NATIVELY from the binary payload — channel
+    count (offset 23, LE u16), sample rate (25, LE u32), bits-per-sample
+    (35, LE u16), data-chunk size (41, LE u32); duration is
+    data / (rate · channels · bits/8). Pure column exprs touching only
+    the first 44 bytes of each blob — scan-speed audio manifest
+    extraction at any corpus size, the audio face of
+    ``parse_image_dims``. Non-RIFF payloads get NULL fields."""
+    p = F.col(payload_col)
+    is_wav = F.hex(F.substring(p, 1, 4)) == _WAV_RIFF.hex().upper()
+
+    def le_int(start: int, nbytes: int):
+        return F.conv(
+            F.concat(
+                *[
+                    F.hex(F.substring(p, start + nbytes - 1 - i, 1))
+                    for i in range(nbytes)
+                ]
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    ch = le_int(23, 2)
+    rate = le_int(25, 4)
+    bits = le_int(35, 2)
+    ds = le_int(41, 4)
+    dur = ds / (rate * ch * (bits / F.lit(8.0)))
+    return df.select(
+        F.col(id_col),
+        F.when(is_wav, F.lit("audio/wav"))
+        .otherwise(F.lit("text/plain"))
+        .alias("modality"),
+        F.when(is_wav, ch).alias("channels"),
+        F.when(is_wav, rate).alias("sample_rate"),
+        F.when(is_wav, bits).alias("bits"),
+        F.when(is_wav, F.round(dur, 6)).alias("duration_s"),
+    )

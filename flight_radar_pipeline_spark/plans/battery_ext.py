@@ -2332,3 +2332,86 @@ def shipping_latency_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# WAV audio metadata parsed natively from bytes
+# --------------------------------------------------------------------------
+
+
+def _le_hex_sql(expr: str, nbytes: int) -> str:
+    """Little-endian hex of an integer SQL expression, n bytes wide."""
+    h = f"lpad(to_hex({expr}), {2 * nbytes}, '0')"
+    return " || ".join(
+        f"substr({h}, {2 * nbytes - 2 * i - 1}, 2)" for i in range(nbytes)
+    )
+
+
+def _le_parse_sql(hexpos: int, nbytes: int) -> str:
+    """Parse an LE integer from hex(payload) at 1-based hex position."""
+    parts = " || ".join(
+        f"substr(h, {hexpos + 2 * (nbytes - 1 - i)}, 2)" for i in range(nbytes)
+    )
+    return f"('0x' || {parts})::bigint"
+
+
+_WAV_ORACLE = f"""
+    with d as (
+        select doc_id, text,
+               (doc_id % 2 + 1)::bigint as ch,
+               (case doc_id % 3 when 0 then 8000 when 1 then 16000
+                     else 44100 end)::bigint as rate,
+               (octet_length(encode(text)) * 64)::bigint as ds
+        from documents
+    ), blob as (
+        -- synthesize the SAME structurally-real PCM-WAV headers as the
+        -- Spark side (RIFF size, WAVEfmt, channels/rate/byterate/block/
+        -- bits, data size — all little-endian at canonical offsets)
+        select doc_id,
+               case when doc_id % 2 = 0 then from_hex(
+                   '52494646' || {_le_hex_sql("ds + 36", 4)}
+                   || '57415645666d742010000000' || '0100'
+                   || {_le_hex_sql("ch", 2)} || {_le_hex_sql("rate", 4)}
+                   || {_le_hex_sql("rate * ch * 2", 4)}
+                   || {_le_hex_sql("ch * 2", 2)} || '1000'
+                   || '64617461' || {_le_hex_sql("ds", 4)}
+                   || hex(encode(text)))
+               else encode(text) end as payload
+        from d
+    ), parsed as (
+        -- parse BACK from the bytes alone (hex-string offsets)
+        select doc_id, hex(payload) as h,
+               substr(hex(payload), 1, 8) = '52494646' as is_wav
+        from blob
+    )
+    select doc_id,
+           'audio/wav' as modality,
+           {_le_parse_sql(45, 2)} as channels,
+           {_le_parse_sql(49, 4)} as sample_rate,
+           {_le_parse_sql(69, 2)} as bits,
+           round({_le_parse_sql(81, 4)}
+                 / ({_le_parse_sql(49, 4)} * {_le_parse_sql(45, 2)}
+                    * ({_le_parse_sql(69, 2)} / 8.0)), 6) as duration_s
+    from parsed where is_wav
+    order by doc_id
+"""
+
+
+@register("multimodal_audio_meta", _WAV_ORACLE)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM-WAV stream parameters parsed NATIVELY from binary payloads —
+    channels, sample rate, bits-per-sample, and the duration implied by
+    the data-chunk size, all little-endian ``substring``+``conv`` on the
+    first 44 bytes: the audio face of ``multimodal_image_dims``. Both
+    engines synthesize byte-identical RIFF headers from the corpus and
+    both PARSE the bytes back, so the gate checks the parse. With dims
+    and durations native, only sample/pixel decode remains behind the
+    documented codec stub."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        parse_wav_meta,
+        with_audio_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = parse_wav_meta(with_audio_payload(docs))
+    return meta.where(F.col("modality") != "text/plain").orderBy("doc_id")

@@ -93,6 +93,7 @@ POST_FREEZE: set[str] = {
     "nation_dp_customer_counts",
     "event_value_bootstrap_ci",
     "orders_scd2_stream_merge",
+    "multimodal_audio_meta",
 }
 
 
