@@ -2415,3 +2415,71 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = parse_wav_meta(with_audio_payload(docs))
     return meta.where(F.col("modality") != "text/plain").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# MP4 movie-header metadata parsed natively from bytes
+# --------------------------------------------------------------------------
+
+
+def _be_parse_sql(hexpos: int, nbytes: int) -> str:
+    """Parse a BE integer from hex(payload) at 1-based hex position."""
+    return f"('0x' || substr(h, {hexpos}, {2 * nbytes}))::bigint"
+
+
+_MP4_ORACLE = f"""
+    with d as (
+        select doc_id, text,
+               (case doc_id % 3 when 0 then 600 when 1 then 1000
+                     else 90000 end)::bigint as ts,
+               (octet_length(encode(text)) * 50)::bigint as ticks
+        from documents
+    ), blob as (
+        -- the SAME minimal fixed-layout MP4 as the Spark side: valid
+        -- ftyp box, moov whose first child is a v0 mvhd (timescale at
+        -- byte 49, duration ticks at 53, both big-endian u32)
+        select doc_id,
+               case when doc_id % 2 = 0 then from_hex(
+                   '000000146674797069736f6d0000000069736f6d'
+                   || '000000746d6f6f76'
+                   || '0000006c6d76686400000000' || repeat('00', 8)
+                   || lpad(to_hex(ts), 8, '0') || lpad(to_hex(ticks), 8, '0')
+                   || '00010000' || '0100' || repeat('00', 74)
+                   || hex(encode(text)))
+               else encode(text) end as payload
+        from d
+    ), parsed as (
+        select doc_id, hex(payload) as h,
+               substr(hex(payload), 9, 8) = '66747970' as is_mp4
+        from blob
+    )
+    select doc_id,
+           'video/mp4' as modality,
+           {_be_parse_sql(97, 4)} as timescale,
+           {_be_parse_sql(105, 4)} as duration_ticks,
+           round({_be_parse_sql(105, 4)} / {_be_parse_sql(97, 4)}::double, 6)
+               as duration_s
+    from parsed where is_mp4
+    order by doc_id
+"""
+
+
+@register("multimodal_video_meta", _MP4_ORACLE)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 movie-header fields parsed NATIVELY from binary payloads —
+    mvhd timescale and duration ticks (big-endian u32 at the fixed
+    offsets of the minimal ftyp+moov layout), duration in seconds as
+    their ratio — completing the image/audio/video native-metadata
+    triad. MP4 is sniffed on the 'ftyp' box TAG at byte 5, the
+    container's real signature position (the first 4 bytes are a box
+    size, not magic). Both engines synthesize byte-identical blobs and
+    both parse them back; general box-walking stays behind the
+    documented codec stub."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        parse_mp4_meta,
+        with_video_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = parse_mp4_meta(with_video_payload(docs))
+    return meta.where(F.col("modality") != "text/plain").orderBy("doc_id")

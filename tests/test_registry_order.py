@@ -94,6 +94,7 @@ POST_FREEZE: set[str] = {
     "event_value_bootstrap_ci",
     "orders_scd2_stream_merge",
     "multimodal_audio_meta",
+    "multimodal_video_meta",
 }
 
 

@@ -55,3 +55,45 @@ def test_non_riff_routes_as_text(spark):
     row = parse_wav_meta(df).collect()[0]
     assert row["modality"] == "text/plain"
     assert row["sample_rate"] is None
+
+
+# --------------------------------------------------------------------------
+# parse_mp4_meta
+# --------------------------------------------------------------------------
+
+
+def _mp4_bytes(timescale: int, ticks: int) -> bytes:
+    ftyp = bytes.fromhex("000000146674797069736f6d0000000069736f6d")
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + b"\x00" * 12
+        + struct.pack(">II", timescale, ticks)
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 74
+    )
+    return ftyp + struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+
+
+def test_parses_hand_packed_mvhd(spark):
+    from flight_radar_pipeline_spark.multimodal.binary import parse_mp4_meta
+
+    # 90000 ticks/s, 45000 ticks → exactly 0.5 s
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4_bytes(90000, 45000)))],
+        "doc_id bigint, payload binary",
+    )
+    row = parse_mp4_meta(df).collect()[0]
+    assert row["modality"] == "video/mp4"
+    assert row["timescale"] == 90000
+    assert row["duration_ticks"] == 45000
+    assert row["duration_s"] == 0.5
+
+
+def test_truncated_mp4_degrades_to_nulls(spark):
+    from flight_radar_pipeline_spark.multimodal.binary import parse_mp4_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes.fromhex("00000014667479706973")))],
+        "doc_id bigint, payload binary",
+    )
+    row = parse_mp4_meta(df).collect()[0]
+    assert row["modality"] == "video/mp4"
+    assert row["timescale"] is None and row["duration_s"] is None
