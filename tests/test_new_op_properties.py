@@ -179,3 +179,78 @@ def test_fs_weights_match_reference(spark, seed):
                 w(f1a == f1b, *mu["f1"]) + w(abs(f2a - f2b) <= 1, *mu["f2"]), 6
             )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# bounded_min_cost vs brute-force ≤k-hop path enumeration
+# --------------------------------------------------------------------------
+
+
+def _brute_min_cost(edges, seeds, k):
+    """Reference: k rounds of full Bellman-Ford relaxation."""
+    dist = {s: 0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(dist)
+        for (s, d, w) in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return dist
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bounded_min_cost_matches_bruteforce(spark, seed):
+    from flight_radar_pipeline_spark.operators.graph import bounded_min_cost
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges, k = 14, 45, 3
+    edges = [
+        (f"n{int(rng.integers(0, n_nodes))}",
+         f"n{int(rng.integers(0, n_nodes))}",
+         int(rng.integers(0, 9)))
+        for _ in range(n_edges)
+    ]
+    seeds = sorted({f"n{int(rng.integers(0, n_nodes))}" for _ in range(3)})
+    e = spark.createDataFrame(edges, "src string, dst string, w bigint")
+    s = spark.createDataFrame([(x,) for x in seeds], "node string")
+    got = {r["node"]: r["min_cost"] for r in bounded_min_cost(e, s, k).collect()}
+    assert got == _brute_min_cost(edges, seeds, k)
+
+
+def test_mutual_nn_matches_bruteforce(spark):
+    from flight_radar_pipeline_spark.operators.similarity import mutual_nn_pairs
+
+    # planes small enough that ~every pair collides in some table, so
+    # the LSH candidate set is effectively complete and the brute-force
+    # reciprocity reference applies
+    rng = np.random.default_rng(11)
+    vecs = {i: rng.normal(size=4).tolist() for i in range(12)}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return num / den
+
+    nn = {}
+    for i in vecs:
+        best = max(
+            (j for j in vecs if j != i),
+            key=lambda j: (round(cos(vecs[i], vecs[j]), 6), -j),
+        )
+        nn[i] = best
+    expected = {(a, b) for a, b in nn.items() if nn[b] == a and a < b}
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in mutual_nn_pairs(
+            df, num_tables=8, planes_per_table=1, n_dims=4
+        ).collect()
+    }
+    # with 8 single-plane tables a pair is missed only if the two vectors
+    # differ on ALL 8 hyperplane signs; assert the reciprocal pairs found
+    # are a subset of the brute-force truth and at least one was found
+    assert got <= expected
+    assert got, "no mutual pairs found — candidate generation broken"
