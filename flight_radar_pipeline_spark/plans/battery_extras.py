@@ -3087,3 +3087,91 @@ def event_value_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# month-over-month revenue growth on a dense month spine
+# --------------------------------------------------------------------------
+
+_MOM_GROWTH_ORACLE = """
+    with bounds as (
+        select date_trunc('month', min(o_orderdate)) as lo,
+               date_trunc('month', max(o_orderdate)) as hi
+        from orders
+    ), months as (
+        select unnest(generate_series(lo, hi, interval 1 month)) as month
+        from bounds
+    ), rev as (
+        select n_name as nation, date_trunc('month', o_orderdate) as month,
+               sum(floor(o_totalprice * 100)::bigint) as cents
+        from orders
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by 1, 2
+    ), spine as (
+        select n.n_name as nation, m.month from nation n cross join months m
+    ), dense as (
+        select s.nation, s.month, coalesce(r.cents, 0) as cents
+        from spine s left join rev r
+          on s.nation = r.nation and s.month = r.month
+    ), g as (
+        select nation, month, cents,
+               lag(cents) over (partition by nation order by month) as prev
+        from dense
+    )
+    select nation, strftime(month, '%Y-%m') as month,
+           round(cents / 100.0, 2) as revenue,
+           round((cents - prev) / nullif(prev, 0)::double, 6) as mom_growth
+    from g
+    order by nation, month
+"""
+
+
+@register("nation_month_revenue_growth", _MOM_GROWTH_ORACLE)
+def nation_month_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation on a GAP-FILLED month
+    spine — missing months count as 0 instead of silently comparing
+    against the last active month (the resample discipline of
+    `hourly_timeline_dense` applied to the period-over-period report).
+    Revenue sums in integer cents so the growth ratio is exact; a zero
+    prior month yields NULL growth, not infinity. The lag window runs
+    over the |nations|×|months| pre-aggregate, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    spine = nat.select(F.col("n_name").alias("nation")).crossJoin(
+        F.broadcast(months)
+    )
+    dense = spine.join(rev, ["nation", "month"], "left").select(
+        "nation", "month", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    g = dense.withColumn("prev", F.lag("cents").over(w))
+    return g.select(
+        "nation",
+        F.date_format("month", "yyyy-MM").alias("month"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            (F.col("cents") - F.col("prev"))
+            / F.nullif(F.col("prev"), F.lit(0)).cast("double"),
+            6,
+        ).alias("mom_growth"),
+    ).orderBy("nation", "month")

@@ -57,6 +57,7 @@ ALLOWED_BNLJ = {
     "doc_hybrid_rrf_search",      # exact-cosine side: 1-query broadcast, != cond
     "doc_fold_label_parity",      # 1-row corpus-total broadcast
     "event_type_ks_drift",        # |types|×50-bin CDF spine + pairwise grid
+    "nation_month_revenue_growth",  # |nations| × generated-month spine
 }
 
 

@@ -95,6 +95,7 @@ POST_FREEZE: set[str] = {
     "orders_scd2_stream_merge",
     "multimodal_audio_meta",
     "multimodal_video_meta",
+    "nation_month_revenue_growth",
 }
 
 
