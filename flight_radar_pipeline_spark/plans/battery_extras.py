@@ -3175,3 +3175,77 @@ def nation_month_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mom_growth"),
     ).orderBy("nation", "month")
+
+
+# --------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout
+# --------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-22 00:00:00"
+
+_CUPED_ORACLE = f"""
+    with u as (
+        select user_id,
+               avg(value) filter (ts <  timestamp '{_CUPED_SPLIT}') as x,
+               avg(value) filter (ts >= timestamp '{_CUPED_SPLIT}') as y
+        from events group by user_id
+    ), both_sides as (
+        select * from u where x is not null and y is not null
+    ), stats as (
+        select covar_samp(x, y) / var_samp(x) as theta, avg(x) as xbar
+        from both_sides
+    ), adj as (
+        select case when user_id % 2 = 0 then 'A' else 'B' end as arm,
+               y, y - theta * (x - xbar) as y_adj
+        from both_sides cross join stats
+    )
+    select arm, cast(count(*) as bigint) as n_users,
+           round(avg(y), 4) as mean_post,
+           round(avg(y_adj), 4) as mean_cuped,
+           round(var_samp(y), 4) as var_post,
+           round(var_samp(y_adj), 4) as var_cuped
+    from adj group by arm order by arm
+"""
+
+
+@register("ab_cuped_event_value", _CUPED_ORACLE)
+def ab_cuped_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: each user's
+    post-period mean is adjusted by theta times their pre-period
+    deviation (theta = cov(x,y)/var(x) over users seen in both periods),
+    shrinking metric variance without moving the treatment-effect
+    estimand — the technique every experimentation platform layers on
+    `ab_test_event_value`. Plan: one user-level aggregate (the only
+    fact shuffle), a 1-row theta/xbar broadcast, then the |arms|-row
+    readout; adjusted and raw variances ship side by side so the
+    reduction is visible in the output."""
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < _CUPED_SPLIT
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.avg(F.when(pre, F.col("value"))).alias("x"),
+            F.avg(F.when(~pre, F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    stats = u.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = u.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_post"),
+            F.round(F.avg("y_adj"), 4).alias("mean_cuped"),
+            F.round(F.var_samp("y"), 4).alias("var_post"),
+            F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
+        )
+        .orderBy("arm")
+    )

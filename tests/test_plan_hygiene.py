@@ -58,6 +58,7 @@ ALLOWED_BNLJ = {
     "doc_fold_label_parity",      # 1-row corpus-total broadcast
     "event_type_ks_drift",        # |types|×50-bin CDF spine + pairwise grid
     "nation_month_revenue_growth",  # |nations| × generated-month spine
+    "ab_cuped_event_value",       # 1-row theta/xbar broadcast
 }
 
 

@@ -96,6 +96,7 @@ POST_FREEZE: set[str] = {
     "multimodal_audio_meta",
     "multimodal_video_meta",
     "nation_month_revenue_growth",
+    "ab_cuped_event_value",
 }
 
 
