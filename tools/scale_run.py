@@ -85,6 +85,10 @@ EXTRA_FAMILIES = [
     "event_type_ks_drift",          # |types|²×50 pre-aggregate compare
     "nation_dp_customer_counts",    # one groupBy + row-local noise
     "event_value_bootstrap_ci",     # ×B row-local explode, (type,b) agg
+    "multimodal_audio_meta",        # 44-byte header slice per row
+    "multimodal_video_meta",        # 56-byte header slice per row
+    "nation_month_revenue_growth",  # lag over |nations|×|months| pre-agg
+    "ab_cuped_event_value",         # one user-level shuffle + 1-row theta
 ]
 
 
