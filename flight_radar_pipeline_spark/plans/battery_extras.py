@@ -3249,3 +3249,106 @@ def ab_cuped_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# cohort cumulative LTV (monetary companion to weekly_cohort_retention)
+# --------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+    with f as (
+        select o_custkey, min(date_trunc('month', o_orderdate)) as cohort
+        from orders group by 1
+    ), sizes as (
+        select cohort, cast(count(*) as bigint) as cohort_users
+        from f group by cohort
+    ), mx as (
+        select date_trunc('month', max(o_orderdate)) as m from orders
+    ), spine as (
+        select s.cohort, s.cohort_users, unnest(range(0,
+                   datediff('month', s.cohort, mx.m) + 1))::int as age
+        from sizes s cross join mx
+    ), rev as (
+        select f.cohort,
+               datediff('month', f.cohort,
+                        date_trunc('month', o.o_orderdate))::int as age,
+               sum(floor(o.o_totalprice * 100)::bigint) as cents
+        from orders o join f on o.o_custkey = f.o_custkey
+        group by 1, 2
+    ), dense as (
+        select s.cohort, s.cohort_users, s.age, coalesce(r.cents, 0) as cents
+        from spine s left join rev r
+          on s.cohort = r.cohort and s.age = r.age
+    )
+    select strftime(cohort, '%Y-%m') as cohort, age, cohort_users,
+           (sum(cents) over (
+                partition by cohort order by age
+            ) // cohort_users)::bigint as cum_ltv_cents_per_user
+    from dense
+    order by cohort, age
+"""
+
+
+@register("cohort_cumulative_ltv", _LTV_ORACLE)
+def cohort_cumulative_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value per user by acquisition cohort: each
+    customer joins the month of their first order; revenue lands at the
+    cohort's month-age and accumulates — the monetary companion to
+    `weekly_cohort_retention` (which counts activity) and the curve a
+    payback-period decision reads. Ages are gap-filled so a quiet month
+    holds the running value flat instead of vanishing from the curve.
+    Integer-cents sums and an integer per-user division keep the curve
+    exact (a double division rounds on midpoints differently across
+    engines); the running-sum window covers the |cohorts|×|ages|
+    pre-aggregate, never the order fact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    f = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = f.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    mx = orders.agg(F.date_trunc("month", F.max("o_orderdate")).alias("m"))
+    spine = (
+        sizes.crossJoin(F.broadcast(mx))
+        .select(
+            "cohort",
+            "cohort_users",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.months_between(F.col("m"), F.col("cohort")).cast("int"),
+                )
+            ).alias("age"),
+        )
+    )
+    rev = (
+        orders.join(f, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            )
+            .cast("int")
+            .alias("age"),
+        )
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    dense = spine.join(rev, ["cohort", "age"], "left").select(
+        "cohort", "cohort_users", "age", F.coalesce("cents", F.lit(0)).alias("cents")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        F.date_format("cohort", "yyyy-MM").alias("cohort"),
+        "age",
+        "cohort_users",
+        F.expr("sum(cents) over (partition by cohort order by age"
+               " rows between unbounded preceding and current row)"
+               " div cohort_users").alias("cum_ltv_cents_per_user"),
+    ).orderBy("cohort", "age")

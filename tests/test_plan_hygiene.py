@@ -59,6 +59,7 @@ ALLOWED_BNLJ = {
     "event_type_ks_drift",        # |types|×50-bin CDF spine + pairwise grid
     "nation_month_revenue_growth",  # |nations| × generated-month spine
     "ab_cuped_event_value",       # 1-row theta/xbar broadcast
+    "cohort_cumulative_ltv",      # 1-row max-month broadcast (age spine)
 }
 
 

@@ -97,6 +97,7 @@ POST_FREEZE: set[str] = {
     "multimodal_video_meta",
     "nation_month_revenue_growth",
     "ab_cuped_event_value",
+    "cohort_cumulative_ltv",
 }
 
 
