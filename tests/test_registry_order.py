@@ -9,6 +9,15 @@ that had never held a driver correctness row through r05) rotated in
 wholesale, plus a 5-entry proven spine and the 3 round-6 additions /
 reworked entries (native image-dims parsing, the end-to-end corpus
 composition, and the self-sizing embedding near-dup).
+
+Round-7 rotation prep: POST_FREEZE below holds 47 oracled entries
+registered after the r6 window froze (the mid-round batches: spatial/
+graph/CDC/linkage, KMV streaming, min-cost paths, histogram-sketch
+family, governance/statistics, multimodal audio/video, SCD2 stream,
+LTV). 47 < 50, so the round-7 window can rotate the slate in wholesale
+plus a ~3-entry proven spine (keep `pricing_summary`,
+`click_view_attribution`, `event_window_density` for as-of/range-join
+coverage per MUST_BE_CHECKED).
 """
 
 from __future__ import annotations
