@@ -841,3 +841,90 @@ def mutual_nn_pairs(
     ).filter(F.col("id_a") < F.col("id_b"))
     rev = nn.select(F.col("dst").alias("id_a"), F.col("src").alias("id_b"))
     return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "cosine")
+
+
+def topk_neighbors_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    codebook_k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN → (query_id, neighbor_id, cosine): the full
+    compressed-index serving shape — coarse centroids route the search
+    to ``nprobe`` cells (IVF), and within them candidates are scored
+    ASYMMETRICALLY: the raw query against each candidate's
+    product-quantization reconstruction (m subspace codewords,
+    log2(codebook_k)·m bits of state per vector). Combines
+    ``topk_neighbors_ivf`` (routing) with the ``pq_reconstruction_error``
+    codebooks (same ``pq{s}`` seeds, so audits and search share one
+    index build).
+
+    Scale posture: both codebook training collects are bounded driver
+    actions (k × sub-dim floats); cell assignment AND the code→codeword
+    reconstruction are literal-array lookups inside one shuffle-free
+    corpus scan — at serving time codes would be precomputed columns and
+    this scan becomes a pure read; search shuffles only probed cells.
+    The reconstruction quantizes candidate geometry, so recall trades
+    against memory exactly as in a production IVF-PQ index; scoring ties
+    (candidates sharing all m codes) break toward the lower neighbor id
+    on both engines.
+    """
+    n = _require_n_dims(n_dims, "topk_neighbors_ivfpq")
+    sub = n // m
+    coarse = collect_centroids(corpus, num_centroids, id_col, vec_col)
+    vd = F.col(vec_col).cast("array<double>")
+    recon_parts = []
+    for s in range(m):
+        subdf = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.slice(vd, s * sub + 1, sub).alias("__v"),
+        )
+        book = kmeans_centroids(
+            subdf, k=codebook_k, iters=iters, id_col="__id",
+            vec_col="__v", n_dims=sub, seed=f"pq{s}",
+        )
+        code = assign_cell(F.slice(vd, s * sub + 1, sub), book, decimals)
+        codewords = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in sorted(book)
+            ]
+        )
+        recon_parts.append(F.element_at(codewords, code + 1))
+    assign = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.concat(*recon_parts).alias("__recon"),
+        assign_cell(vd, coarse, decimals).alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        vd.alias("__qvec"),
+        F.explode(probe_cells(vd, coarse, nprobe, decimals)).alias("cell"),
+    )
+    scored = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity(F.col("__qvec"), F.col("__recon")), decimals
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1429,3 +1429,82 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mutual_nn_pairs(
         emb, num_tables=_NT, planes_per_table=ppt, n_dims=EMB_DIMS
     ).orderBy("id_a")
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: compressed-index ANN (asymmetric distance over reconstructions)
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    chains = ", ".join(_pq_chain_sql(s) for s in range(_PQ_M))
+    recon = " || ".join(f"s{s}_fin.cv" for s in range(_PQ_M))
+    joins = " ".join(f"join s{s}_fin using (vec_id)" for s in range(1, _PQ_M))
+    return f"""
+    with {chains}, recon as (
+        select vec_id as neighbor_id, {recon} as rv
+        from s0_fin {joins}
+    ), cents as (
+        select vec_id as cent_id, embedding::DOUBLE[] as cv
+        from embeddings where vec_id < {_NC}
+    ), c as (
+        select vec_id as neighbor_id, embedding::DOUBLE[] as nv from embeddings
+    ), assign as (
+        select neighbor_id, cell from (
+            select c.neighbor_id, cents.cent_id as cell,
+                   row_number() over (
+                       partition by c.neighbor_id
+                       order by round(list_cosine_similarity(c.nv, cents.cv), 6)
+                                desc, cents.cent_id
+                   ) as rn
+            from c cross join cents
+        ) t where rn = 1
+    ), q as (
+        select vec_id as query_id, embedding::DOUBLE[] as qv
+        from embeddings where vec_id < 10
+    ), probes as (
+        select query_id, qv, cell from (
+            select q.query_id, q.qv, cents.cent_id as cell,
+                   row_number() over (
+                       partition by q.query_id
+                       order by round(list_cosine_similarity(q.qv, cents.cv), 6)
+                                desc, cents.cent_id
+                   ) as rn
+            from q cross join cents
+        ) t where rn <= {_NPROBE}
+    ), scored as (
+        select p.query_id, a.neighbor_id,
+               round(list_cosine_similarity(p.qv, r.rv), 6) as cosine
+        from probes p
+        join assign a on p.cell = a.cell
+        join recon r on r.neighbor_id = a.neighbor_id
+        where p.query_id != a.neighbor_id
+    ), ranked as (
+        select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+        ) as rn from scored
+    )
+    select query_id, neighbor_id, cosine from ranked where rn <= {_KNN}
+    order by query_id, neighbor_id
+"""
+
+
+@register("embedding_topk_ivfpq", _ivfpq_oracle())
+def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the full compressed-index serving shape: 16 coarse
+    centroids route each query to its 2 nearest cells (IVF), and
+    candidates inside them score ASYMMETRICALLY — the raw query against
+    each candidate's product-quantization reconstruction (4 subspaces ×
+    8 codewords, the SAME ``pq{s}`` codebooks `embedding_pq_audit`
+    audits, so audit and search share one index build). Assignment and
+    the code→codeword reconstruction are literal-array lookups in one
+    shuffle-free corpus scan; search shuffles only probed cells
+    (``operators.similarity.topk_neighbors_ivfpq``). The oracle unrolls
+    the per-subspace k-means chains, the coarse routing, and the
+    reconstruction-cosine ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_neighbors_ivfpq(
+        emb, queries, k=_KNN, num_centroids=_NC, nprobe=_NPROBE,
+        m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS, n_dims=EMB_DIMS,
+    ).orderBy("query_id", "neighbor_id")

@@ -107,6 +107,7 @@ POST_FREEZE: set[str] = {
     "nation_month_revenue_growth",
     "ab_cuped_event_value",
     "cohort_cumulative_ltv",
+    "embedding_topk_ivfpq",
 }
 
 
