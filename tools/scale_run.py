@@ -89,6 +89,7 @@ EXTRA_FAMILIES = [
     "multimodal_video_meta",        # 56-byte header slice per row
     "nation_month_revenue_growth",  # lag over |nations|×|months| pre-agg
     "ab_cuped_event_value",         # one user-level shuffle + 1-row theta
+    "embedding_topk_ivfpq",         # routing + literal-lookup reconstruction
 ]
 
 
