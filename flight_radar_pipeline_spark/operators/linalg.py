@@ -179,6 +179,7 @@ def pq_reconstruction_error(
     vec_col: str = "embedding",
     decimals: int = 6,
     impl: str = "arrow",
+    books: list | None = None,
 ) -> DataFrame:
     """Product-quantization audit → (id, code0..code{m-1}, mse): the
     vector splits into ``m`` subspaces, each quantized to one of ``k``
@@ -202,27 +203,15 @@ def pq_reconstruction_error(
     """
     from flight_radar_pipeline_spark.operators.similarity import (
         assign_cell,
-        kmeans_centroids,
+        train_pq_codebooks,
     )
 
     sub = n_dims // m
     vd = F.transform(F.col(vec_col), lambda e: e.cast("double"))
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        subdf = vectors.select(
-            F.col(id_col).alias("__id"),
-            F.slice(vd, s * sub + 1, sub).alias("__v"),
-        )
-        books.append(
-            kmeans_centroids(
-                subdf,
-                k=k,
-                iters=iters,
-                id_col="__id",
-                vec_col="__v",
-                n_dims=sub,
-                seed=f"pq{s}",
-            )
+    if books is None:
+        books = train_pq_codebooks(
+            vectors, m=m, codebook_k=k, iters=iters,
+            id_col=id_col, vec_col=vec_col, n_dims=n_dims,
         )
 
     if impl == "arrow":

@@ -843,6 +843,37 @@ def mutual_nn_pairs(
     return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "cosine")
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    codebook_k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """The PQ index build: one deterministic spherical k-means per
+    subspace (seeds ``pq{s}`` — the same books ``pq_reconstruction_error``
+    audits), returned as m driver-side codeword lists so callers can
+    train ONCE per corpus and share across audit and search."""
+    n = _require_n_dims(n_dims, "train_pq_codebooks")
+    sub = n // m
+    vd = F.col(vec_col).cast("array<double>")
+    books = []
+    for s in range(m):
+        subdf = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.slice(vd, s * sub + 1, sub).alias("__v"),
+        )
+        books.append(
+            kmeans_centroids(
+                subdf, k=codebook_k, iters=iters, id_col="__id",
+                vec_col="__v", n_dims=sub, seed=f"pq{s}",
+            )
+        )
+    return books
+
+
 def topk_neighbors_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -856,6 +887,7 @@ def topk_neighbors_ivfpq(
     vec_col: str = "embedding",
     n_dims: int | None = None,
     decimals: int = 6,
+    codebooks: list | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN → (query_id, neighbor_id, cosine): the full
     compressed-index serving shape — coarse centroids route the search
@@ -881,16 +913,14 @@ def topk_neighbors_ivfpq(
     sub = n // m
     coarse = collect_centroids(corpus, num_centroids, id_col, vec_col)
     vd = F.col(vec_col).cast("array<double>")
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, codebook_k=codebook_k, iters=iters,
+            id_col=id_col, vec_col=vec_col, n_dims=n,
+        )
     recon_parts = []
     for s in range(m):
-        subdf = corpus.select(
-            F.col(id_col).alias("__id"),
-            F.slice(vd, s * sub + 1, sub).alias("__v"),
-        )
-        book = kmeans_centroids(
-            subdf, k=codebook_k, iters=iters, id_col="__id",
-            vec_col="__v", n_dims=sub, seed=f"pq{s}",
-        )
+        book = codebooks[s]
         code = assign_cell(F.slice(vd, s * sub + 1, sub), book, decimals)
         codewords = F.array(
             *[

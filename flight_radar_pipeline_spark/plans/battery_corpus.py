@@ -751,8 +751,26 @@ def _semantic_dedup_oracle() -> str:
 _KM_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
 
 
+_PQ_BOOKS_CACHE: dict[tuple[str, str], list] = {}
+
+
 def clear_kmeans_cache() -> None:
     _KM_CACHE.clear()
+    _PQ_BOOKS_CACHE.clear()
+
+
+def _shared_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """The PQ index build, trained once per (session, sf_dir) and shared
+    by the audit (`embedding_pq_audit`) and the search
+    (`embedding_topk_ivfpq`) — exactly how a production index is built
+    once and consumed by every reader."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_BOOKS_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _PQ_BOOKS_CACHE[key] = S.train_pq_codebooks(
+            emb, m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS, n_dims=EMB_DIMS
+        )
+    return _PQ_BOOKS_CACHE[key]
 
 
 def _shared_kmeans_centroids(
@@ -895,7 +913,8 @@ def embedding_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_reconstruction_error(
-        emb, n_dims=EMB_DIMS, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS
+        emb, n_dims=EMB_DIMS, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS,
+        books=_shared_pq_books(spark, sf_dir),
     ).orderBy("vec_id")
 
 
@@ -1507,4 +1526,5 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_neighbors_ivfpq(
         emb, queries, k=_KNN, num_centroids=_NC, nprobe=_NPROBE,
         m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS, n_dims=EMB_DIMS,
+        codebooks=_shared_pq_books(spark, sf_dir),
     ).orderBy("query_id", "neighbor_id")
