@@ -3352,3 +3352,91 @@ def cohort_cumulative_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
                " rows between unbounded preceding and current row)"
                " div cohort_users").alias("cum_ltv_cents_per_user"),
     ).orderBy("cohort", "age")
+
+
+# --------------------------------------------------------------------------
+# streaming-maintained histogram partials (oracle shared with the batch
+# quantile entry — maintained state must answer identically)
+# --------------------------------------------------------------------------
+
+
+@register("event_hist_stream_quantiles", _HQ_ORACLE)
+def event_hist_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance for the histogram sketch — the last sketch
+    family to get its streaming face (KMV: `user_kmv_stream_partials`;
+    moments: `event_drift_stream_moments`): events arrive in 3
+    microbatches and ``foreachBatch`` APPENDS each batch's per
+    (type, day) bin counts to a partial table — histogram merge is pure
+    addition, so maintenance is append-only and never recomputes. After
+    the stream drains, `merge_hist_partials` + `hist_quantiles` run over
+    the MAINTAINED state and must equal the batch entry bit-for-bit —
+    the oracle is shared verbatim with `event_value_hist_quantiles`.
+    With four batch consumers of this state (quantiles, CDF-normalize,
+    KS drift, and now the stream), the sketch is a maintained asset, not
+    a per-query intermediate."""
+    import os
+    import tempfile
+
+    from flight_radar_pipeline_spark.operators.sketches import (
+        hist_partials,
+        hist_quantiles,
+        merge_hist_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="hist_stream_")
+    flat = os.path.join(work, "in")
+    os.makedirs(flat)
+    for i in range(3):
+        bdir = os.path.join(work, f"b{i}")
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(bdir)
+        )
+        for fname in sorted(os.listdir(bdir)):
+            if fname.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, fname),
+                    os.path.join(flat, f"{i:03d}.parquet"),
+                )
+
+    state_dir = os.path.join(work, "state")
+
+    def fold(batch: DataFrame, bid: int) -> None:
+        p = hist_partials(
+            batch.select("event_type", F.to_date("ts").alias("day"), "value"),
+            "value",
+            ["event_type", "day"],
+            _HQ_LO,
+            _HQ_HI,
+            _HQ_BINS,
+        ).withColumn("b", F.lit(int(bid)))
+        p.write.mode("append").parquet(state_dir)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(state_dir).select(
+        "event_type", "bucket", "bin_count"
+    )
+    merged = merge_hist_partials(maintained, ["event_type"])
+    return (
+        hist_quantiles(
+            merged, ["event_type"], _HQ_PROBS, _HQ_LO, _HQ_HI, _HQ_BINS
+        )
+        .select(
+            "event_type", "p", F.round("quantile", 6).alias("quantile"), "n"
+        )
+        .orderBy("event_type", "p")
+    )

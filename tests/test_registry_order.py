@@ -108,6 +108,7 @@ POST_FREEZE: set[str] = {
     "ab_cuped_event_value",
     "cohort_cumulative_ltv",
     "embedding_topk_ivfpq",
+    "event_hist_stream_quantiles",
 }
 
 
