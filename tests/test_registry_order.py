@@ -10,14 +10,16 @@ wholesale, plus a 5-entry proven spine and the 3 round-6 additions /
 reworked entries (native image-dims parsing, the end-to-end corpus
 composition, and the self-sizing embedding near-dup).
 
-Round-7 rotation prep: POST_FREEZE below holds 47 oracled entries
+Round-7 rotation prep: POST_FREEZE below holds 49 oracled entries
 registered after the r6 window froze (the mid-round batches: spatial/
-graph/CDC/linkage, KMV streaming, min-cost paths, histogram-sketch
-family, governance/statistics, multimodal audio/video, SCD2 stream,
-LTV). 47 < 50, so the round-7 window can rotate the slate in wholesale
-plus a ~3-entry proven spine (keep `pricing_summary`,
-`click_view_attribution`, `event_window_density` for as-of/range-join
-coverage per MUST_BE_CHECKED).
+graph/CDC/linkage, KMV streaming, min-cost paths, the histogram-sketch
+family and its streaming face, governance/statistics, multimodal
+audio/video, SCD2 stream, LTV, IVF-PQ). 49 < 50, so the round-7 window
+rotates the slate in wholesale plus `pricing_summary` as the proven
+spine; `click_view_attribution` / `event_window_density` /
+`event_value_percentiles` / `multimodal_features` (MUST_BE_CHECKED)
+then need their coverage pinned by the local sweep alone for one round
+— or swap two slate entries out if the driver window must keep them.
 """
 
 from __future__ import annotations
