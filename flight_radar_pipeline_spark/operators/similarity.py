@@ -888,6 +888,7 @@ def topk_neighbors_ivfpq(
     n_dims: int | None = None,
     decimals: int = 6,
     codebooks: list | None = None,
+    refine: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN → (query_id, neighbor_id, cosine): the full
     compressed-index serving shape — coarse centroids route the search
@@ -908,6 +909,14 @@ def topk_neighbors_ivfpq(
     against memory exactly as in a production IVF-PQ index; scoring ties
     (candidates sharing all m codes) break toward the lower neighbor id
     on both engines.
+
+    ``refine`` enables the production REFINEMENT stage: the ADC pass
+    shortlists ``refine`` candidates per query, then the raw vectors of
+    only that shortlist are re-scored exactly for the final top-k —
+    recall recovers toward plain IVF's at the cost of ``refine`` exact
+    dots per query instead of |probed cells| (measured ladder in
+    ``tests/test_recall.py``). The refined cosine is exact, so the
+    column means the same thing the brute-force operator returns.
     """
     n = _require_n_dims(n_dims, "topk_neighbors_ivfpq")
     sub = n // m
@@ -953,8 +962,30 @@ def topk_neighbors_ivfpq(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
-    return (
+    if refine is None:
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    shortlist = (
         scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(refine))
+        .select("query_id", "neighbor_id")
+    )
+    vq = queries.select(F.col(id_col).alias("query_id"), vd.alias("__q"))
+    vn = corpus.select(F.col(id_col).alias("neighbor_id"), vd.alias("__n"))
+    rescored = (
+        shortlist.join(F.broadcast(vq), "query_id")
+        .join(vn, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity(F.col("__q"), F.col("__n")), decimals),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

@@ -271,3 +271,32 @@ def test_recommended_planes_monotone_and_floor():
     assert recommended_semantic_k(5_000) == 8     # floor at bench scale
     assert recommended_semantic_k(50_000) == 50
     assert recommended_semantic_k(500_000) == 500
+
+
+def test_ivfpq_recall_ladder(emb, exact):
+    """The compressed index's quality ladder on deliberately-hard
+    isotropic vectors: ADC-only recall sits well below plain IVF (k=8
+    codewords per subspace cannot represent random 16-dim data), the
+    refinement stage recovers monotonically with shortlist size, and at
+    refine = everything-probed it meets plain IVF exactly (refinement
+    re-scores with the true cosine, so only routing loss remains)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, num_centroids=16, nprobe=2, m=4, codebook_k=8,
+              iters=2, n_dims=64)
+    adc = _pairs(S.topk_neighbors_ivfpq(emb, queries, **kw))
+    r_adc = len(adc & exact) / len(exact)
+    assert r_adc >= 0.15, f"ADC recall {r_adc:.2f} collapsed"
+
+    r_prev = r_adc
+    for refine in (15, 25):
+        got = _pairs(S.topk_neighbors_ivfpq(emb, queries, refine=refine, **kw))
+        r = len(got & exact) / len(exact)
+        assert r >= r_prev - 1e-9, f"refine={refine} dropped recall: {r} < {r_prev}"
+        r_prev = r
+
+    ivf = _pairs(S.topk_neighbors_ivf(emb, queries, k=5, num_centroids=16,
+                                      nprobe=2))
+    full = _pairs(
+        S.topk_neighbors_ivfpq(emb, queries, refine=10_000, **kw)
+    )
+    assert full == ivf, "full refinement must equal plain IVF (routing-only loss)"
