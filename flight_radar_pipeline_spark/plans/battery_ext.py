@@ -216,7 +216,7 @@ def distinct_user_event_types_stream(spark: SparkSession, sf_dir: str) -> DataFr
         from orders where o_orderkey % 10 = 0
     ), closed as (
         select c.o_orderkey, c.o_totalprice, c.valid_from,
-               timestamp '1999-01-01 00:00:00' as valid_to
+               timestamp '2002-01-01 00:00:00' as valid_to
         from cur c where exists (
             select 1 from updates u where u.o_orderkey = c.o_orderkey)
     ), untouched as (
@@ -224,7 +224,7 @@ def distinct_user_event_types_stream(spark: SparkSession, sf_dir: str) -> DataFr
             select 1 from updates u where u.o_orderkey = c.o_orderkey)
     ), fresh as (
         select o_orderkey, o_totalprice,
-               timestamp '1999-01-01 00:00:00' as valid_from,
+               timestamp '2002-01-01 00:00:00' as valid_from,
                null::timestamp as valid_to
         from updates
     ), hist as (
@@ -258,7 +258,7 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
         "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice")
     )
-    effective = F.to_timestamp(F.lit("1999-01-01 00:00:00"))
+    effective = F.to_timestamp(F.lit("2002-01-01 00:00:00"))
     out = scd2_apply(history, updates, ["o_orderkey"], effective)
     # open-ended validity presents as a max-sentinel string: keeps the
     # output null-free (pandas compares None != None as a mismatch) and

@@ -856,8 +856,8 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming foreachBatch SCD2 merge (full-history dimension maintenance)
 # --------------------------------------------------------------------------
 
-_S2_T1 = "1999-01-01 00:00:00"
-_S2_T2 = "1999-06-01 00:00:00"
+_S2_T1 = "2002-01-01 00:00:00"
+_S2_T2 = "2002-06-01 00:00:00"
 
 # two sequential update waves: %10 keys at T1, %20 keys (a subset) again
 # at T2 — %20 keys end with THREE versions, proving interval chaining
