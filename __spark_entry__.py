@@ -37,23 +37,26 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-6 rotation — same policy that closed the r5 gap: the 42-entry
-# POST_FREEZE slate (every oracled entry registered after the round-5
-# window froze — none has ever held a driver correctness row) moves into
-# the window WHOLESALE, exactly as pre-agreed in the round-5
-# tests/test_registry_order.py::POST_FREEZE. The other 8 slots:
+# Round-7 rotation — the final slate of the pre-agreed rotation contract
+# (tests/test_registry_order.py): the 49-entry round-6 POST_FREEZE slate
+# (every oracled entry registered after the round-6 window froze — none
+# has ever held a driver correctness row) moves into the window WHOLESALE,
+# plus `pricing_summary` as the proven spine. 49 + 1 = 50 exactly.
+# A green round takes cumulative driver coverage to ALL 203 oracled
+# entries — every oracle-paired query in the registry driver-checked at
+# least once.
 #
-# - a 5-entry proven spine: the flagship (pricing_summary) and the
-#   only-coverage operators pinned by tests/test_registry_order.py
-#   (as-of join, range join, exact percentiles, multimodal decode);
-# - the 3 round-6 additions/reworks, each needing its first driver row
-#   under its new shape: multimodal_image_dims (native PNG/GIF header
-#   parsing), corpus_training_manifest (the end-to-end corpus-assembly
-#   composition), and embedding_near_dup_pairs (now SELF-SIZING its LSH
-#   planes from the corpus count — the round-5 scale-killer fix).
+# MUST_BE_CHECKED decision (round-6 verdict asked for it explicitly):
+# `click_view_attribution` / `event_window_density` /
+# `event_value_percentiles` / `multimodal_features` rotate OUT for this
+# one round. Each holds a green driver row in CORRECTNESS_r06.json (and
+# earlier rounds) under its current shape, and each stays pinned by the
+# mandatory full-registry oracle sweep (tests/test_battery.py) — accepted
+# and documented rather than swapping two never-checked slate entries out,
+# which would merely move the one-round hole onto them.
 #
-# Demoted entries (the whole round-5 window minus the spine) all hold
-# green rows in CORRECTNESS_r05.json; tests/test_battery.py's
+# Demoted entries (the whole round-6 window minus the spine) all hold
+# green rows in CORRECTNESS_r06.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -63,57 +66,56 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # proven spine
     "pricing_summary",
-    "click_view_attribution",
-    "event_window_density",
-    "event_value_percentiles",
-    "multimodal_features",
-    # round-6 additions / reworked entries (first driver row each)
-    "multimodal_image_dims",
-    "corpus_training_manifest",
-    "embedding_near_dup_pairs",
-    # the round-5 POST_FREEZE slate, wholesale (42 — never driver-checked)
-    "doc_heavy_hitters",
-    "event_value_interpolated",
-    "doc_bpe_encode",
-    "event_value_winsorized",
-    "user_value_ewma",
-    "embedding_group_centroids",
-    "doc_source_report",
-    "corpus_filter_funnel",
-    "referential_integrity_audit",
-    "user_erasure_audit",
-    "event_value_woe_bins",
-    "order_status_psi_drift",
-    "session_event_type_lift",
-    "nation_revenue_view_ivm",
-    "event_hourly_mean_shift",
-    "distinct_user_event_types_within_wm_stream",
-    "purchase_multitouch_attribution",
-    "ab_test_event_value",
-    "top_session_paths",
-    "daily_rollup_stream_merge",
-    "doc_hashing_tf",
-    "user_value_twap",
-    "event_type_hour_mutual_info",
-    "embedding_cosine_histogram",
-    "orders_table_checksum",
-    "orders_customer_key_overlap_kmv",
-    "top_users_stream",
-    "doc_topic_clusters",
-    "customer_rfm_segments",
-    "event_props_variant",
-    "orders_schema_evolution",
-    "shipping_latency_sla",
-    "part_brand_cooccurrence",
-    "order_benford_digits",
-    "event_value_lag_autocorr",
-    "event_seasonal_baseline",
-    "part_name_fuzzy_pairs",
-    "doc_word_spans_udtf",
-    "view_click_full_outer_stream",
-    "order_gap_survival",
-    "customer_revenue_gini",
-    "peak_concurrent_sessions",
+    # the round-6 POST_FREEZE slate, wholesale (49 — never driver-checked)
+    "customer_geo_cell_pairs",
+    "entity_reach_3hop",
+    "event_decayed_type_scores",
+    "doc_char_class_entropy",
+    "lineitem_weighted_median",
+    "session_overlap_pairs",
+    "user_event_type_unpivot",
+    "user_value_holt",
+    "customer_adamic_adar",
+    "doc_containment_pairs",
+    "orders_cdc_apply",
+    "orders_pit_segment",
+    "customer_nearest_neighbor",
+    "part_fs_match_weights",
+    "doc_lang_kl_drift",
+    "customer_k_anonymity",
+    "user_kmv_rolling_7d",
+    "orders_cdc_stream_apply",
+    "user_degree_powerlaw",
+    "user_balance_clamped",
+    "part_sorted_neighborhood_pairs",
+    "doc_hybrid_rrf_search",
+    "nation_revenue_share",
+    "entity_reach_temporal",
+    "event_value_stats_merged",
+    "daily_type_rank_shift",
+    "embedding_label_balance",
+    "user_kmv_stream_partials",
+    "rollup_restatement_diff",
+    "orders_lineitem_join_ivm",
+    "doc_fold_label_parity",
+    "event_drift_stream_moments",
+    "entity_min_cost_3hop",
+    "event_value_hist_quantiles",
+    "view_click_crosscorr",
+    "embedding_mutual_nn",
+    "event_value_cdf_norm",
+    "part_revenue_abc",
+    "event_type_ks_drift",
+    "nation_dp_customer_counts",
+    "event_value_bootstrap_ci",
+    "orders_scd2_stream_merge",
+    "multimodal_audio_meta",
+    "multimodal_video_meta",
+    "nation_month_revenue_growth",
+    "ab_cuped_event_value",
+    "cohort_cumulative_ltv",
+    "embedding_topk_ivfpq",
+    "event_hist_stream_quantiles",
 ]
 CHECKED_WINDOW = 50
 

@@ -1,25 +1,22 @@
 """The driver's correctness gate oracle-checks only the first
 ``CHECKED_WINDOW`` registry entries (registration order). Guard that every
-entry inside the window carries an oracle and that the operators the round-1
-gate missed (as-of join, range join, percentiles, multimodal) now sit inside
-it — so adding queries can never silently push an only-coverage entry out.
+entry inside the window carries an oracle and that the rotation contract
+holds: no oracled entry stays driver-unchecked for more than one round
+after registration.
 
-Round-6 window policy: the round-5 POST_FREEZE slate (42 oracled entries
-that had never held a driver correctness row through r05) rotated in
-wholesale, plus a 5-entry proven spine and the 3 round-6 additions /
-reworked entries (native image-dims parsing, the end-to-end corpus
-composition, and the self-sizing embedding near-dup).
+Round-7 window policy (the final slate of the rotation contract): the
+49-entry round-6 POST_FREEZE slate rotated in wholesale plus
+``pricing_summary`` as the proven spine (49 + 1 = 50 exactly). A green
+round-7 driver check takes cumulative driver coverage to ALL oracled
+entries registered through round 6.
 
-Round-7 rotation prep: POST_FREEZE below holds 49 oracled entries
-registered after the r6 window froze (the mid-round batches: spatial/
-graph/CDC/linkage, KMV streaming, min-cost paths, the histogram-sketch
-family and its streaming face, governance/statistics, multimodal
-audio/video, SCD2 stream, LTV, IVF-PQ). 49 < 50, so the round-7 window
-rotates the slate in wholesale plus `pricing_summary` as the proven
-spine; `click_view_attribution` / `event_window_density` /
-`event_value_percentiles` / `multimodal_features` (MUST_BE_CHECKED)
-then need their coverage pinned by the local sweep alone for one round
-— or swap two slate entries out if the driver window must keep them.
+MUST_BE_CHECKED relaxation, decided explicitly per the round-6 verdict:
+the four only-coverage operators (as-of join, range join, exact
+percentiles, multimodal decode) rotate OUT for this one round. The
+contract weakens from "in the window" to "in the window OR holding a
+green driver row in a recorded CORRECTNESS round" — each of the four has
+a fully-green row in CORRECTNESS_r06.json, and the full-registry oracle
+sweep (tests/test_battery.py) pins them locally every run.
 """
 
 from __future__ import annotations
@@ -35,6 +32,21 @@ MUST_BE_CHECKED = [
     "event_value_percentiles",
     "multimodal_features",
 ]
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _driver_checked(glob: str) -> set[str]:
+    """Names holding a fully-green driver row in matching CORRECTNESS files."""
+    checked: set[str] = set()
+    for p in sorted(_ROOT.glob(glob)):
+        d = json.loads(p.read_text())
+        qs = d.get("queries", d)
+        if isinstance(qs, dict):
+            for name, row in qs.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    checked.add(name)
+    return checked
 
 
 def test_checked_window_is_fully_oracled():
@@ -52,76 +64,27 @@ def test_window_is_exactly_the_explicit_list():
     assert len(set(entrymod._WINDOW)) == entrymod.CHECKED_WINDOW
 
 
-def test_unique_operator_coverage_inside_window():
+def test_unique_operator_coverage_pinned():
+    """Round-7 relaxed form: each only-coverage operator is either inside
+    the driver window or already holds a green driver row on record."""
     window = set(entrymod._WINDOW)
-    out = [n for n in MUST_BE_CHECKED if n not in window]
-    assert not out, f"only-coverage queries outside the checked window: {out}"
+    green_ever = _driver_checked("CORRECTNESS_r0[1-6].json")
+    out = [n for n in MUST_BE_CHECKED if n not in window and n not in green_ever]
+    assert not out, f"only-coverage queries with no driver evidence: {out}"
 
 
-# entries registered AFTER the round-6 window froze (they become rotation
-# candidates for round 7; append here when adding queries mid-round)
-POST_FREEZE: set[str] = {
-    # battery_extras (round-6 additions, registered post-freeze)
-    "customer_geo_cell_pairs",
-    "entity_reach_3hop",
-    "event_decayed_type_scores",
-    "doc_char_class_entropy",
-    "lineitem_weighted_median",
-    "session_overlap_pairs",
-    "user_event_type_unpivot",
-    "user_value_holt",
-    "customer_adamic_adar",
-    "doc_containment_pairs",
-    "orders_cdc_apply",
-    "orders_pit_segment",
-    "customer_nearest_neighbor",
-    "part_fs_match_weights",
-    "doc_lang_kl_drift",
-    "customer_k_anonymity",
-    "user_kmv_rolling_7d",
-    "orders_cdc_stream_apply",
-    "user_degree_powerlaw",
-    "user_balance_clamped",
-    "part_sorted_neighborhood_pairs",
-    "doc_hybrid_rrf_search",
-    "nation_revenue_share",
-    "entity_reach_temporal",
-    "event_value_stats_merged",
-    "daily_type_rank_shift",
-    "embedding_label_balance",
-    "user_kmv_stream_partials",
-    "rollup_restatement_diff",
-    "orders_lineitem_join_ivm",
-    "doc_fold_label_parity",
-    "event_drift_stream_moments",
-    "entity_min_cost_3hop",
-    "event_value_hist_quantiles",
-    "view_click_crosscorr",
-    "embedding_mutual_nn",
-    "event_value_cdf_norm",
-    "part_revenue_abc",
-    "event_type_ks_drift",
-    "nation_dp_customer_counts",
-    "event_value_bootstrap_ci",
-    "orders_scd2_stream_merge",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "nation_month_revenue_growth",
-    "ab_cuped_event_value",
-    "cohort_cumulative_ltv",
-    "embedding_topk_ivfpq",
-    "event_hist_stream_quantiles",
-}
+# entries registered AFTER the round-7 window froze (they become rotation
+# candidates for round 8; append here when adding queries mid-round)
+POST_FREEZE: set[str] = set()
 
 
-def test_round6_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01–r05 must be in the
-    round-6 window (or the explicit POST_FREEZE slate for round 7) —
+def test_round7_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01–r06 must be in the
+    round-7 window (or the explicit POST_FREEZE slate for round 8) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
-    root = pathlib.Path(__file__).resolve().parent.parent
     checked_ever: set[str] = set()
-    for p in sorted(root.glob("CORRECTNESS_r0[1-5].json")):
+    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-6].json")):
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
