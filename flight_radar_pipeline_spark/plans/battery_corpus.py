@@ -644,9 +644,21 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_K, _KM_ITERS, _KM_SEED = 8, 3, "kmeans"
 _SEM_T = 0.35
+# semantic-dedup k is SELF-SIZED from the corpus count on both engines:
+# greatest(8, ceil(n / target_cell)) — the exact SQL mirror of
+# operators.similarity.recommended_semantic_k (equality property-tested
+# in tests/test_sizing_rules.py). A fixed k is the measured 100 TB
+# scale-killer (SCALE_RUN.json round 6: 9.93× wall at 10× data with k=8
+# pinned; k grown with the corpus — k=80 at sf1 — ran 3.1× faster);
+# deriving k from count(*) keeps EXPECTED cell occupancy — and so the
+# in-cell quadratic verify — constant as the corpus grows. target=250
+# reproduces the measured sf1 winner exactly (ceil(20000/250) = 80).
+_SEM_TARGET_CELL = 250
 
 
-def _kmeans_cte_sql(k: int, iters: int, dims: int, seed: str) -> tuple[str, str]:
+def _kmeans_cte_sql(
+    k: int, iters: int, dims: int, seed: str, k_sql: str | None = None
+) -> tuple[str, str]:
     """Unrolled fixed-iteration Lloyd's as DuckDB CTEs (the PageRank/PCA
     oracle pattern applied to clustering) → (cte_block, final_cents_name).
 
@@ -654,15 +666,35 @@ def _kmeans_cte_sql(k: int, iters: int, dims: int, seed: str) -> tuple[str, str]
     the k rows with the smallest md5(seed-id) and numbers them by source
     id; each iteration assigns by (rounded cosine desc, cent_id asc) and
     recomputes per-dim means rounded to 6; empty cells keep their
-    previous centroid via the left-join coalesce."""
+    previous centroid via the left-join coalesce.
+
+    ``k_sql`` (a scalar SQL expression over ``embeddings``) replaces the
+    literal ``k`` seed bound with a count-derived one — the self-sizing
+    form used by the semantic-dedup oracle. Only the ``seeds`` CTE
+    depends on k; the iteration unroll is k-agnostic (cross join against
+    whatever c{i} holds)."""
     means = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dims))
+    if k_sql is None:
+        seeds = f"""seeds as (
+        select vec_id, v from e
+        order by md5('{seed}-' || vec_id), vec_id limit {k}
+    )"""
+    else:
+        seeds = f"""ksz as (
+        select {k_sql} as k from embeddings
+    ), seeds as (
+        select vec_id, v from (
+            select vec_id, v,
+                   row_number() over (
+                       order by md5('{seed}-' || vec_id), vec_id
+                   ) as srn
+            from e
+        ) where srn <= (select k from ksz)
+    )"""
     parts = [
         f"""e as (
         select vec_id, embedding::DOUBLE[] as v from embeddings
-    ), seeds as (
-        select vec_id, v from e
-        order by md5('{seed}-' || vec_id), vec_id limit {k}
-    ), c0 as (
+    ), {seeds}, c0 as (
         select row_number() over (order by vec_id) - 1 as cent_id, v as cv
         from seeds
     )"""
@@ -717,8 +749,18 @@ def _kmeans_clusters_oracle() -> str:
 """
 
 
+def _semantic_k_sql() -> str:
+    """SQL mirror of ``recommended_semantic_k(n, _SEM_TARGET_CELL)``
+    (equality property-tested in tests/test_sizing_rules.py)."""
+    return (
+        f"greatest(8, cast(ceil(count(*) / {_SEM_TARGET_CELL}.0) as bigint))"
+    )
+
+
 def _semantic_dedup_oracle() -> str:
-    ctes, cents = _kmeans_cte_sql(_KM_K, _KM_ITERS, EMB_DIMS, _KM_SEED)
+    ctes, cents = _kmeans_cte_sql(
+        _KM_K, _KM_ITERS, EMB_DIMS, _KM_SEED, k_sql=_semantic_k_sql()
+    )
     return f"""
     with {ctes}, assign as ({_km_assign_sql(cents, with_cosine=False)}),
     u as (
@@ -747,8 +789,10 @@ def _semantic_dedup_oracle() -> str:
 # _PAIR_CACHE: a real pipeline trains the coarse quantizer once and every
 # consumer (cluster table, semantic dedup, IVF layout) reuses it. Values
 # are tiny driver-side lists (k × dims floats), deterministic for a given
-# (session, sf_dir); clear_kmeans_cache() forces retraining.
-_KM_CACHE: dict[tuple[str, str], list[tuple[int, list[float]]]] = {}
+# (session, sf_dir, k) — k is part of the key because the semantic dedup
+# derives its own k from the corpus count while the cluster-table entry
+# pins k=_KM_K; clear_kmeans_cache() forces retraining.
+_KM_CACHE: dict[tuple[str, str, int], list[tuple[int, list[float]]]] = {}
 
 
 _PQ_BOOKS_CACHE: dict[tuple[str, str], list] = {}
@@ -774,13 +818,13 @@ def _shared_pq_books(spark: SparkSession, sf_dir: str) -> list:
 
 
 def _shared_kmeans_centroids(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int = _KM_K
 ) -> list[tuple[int, list[float]]]:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, k)
     if key not in _KM_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _KM_CACHE[key] = S.kmeans_centroids(
-            emb, k=_KM_K, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
+            emb, k=k, iters=_KM_ITERS, n_dims=EMB_DIMS, seed=_KM_SEED
         )
     return _KM_CACHE[key]
 
@@ -806,10 +850,15 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher id as a duplicate of the lower → (vec_id, cell, n_lower_dups,
     kept). The embedding-space sibling of the MinHash/SimHash near-dup
     family: same bucket-then-verify scale posture, with the quantizer as
-    the bucketing function (trained once per (session, sf_dir) via the
-    shared-centroid cache)."""
+    the bucketing function (trained once per (session, sf_dir, k) via the
+    shared-centroid cache). k is SELF-SIZED from the corpus count via
+    ``recommended_semantic_k`` (the oracle derives the same value from
+    ``count(*)``), so expected cell occupancy — and the in-cell
+    quadratic verify — stays constant as the corpus grows (the measured
+    round-6 scale-killer fix: 9.93× → k-grown at sf1 runs 3.1× faster)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _shared_kmeans_centroids(spark, sf_dir)
+    k = S.recommended_semantic_k(emb.count(), target_cell_size=_SEM_TARGET_CELL)
+    cents = _shared_kmeans_centroids(spark, sf_dir, k=k)
     return S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T).orderBy(
         "vec_id"
     )
