@@ -80,18 +80,28 @@ def moment_partials(
     sketch: partials of two days/partitions/sources combine exactly (see
     ``merge_moment_partials``), which is what lets a 100 TB rollup keep
     3 numbers per (day, key) and answer mean/variance over any day
-    subset without touching raw history. m2 = Σ(x−mean)² via the
-    numerically-stable identity m2 = Σx² − n·mean² is NOT used — the
-    grouped form computes Σx and Σx² then centers once, matching SQL
-    exactly."""
+    subset without touching raw history.
+
+    Numerical note (deliberate trade-off): m2 is the one-pass grouped
+    form Σx² − n·mean², NOT the two-pass centered Σ(x−mean)² — one scan
+    instead of two, and the same arithmetic any SQL engine's var_samp
+    restates, which is what the oracle parity checks rely on. The
+    one-pass form can cancel catastrophically for large-mean/tiny-
+    variance groups (Σx² and n·mean² agree to many digits), so the
+    result is clamped at 0: variance can then round to 0 but never go
+    negative / NaN downstream. Callers with |mean| ≫ std who need full
+    precision should pre-center ``value_col`` by an approximate group
+    mean first — shifting by a constant leaves m2 unchanged in exact
+    arithmetic and removes the cancellation."""
     return df.groupBy(*group_cols).agg(
         F.count(value_col).alias("n"),
         F.avg(value_col).alias("mean"),
-        (
+        F.greatest(
+            F.lit(0.0),
             F.sum(F.col(value_col) * F.col(value_col))
             - F.count(value_col)
             * F.avg(value_col)
-            * F.avg(value_col)
+            * F.avg(value_col),
         ).alias("m2"),
     )
 
@@ -223,14 +233,23 @@ def hist_partials(
     group regardless of row count, and the whole build is one
     map-side-combinable groupBy. Fully deterministic (no sampling), so
     estimates restate exactly in SQL — the property ``approx_percentile``
-    sketches can't give an oracle."""
+    sketches can't give an oracle.
+
+    NULL values are dropped before bucketing (they carry no position on
+    the value axis). Without the explicit filter they would silently
+    become bucket-0 mass: floor((NULL−lo)/w) is NULL, but Spark's
+    ``greatest``/``least`` SKIP nulls, so greatest(0, NULL) = 0 — a
+    phantom lo-edge count that would skew n and every quantile, and
+    engines disagree on null handling in greatest, breaking oracle
+    parity."""
     w = (hi - lo) / nbins
     bucket = F.least(
         F.lit(nbins - 1),
         F.greatest(F.lit(0), F.floor((F.col(value_col) - lo) / w).cast("int")),
     ).alias("bucket")
     return (
-        df.select(*group_cols, bucket)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket)
         .groupBy(*group_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("bin_count"))
     )

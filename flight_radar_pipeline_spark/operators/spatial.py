@@ -11,9 +11,19 @@ candidate volume is bounded by local point density.
 Correctness guarantee: if every cell edge is >= the radius (in km, at
 every latitude the data can reach), then any two points within the
 radius land in the same or an adjacent cell, so the 3×3 probe misses
-nothing. Longitude degrees shrink with cos(lat), so the guarantee must
-be checked at the MAX absolute latitude — ``geo_cell_pairs`` enforces
-that bound rather than silently under-covering near the poles.
+nothing — INCLUDING across the antimeridian: longitude cells are
+indexed as ``pmod(floor((lon + 180) / cell_deg), n_lon)`` with
+``n_lon = 360 / cell_deg`` cells around the globe, so the cell east of
+lon +180 IS cell 0 and the probe neighborhood wraps. That wrap is only
+coherent when ``cell_deg`` divides 360 into a whole number of
+equal-width cells (a fractional seam cell would be narrower than the
+radius, silently breaking adjacency), so ``geo_cell_pairs`` validates
+divisibility and ``n_lon >= 3`` (with fewer than 3 lon cells the ±1
+probe visits the same wrapped cell twice and pairs would duplicate).
+
+Longitude degrees shrink with cos(lat), so the edge-width guarantee
+must be checked at the MAX absolute latitude — ``geo_cell_pairs``
+enforces that bound rather than silently under-covering near the poles.
 
 100 TB posture: one explode (×9 on the probe side only), one equi-join
 on (cell_x, cell_y), verification on candidates only. Urban-density
@@ -35,6 +45,38 @@ from flight_radar_pipeline_spark.functions.geo import haversine_km
 _KM_PER_DEG = 111.195  # mean earth radius * pi / 180
 
 
+def _validate_grid(radius_km: float, cell_deg: float, max_abs_lat: float) -> int:
+    """Shared grid-coherence checks → the lon cell count ``n_lon``."""
+    if max_abs_lat >= 90.0:
+        raise ValueError(
+            "geo_cell_pairs: max_abs_lat must be < 90 (longitude cells have "
+            "zero width at the pole — no grid satisfies the radius there)"
+        )
+    narrowest_km = cell_deg * _KM_PER_DEG * math.cos(math.radians(max_abs_lat))
+    if narrowest_km < radius_km:
+        raise ValueError(
+            f"geo_cell_pairs: cell_deg={cell_deg} gives {narrowest_km:.1f} km "
+            f"cells at lat {max_abs_lat} — smaller than radius_km={radius_km}; "
+            "the 3x3 probe would miss pairs. Grow cell_deg or bound the data."
+        )
+    n_lon_f = 360.0 / cell_deg
+    n_lon = round(n_lon_f)
+    if abs(n_lon_f - n_lon) > 1e-9:
+        raise ValueError(
+            f"geo_cell_pairs: cell_deg={cell_deg} does not divide 360 into "
+            "equal cells — the seam cell at the antimeridian would be "
+            "narrower than the radius guarantee allows. Pick a cell_deg "
+            "that divides 360 (e.g. 0.5, 1, 2, 2.5, 3, 4, 5, ...)."
+        )
+    if n_lon < 3:
+        raise ValueError(
+            f"geo_cell_pairs: cell_deg={cell_deg} gives only {n_lon} "
+            "longitude cells — the wrapped ±1 probe would visit a cell "
+            "twice and duplicate pairs. Use cell_deg <= 120."
+        )
+    return n_lon
+
+
 def geo_cell_pairs(
     points: DataFrame,
     id_col: str,
@@ -50,29 +92,27 @@ def geo_cell_pairs(
     qualifying pair exactly once: the left side explodes to its 3×3
     cell neighborhood, the right side keeps its home cell, and the
     ``id_a < id_b`` ordering keeps only one orientation (a pair's home
-    cell appears in the other point's neighborhood at most once).
+    cell appears in the other point's neighborhood at most once — the
+    3 wrapped lon probe cells are distinct because ``n_lon >= 3``).
 
     ``cell_deg`` must give the adjacency guarantee at the data's
     latitude extreme: ``cell_deg * 111.195 * cos(max_abs_lat)`` (the
-    narrowest edge a cell can have, km) must be >= ``radius_km``.
-    Raises ``ValueError`` otherwise — a silently under-covered grid is
-    a recall bug, not a tuning choice.
+    narrowest edge a cell can have, km) must be >= ``radius_km``, and
+    must divide 360 so the antimeridian wrap is seamless. Raises
+    ``ValueError`` otherwise — a silently under-covered grid is a
+    recall bug, not a tuning choice. Input longitudes are normalized to
+    [-180, 180) first, so ``lon=180`` and ``lon=-180`` land in the same
+    cell and pairs straddling the dateline are found.
     """
-    if max_abs_lat >= 90.0:
-        raise ValueError(
-            "geo_cell_pairs: max_abs_lat must be < 90 (longitude cells have "
-            "zero width at the pole — no grid satisfies the radius there)"
-        )
-    narrowest_km = cell_deg * _KM_PER_DEG * math.cos(math.radians(max_abs_lat))
-    if narrowest_km < radius_km:
-        raise ValueError(
-            f"geo_cell_pairs: cell_deg={cell_deg} gives {narrowest_km:.1f} km "
-            f"cells at lat {max_abs_lat} — smaller than radius_km={radius_km}; "
-            "the 3x3 probe would miss pairs. Grow cell_deg or bound the data."
-        )
+    n_lon = _validate_grid(radius_km, cell_deg, max_abs_lat)
 
     cx = F.floor(F.col(lat_col) / cell_deg).cast("long")
-    cy = F.floor(F.col(lon_col) / cell_deg).cast("long")
+    # lon cell 0 starts at -180; pmod wraps any out-of-range longitude
+    # (e.g. 180.0 ≡ -180.0) onto the same n_lon-cell ring
+    cy = F.pmod(
+        F.floor((F.col(lon_col) + F.lit(180.0)) / cell_deg).cast("long"),
+        F.lit(n_lon),
+    )
     base = points.select(
         F.col(id_col).alias("__id"),
         F.col(lat_col).cast("double").alias("__lat"),
@@ -93,8 +133,13 @@ def geo_cell_pairs(
         "__lat_a",
         "__lon_a",
         "__cx",
+        # wrap the lon neighborhood: the cell east of the last ring cell
+        # is cell 0, so dateline-straddling pairs share a probe cell
         F.explode(
-            F.sequence(F.col("__cy0") - 1, F.col("__cy0") + 1)
+            F.transform(
+                F.sequence(F.col("__cy0") - 1, F.col("__cy0") + 1),
+                lambda c: F.pmod(c, F.lit(n_lon)),
+            )
         ).alias("__cy"),
     )
     home = base.select(
@@ -131,13 +176,14 @@ def geo_nearest_within(
     (inner semantics — left-join against the input to keep them).
 
     Same grid device and adjacency guarantee as ``geo_cell_pairs``
-    (``cell_deg`` is validated identically), but candidates keep both
-    orientations (each point must find ITS nearest, so the pair set is
-    directed) and the argmin folds into one aggregate:
-    ``min(struct(dist, nn_id))`` — distance first, id tiebreak, fully
-    deterministic. The radius bound is what makes "nearest neighbor"
-    grid-local and thus scalable: an unbounded NN would need expanding
-    probes for isolated points — unbounded worst-case work per point.
+    (``cell_deg`` is validated identically, including the antimeridian
+    wrap), but candidates keep both orientations (each point must find
+    ITS nearest, so the pair set is directed) and the argmin folds into
+    one aggregate: ``min(struct(dist, nn_id))`` — distance first, id
+    tiebreak, fully deterministic. The radius bound is what makes
+    "nearest neighbor" grid-local and thus scalable: an unbounded NN
+    would need expanding probes for isolated points — unbounded
+    worst-case work per point.
 
     Distances are quantized to ``tie_decimals`` (default 1 mm) BEFORE
     the argmin so the id tiebreak — not last-bit float noise from a

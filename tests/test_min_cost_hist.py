@@ -94,6 +94,18 @@ def test_hist_clamps_out_of_range(spark):
     assert got == {0: 1, 9: 1, 5: 1}  # edge bins absorb, mass conserved
 
 
+def test_hist_drops_nulls_not_bucket0(spark):
+    # NULL values must vanish, not become phantom lo-edge mass (Spark's
+    # greatest() skips nulls, so an unfiltered NULL lands in bucket 0).
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 0, 50.0), ("a", 0, None)],
+        "g string, part int, v double",
+    )
+    m = merge_hist_partials(hist_partials(df, "v", ["g"], 0.0, 100.0, 10), ["g"])
+    got = {r["bucket"]: r["bin_count"] for r in m.collect()}
+    assert got == {5: 1}  # no bucket-0 phantoms; n excludes nulls
+
+
 def test_hist_quantiles_uniform_interpolation(spark):
     # 100 values 0..99 in [0,100) x 10 bins: every bin holds 10; the
     # estimator is exact for the uniform case up to interpolation.

@@ -85,6 +85,37 @@ def test_geo_matches_bruteforce_across_cell_edges(spark):
     assert all(a < b for a, b in got)
 
 
+def test_geo_dateline_pairs_found(spark):
+    # points within radius on opposite sides of the antimeridian: the
+    # lon cell ring wraps (pmod), so lon 179.9 and -179.9 share a probe
+    # cell — the silent recall hole the round-6 advice flagged.
+    rows = [
+        (1, 10.0, 179.9),
+        (2, 10.0, -179.9),   # ~22 km east of 1, across the seam
+        (3, 10.0, 179.0),    # ~120 km from 2 (also crosses the seam)
+        (4, -10.0, -179.95),  # wrong hemisphere — far from all
+        (5, 10.0, 180.0),    # lon=180 normalizes onto the -180 cell
+    ]
+    pts = _points(spark, rows)
+    got = {
+        (r.id_a, r.id_b)
+        for r in geo_cell_pairs(pts, "id", "lat", "lon", radius_km=50.0,
+                                cell_deg=2.0, max_abs_lat=45.0).collect()
+    }
+    assert (1, 2) in got    # straddling pair recovered
+    assert (2, 5) in got    # lon=180 ≡ -180 (11 km from 2)
+    assert (1, 5) in got
+    assert (2, 3) not in got  # >radius, even though both near the seam
+    assert all(a < b for a, b in got)
+
+
+def test_geo_rejects_non_divisor_cell_deg(spark):
+    pts = _points(spark, [(1, 0.0, 0.0)])
+    with pytest.raises(ValueError, match="does not divide 360"):
+        geo_cell_pairs(pts, "id", "lat", "lon", radius_km=50.0,
+                       cell_deg=7.0, max_abs_lat=45.0)
+
+
 def test_geo_negative_coordinate_cells(spark):
     # floor() (not int-cast truncation) must be used so points just
     # below 0 land in cell -1, keeping adjacency with points just above.

@@ -94,6 +94,22 @@ def test_moment_merge_equals_direct(spark, seed):
         )
 
 
+def test_moment_m2_never_negative_under_cancellation(spark):
+    # large mean, tiny variance: Σx² − n·mean² cancels catastrophically
+    # and can come out slightly negative in doubles — the clamp must
+    # keep m2 ≥ 0 so variance/std stay finite downstream.
+    base = 1.0e9
+    rows = [("g", 0, base + i * 1e-4) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, slice long, v double")
+    out = moment_partials(df, ["g", "slice"], "v").collect()[0]
+    assert out.m2 >= 0.0
+    merged = merge_moment_partials(
+        moment_partials(df, ["g", "slice"], "v"), ["g"], ["slice"]
+    ).collect()[0]
+    assert merged.m2 >= 0.0
+    assert math.isfinite(math.sqrt(merged.m2 / (merged.n - 1)))
+
+
 def test_moment_merge_single_and_tiny_slices(spark):
     # a group whose slices hold 1 value each (m2 = 0 per slice) must
     # still produce the exact pooled variance
