@@ -834,7 +834,13 @@ def mutual_nn_pairs(
     )
     if signature_storage is not None:
         # both sides of the reciprocity join consume nn; without this the
-        # whole candidate-generation + verify pipeline runs twice
+        # whole candidate-generation + verify pipeline runs twice. There
+        # is no per-operator unpersist hook (the consuming action happens
+        # in the caller): long-lived sessions running many operators
+        # should call spark.catalog.clearCache() between them — the
+        # shared contract bench.py / tools/check_battery.py /
+        # tests/test_battery.py follow — or pass signature_storage=None
+        # to trade the recompute for zero cached state.
         nn = nn.persist(signature_storage)
     fwd = nn.select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"

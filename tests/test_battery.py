@@ -20,10 +20,18 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_battery_query(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
-    if name in ORACLES:
-        compare(df, ORACLES[name], duck)
-    else:
-        assert df.count() >= 0 and len(df.schema.fields) > 0
+    try:
+        if name in ORACLES:
+            compare(df, ORACLES[name], duck)
+        else:
+            assert df.count() >= 0 and len(df.schema.fields) > 0
+    finally:
+        # several operators persist an intermediate (LSH signatures,
+        # shingle sets, nn tables) with no per-operator unpersist path;
+        # the shared hook is the session cache clear, same as bench.py —
+        # without it the full 200+-entry sweep accumulates executor
+        # storage across entries
+        spark.catalog.clearCache()
 
 
 # order-sensitive shapes (top-k windows, sorted collects, as-of carry,

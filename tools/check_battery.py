@@ -85,6 +85,9 @@ def main() -> int:
         if status == "FAIL":
             failures.append(name)
         print(f"{status:5} {name}: {len(got)} rows  ({time.time()-t0:.1f}s) {detail}")
+        # drop operator-persisted intermediates (LSH signatures, nn
+        # tables) between entries — same shared hook as bench.py
+        spark.catalog.clearCache()
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} matched")
     spark.stop()
