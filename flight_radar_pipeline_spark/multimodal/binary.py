@@ -292,6 +292,134 @@ def parse_image_dims(
     )
 
 
+# JPEG: SOI, then marker segments FF xx [len_hi len_lo payload…]; frame
+# dimensions live in the SOF0 (baseline, FF C0) or SOF2 (progressive,
+# FF C2) segment: precision u8, height u16 BE, width u16 BE after the
+# 2-byte length. Unlike PNG/GIF/WAV the SOF offset is NOT fixed — APPn /
+# DQT segments of arbitrary length precede it — so parsing requires a
+# real segment walk, not a fixed-offset slice.
+_JPEG_SOI = b"\xff\xd8"
+# APP0 JFIF v1.1, no thumbnail (16-byte segment) — canonical baseline head
+_JPEG_APP0 = bytes.fromhex("ffe000104a46494600010100004800480000")
+# DQT: 67-byte segment (table id 0 + 64 zero entries — structurally real)
+_JPEG_DQT = bytes.fromhex("ffdb004300") + b"\x00" * 64
+# SOF tail after width: 3 components (YCbCr 4:2:0-ish sampling/quant ids)
+_JPEG_SOF_TAIL = bytes.fromhex("03011100021101031101")
+
+
+def with_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a mixed JPEG/text corpus with STRUCTURALLY REAL marker
+    streams: ``id % 3 == 0`` → baseline JFIF (SOI, APP0, DQT, SOF0 —
+    dims behind two fixed-length segments), ``id % 3 == 1`` →
+    progressive Exif-style (SOI, APP1 whose length VARIES with the id,
+    SOF2 — so the parser's segment walk is load-bearing, a fixed-offset
+    slice cannot pass), else headerless text. Dimensions derive
+    deterministically from the id; the document's UTF-8 bytes stand in
+    for the entropy-coded scan data."""
+    body = F.encode(F.col(text_col), "UTF-8")
+    did = F.col(id_col)
+    w = (did % 4000 + 8).cast("bigint")
+    h = ((did * 11) % 4000 + 8).cast("bigint")
+
+    def be2(c):
+        return F.lpad(F.hex(c), 4, "0")
+
+    sof = lambda marker: F.unhex(  # noqa: E731 — local hex assembler
+        F.concat(
+            F.lit(marker + "001108"), be2(h), be2(w),
+            F.lit(_JPEG_SOF_TAIL.hex().upper()),
+        )
+    )
+    # APP1 payload: 'Exif\0\0' + id%32 pad bytes → segment length varies
+    pad = (did % 32).cast("int")
+    app1 = F.unhex(
+        F.concat(
+            F.lit("FFE1"),
+            be2((pad + 8).cast("bigint")),  # 2 len + 6 'Exif\0\0' + pad
+            F.lit(b"Exif\x00\x00".hex().upper()),
+            F.repeat(F.lit("00"), pad),
+        )
+    )
+    baseline = F.concat(
+        F.lit(bytearray(_JPEG_SOI + _JPEG_APP0 + _JPEG_DQT)),
+        sof("FFC0"), body,
+    )
+    progressive = F.concat(
+        F.lit(bytearray(_JPEG_SOI)), app1, sof("FFC2"), body
+    )
+    payload = (
+        F.when(did % 3 == 0, baseline)
+        .when(did % 3 == 1, progressive)
+        .otherwise(body)
+    )
+    return df.select(did.alias(id_col), payload.alias("payload"))
+
+
+def parse_jpeg_dims(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_segments: int = 6,
+    head_bytes: int = 1024,
+) -> DataFrame:
+    """→ (id, modality, sof_marker, width, height): JPEG frame
+    dimensions parsed NATIVELY with a bounded marker-segment walk as a
+    pure column expression — an ``aggregate`` fold over
+    ``max_segments`` steps threads the byte offset through the segment
+    chain (each step: require the FF prefix, stop on SOF0/SOF2, else
+    advance by 2 + the segment's big-endian length). No codec, no
+    Python, and only the first ``head_bytes`` bytes are ever hexed.
+
+    Malformed input degrades to NULL dims, never to wrong ones: a
+    non-FF byte where a marker should be, a truncated length field, or
+    a SOF beyond the walk/head bound all leave the accumulator's SOF
+    offset NULL. Standalone RST markers (no length) appear only inside
+    entropy-coded scan data, after SOS — a dimension walk never reaches
+    them. Non-JPEG payloads get NULL dims and 'text/plain'."""
+    p = F.col(payload_col)
+    is_jpeg = F.hex(F.substring(p, 1, 3)) == "FFD8FF"
+    hx = F.hex(F.substring(p, 1, head_bytes))
+
+    def at(bytepos, nbytes: int):
+        # 1-based byte k ↔ hex offset 2k−1; bytepos is a Column
+        return F.substring(hx, bytepos * 2 - 1, nbytes * 2)
+
+    def step(acc, _):
+        pos = acc["pos"]
+        ff_ok = at(pos, 1) == "FF"
+        mk = at(pos + 1, 1)
+        is_sof = mk.isin("C0", "C2")
+        seglen = F.conv(at(pos + 2, 2), 16, 10).cast("long")
+        new_sof = F.coalesce(acc["sof"], F.when(ff_ok & is_sof, pos))
+        new_pos = F.when(
+            acc["sof"].isNotNull() | ~ff_ok | is_sof, pos
+        ).otherwise(pos + 2 + seglen)
+        return F.struct(new_pos.alias("pos"), new_sof.alias("sof"))
+
+    acc0 = F.struct(
+        F.lit(3).cast("long").alias("pos"),
+        F.lit(None).cast("long").alias("sof"),
+    )
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), acc0, step
+    )
+    sof = F.when(is_jpeg, walked["sof"])
+    height = F.conv(F.substring(hx, sof * 2 + 9, 4), 16, 10).cast("int")
+    width = F.conv(F.substring(hx, sof * 2 + 13, 4), 16, 10).cast("int")
+    marker = F.concat(F.lit("FF"), F.substring(hx, sof * 2 + 1, 2))
+    return df.select(
+        F.col(id_col),
+        F.when(is_jpeg, F.lit("image/jpeg"))
+        .otherwise(F.lit("text/plain"))
+        .alias("modality"),
+        F.when(sof.isNotNull(), marker).alias("sof_marker"),
+        F.when(sof.isNotNull(), width).alias("width"),
+        F.when(sof.isNotNull(), height).alias("height"),
+    )
+
+
 def route_modalities(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

@@ -2483,3 +2483,104 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     meta = parse_mp4_meta(with_video_payload(docs))
     return meta.where(F.col("modality") != "text/plain").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# JPEG SOF dimensions: bounded marker-segment walk, natively on bytes
+# --------------------------------------------------------------------------
+
+
+def _jpeg_walk_sql(steps: int = 6) -> str:
+    """Unrolled marker-segment walk over hex(payload) — the SQL mirror
+    of ``parse_jpeg_dims``'s aggregate fold: each step requires the FF
+    prefix, latches the SOF0/SOF2 offset, else advances by 2 + the
+    segment's big-endian length. 1-based byte k ↔ hex offset 2k−1."""
+    # MATERIALIZED: without it DuckDB inlines each step's pos/sof case
+    # expressions into the next (they are referenced ~5× per step), and
+    # the expression tree grows ~5^steps — measured 54 s at sf0.01 vs
+    # 0.05 s materialized
+    parts = ["w0 as materialized (select doc_id, h, is_jpeg, 3::bigint as pos, null::bigint as sof from parsed)"]
+    for i in range(steps):
+        parts.append(f"""w{i + 1} as materialized (
+        select doc_id, h, is_jpeg,
+               case when sof is not null then pos
+                    when substr(h, 2 * pos - 1, 2) <> 'FF' then pos
+                    when substr(h, 2 * pos + 1, 2) in ('C0', 'C2') then pos
+                    else pos + 2 + ('0x' || substr(h, 2 * pos + 3, 4))::bigint
+               end as pos,
+               coalesce(sof,
+                        case when substr(h, 2 * pos - 1, 2) = 'FF'
+                              and substr(h, 2 * pos + 1, 2) in ('C0', 'C2')
+                             then pos end) as sof
+        from w{i}
+    )""")
+    return ", ".join(parts), f"w{steps}"
+
+
+_JPEG_WALK_CTES, _JPEG_WALK_FIN = _jpeg_walk_sql(6)
+
+_JPEG_ORACLE = f"""
+    with d as (
+        select doc_id, text,
+               (doc_id % 4000 + 8)::bigint as w,
+               ((doc_id * 11) % 4000 + 8)::bigint as h2,
+               (doc_id % 32)::bigint as pad
+        from documents
+    ), blob as (
+        -- synthesize the SAME structurally-real marker streams as the
+        -- Spark side: baseline JFIF (APP0+DQT+SOF0) or progressive
+        -- Exif-style (variable-length APP1 + SOF2)
+        select doc_id,
+               case doc_id % 3
+                 when 0 then from_hex('FFD8'
+                       || 'FFE000104A46494600010100004800480000'
+                       || 'FFDB004300' || repeat('00', 64)
+                       || 'FFC0001108' || lpad(to_hex(h2), 4, '0')
+                       || lpad(to_hex(w), 4, '0') || '03011100021101031101'
+                       || hex(encode(text)))
+                 when 1 then from_hex('FFD8'
+                       || 'FFE1' || lpad(to_hex(pad + 8), 4, '0')
+                       || '457869660000' || repeat('00', pad::int)
+                       || 'FFC2001108' || lpad(to_hex(h2), 4, '0')
+                       || lpad(to_hex(w), 4, '0') || '03011100021101031101'
+                       || hex(encode(text)))
+                 else encode(text)
+               end as payload
+        from d
+    ), parsed as (
+        -- parse BACK from the bytes alone: sniff, then walk segments
+        select doc_id, hex(payload) as h,
+               substr(hex(payload), 1, 6) = 'FFD8FF' as is_jpeg
+        from blob
+    ), {_JPEG_WALK_CTES}
+    select doc_id,
+           'image/jpeg' as modality,
+           'FF' || substr(h, 2 * sof + 1, 2) as sof_marker,
+           ('0x' || substr(h, 2 * sof + 13, 4))::int as width,
+           ('0x' || substr(h, 2 * sof + 9, 4))::int as height
+    from {_JPEG_WALK_FIN}
+    where is_jpeg and sof is not null
+    order by doc_id
+"""
+
+
+@register("multimodal_jpeg_dims", _JPEG_ORACLE)
+def multimodal_jpeg_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG frame dimensions parsed NATIVELY from binary payloads with a
+    bounded marker-segment WALK (``aggregate`` fold threading the byte
+    offset: FF-prefix check, SOF0/SOF2 latch, else advance by the
+    segment's big-endian length) — unlike PNG/GIF/WAV the SOF offset is
+    not fixed, and the synthesis varies an Exif APP1's length with the
+    id so a fixed-offset slice cannot pass. Both engines synthesize
+    byte-identical marker streams and both walk the bytes back (the
+    oracle unrolls the identical steps as CTEs). This shrinks the codec
+    stub to pixel/sample decode only (multimodal/binary.py):
+    adversarial truncation/garbage cases in tests/test_multimodal_route.py."""
+    from flight_radar_pipeline_spark.multimodal.binary import (
+        parse_jpeg_dims,
+        with_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dims = parse_jpeg_dims(with_jpeg_payload(docs))
+    return dims.where(F.col("modality") != "text/plain").orderBy("doc_id")

@@ -114,3 +114,113 @@ def test_truncated_header_parses_partially_not_crashes(spark):
     got = _dims(spark, {0: b})
     assert got[0][0] == "image/png"
     assert got[0][1] == 800
+
+
+# ---------------------------------------------------------------------------
+# native JPEG SOF segment walk
+# ---------------------------------------------------------------------------
+
+from flight_radar_pipeline_spark.multimodal.binary import (
+    parse_jpeg_dims,
+    with_jpeg_payload,
+)
+
+
+def _jdims(spark, payloads: dict[int, bytes]) -> dict[int, tuple]:
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    return {
+        r["doc_id"]: (r["modality"], r["sof_marker"], r["width"], r["height"])
+        for r in parse_jpeg_dims(df).collect()
+    }
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _sof(w: int, h: int, marker: int = 0xC0) -> bytes:
+    return _seg(
+        marker,
+        b"\x08" + struct.pack(">HH", h, w)
+        + bytes.fromhex("03011100021101031101"),
+    )
+
+
+def _jfif_app0() -> bytes:
+    return _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00")
+
+
+def test_jpeg_sof0_after_app0_and_dqt(spark):
+    blob = (b"\xff\xd8" + _jfif_app0() + _seg(0xDB, b"\x00" + b"\x00" * 64)
+            + _sof(1920, 1080) + b"scan-data")
+    got = _jdims(spark, {0: blob})
+    assert got[0] == ("image/jpeg", "FFC0", 1920, 1080)
+
+
+def test_jpeg_sof2_behind_variable_length_app1(spark):
+    # Exif APP1 of three different lengths: a fixed-offset slice cannot
+    # pass all three; the segment walk must thread the real lengths
+    for i, pad in enumerate((0, 17, 255)):
+        blob = (b"\xff\xd8" + _seg(0xE1, b"Exif\x00\x00" + b"\x00" * pad)
+                + _sof(4000, 8, marker=0xC2) + b"x")
+        got = _jdims(spark, {0: blob})
+        assert got[0] == ("image/jpeg", "FFC2", 4000, 8), f"pad={pad}"
+
+
+def test_jpeg_many_segments_then_sof(spark):
+    # 5 marker segments before SOF — at the default max_segments=6 bound
+    blob = b"\xff\xd8" + b"".join(
+        _seg(0xE0 + i, bytes(3 + i)) for i in range(5)
+    ) + _sof(12, 34) + b"x"
+    got = _jdims(spark, {0: blob})
+    assert got[0] == ("image/jpeg", "FFC0", 12, 34)
+    # one more pushes SOF past the walk bound: NULL dims, never wrong ones
+    blob7 = b"\xff\xd8" + b"".join(
+        _seg(0xE0 + i, bytes(3 + i)) for i in range(6)
+    ) + _sof(12, 34) + b"x"
+    got7 = _jdims(spark, {0: blob7})
+    assert got7[0] == ("image/jpeg", None, None, None)
+
+
+def test_jpeg_malformed_and_truncated_null_dims(spark):
+    cases = {
+        0: b"plain text",                                   # not jpeg
+        1: b"\xff\xd8\xff",                                  # bare SOI+FF
+        2: b"\xff\xd8" + b"garbage-no-marker",               # non-FF 3rd byte
+        3: (b"\xff\xd8" + _jfif_app0())[:8],                 # cut inside APP0
+        4: b"\xff\xd8" + _seg(0xE0, b"x" * 4)[:5],           # truncated len
+        5: b"\xff\xd8" + _jfif_app0() + b"\xff\xd9",         # EOI, no SOF
+        # sniffs as jpeg (FF D8 FF) but the walk hits a non-FF byte
+        6: b"\xff\xd8" + _seg(0xE0, b"ok") + b"not-a-marker" + _sof(9, 9),
+    }
+    got = _jdims(spark, cases)
+    # 3-byte sniff contract (SNIFF_PREFIXES): no FF D8 FF prefix → text
+    for i in (0, 2):
+        assert got[i] == ("text/plain", None, None, None)
+    for i in (1, 3, 4, 5, 6):
+        assert got[i][0] == "image/jpeg"
+        assert got[i][1:] == (None, None, None), f"case {i}: {got[i]}"
+
+
+def test_jpeg_synthesis_roundtrip_and_walk_is_pure_expression(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = parse_jpeg_dims(with_jpeg_payload(docs))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for i in range(12):
+        if i % 3 == 2:
+            assert rows[i]["modality"] == "text/plain"
+            continue
+        assert rows[i]["modality"] == "image/jpeg"
+        assert rows[i]["width"] == i % 4000 + 8
+        assert rows[i]["height"] == (i * 11) % 4000 + 8
+        assert rows[i]["sof_marker"] == ("FFC0" if i % 3 == 0 else "FFC2")
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan

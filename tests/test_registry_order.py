@@ -75,7 +75,9 @@ def test_unique_operator_coverage_pinned():
 
 # entries registered AFTER the round-7 window froze (they become rotation
 # candidates for round 8; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    "multimodal_jpeg_dims",
+}
 
 
 def test_round7_window_covers_all_never_checked_oracled_entries():
