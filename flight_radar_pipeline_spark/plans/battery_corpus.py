@@ -1504,10 +1504,35 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(refine: int | None = None) -> str:
+    """The IVF-PQ oracle; ``refine`` adds the exact-rescore stage over
+    the ADC shortlist (the production recall knob), mirroring
+    ``topk_neighbors_ivfpq(refine=R)``."""
     chains = ", ".join(_pq_chain_sql(s) for s in range(_PQ_M))
     recon = " || ".join(f"s{s}_fin.cv" for s in range(_PQ_M))
     joins = " ".join(f"join s{s}_fin using (vec_id)" for s in range(1, _PQ_M))
+    if refine is not None:
+        tail = f""", shortlist as (
+        select query_id, neighbor_id from ranked where rn <= {refine}
+    ), rescored as (
+        select s.query_id, s.neighbor_id,
+               round(list_cosine_similarity(q.qv, c.nv), 6) as cosine
+        from shortlist s
+        join q using (query_id)
+        join c on c.neighbor_id = s.neighbor_id
+    ), reranked as (
+        select *, row_number() over (
+            partition by query_id order by cosine desc, neighbor_id
+        ) as rn from rescored
+    )
+    select query_id, neighbor_id, cosine from reranked where rn <= {_KNN}
+    order by query_id, neighbor_id
+"""
+    else:
+        tail = f"""
+    select query_id, neighbor_id, cosine from ranked where rn <= {_KNN}
+    order by query_id, neighbor_id
+"""
     return f"""
     with {chains}, recon as (
         select vec_id as neighbor_id, {recon} as rv
@@ -1551,10 +1576,7 @@ def _ivfpq_oracle() -> str:
         select *, row_number() over (
             partition by query_id order by cosine desc, neighbor_id
         ) as rn from scored
-    )
-    select query_id, neighbor_id, cosine from ranked where rn <= {_KNN}
-    order by query_id, neighbor_id
-"""
+    ){tail}"""
 
 
 @register("embedding_topk_ivfpq", _ivfpq_oracle())
@@ -1577,3 +1599,33 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS, n_dims=EMB_DIMS,
         codebooks=_shared_pq_books(spark, sf_dir),
     ).orderBy("query_id", "neighbor_id")
+
+
+_PQ_REFINE = 16
+
+
+@register("embedding_topk_ivfpq_refined", _ivfpq_oracle(refine=_PQ_REFINE))
+def embedding_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the REFINEMENT stage — the production recall knob:
+    the ADC pass shortlists {r} candidates per query, then ONLY that
+    shortlist's raw vectors are re-scored exactly for the final top-{k}
+    (measured recall ladder in tests/test_recall.py: refine recovers
+    0.24 → 0.94 toward plain IVF, full-refine ≡ IVF pinned as an
+    invariant). Per query the exact-dot cost is {r} instead of |probed
+    cells| — the knob a serving fleet tunes against its latency budget.
+    Shares the per-(session, sf_dir) PQ codebook build with the audit
+    and the unrefined entry; the oracle adds the exact-rescore CTE over
+    the identical shortlist. Returned cosines are EXACT (same meaning as
+    brute force), unlike the unrefined entry's reconstruction cosines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.topk_neighbors_ivfpq(
+        emb, queries, k=_KNN, num_centroids=_NC, nprobe=_NPROBE,
+        m=_PQ_M, codebook_k=_PQ_K, iters=_PQ_ITERS, n_dims=EMB_DIMS,
+        codebooks=_shared_pq_books(spark, sf_dir), refine=_PQ_REFINE,
+    ).orderBy("query_id", "neighbor_id")
+
+
+embedding_topk_ivfpq_refined.__doc__ = embedding_topk_ivfpq_refined.__doc__.format(
+    r=_PQ_REFINE, k=_KNN
+)

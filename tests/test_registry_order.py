@@ -77,6 +77,7 @@ def test_unique_operator_coverage_pinned():
 # candidates for round 8; append here when adding queries mid-round)
 POST_FREEZE: set[str] = {
     "multimodal_jpeg_dims",
+    "embedding_topk_ivfpq_refined",
 }
 
 
