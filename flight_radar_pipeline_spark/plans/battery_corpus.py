@@ -1401,9 +1401,17 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= _E2E_QUOTA)
         .drop("__rn")
     )
-    # three consumers (packing, vocabulary, encoding) — materialize once so
-    # the corpus-sized upstream runs exactly one time
-    sampled = sampled.persist()
+    # three consumers (packing, vocabulary, encoding) — materialize once
+    # so the corpus-sized upstream runs exactly one time. localCheckpoint
+    # (not persist): it ALSO truncates the logical lineage at this
+    # boundary, collapsing the composed chain's static plan from ~840
+    # exchanges (dedup/decontam/quality re-appearing under every
+    # consumer) to the O(10) the downstream stages themselves need —
+    # compile-time and lineage depth stop growing with the chain. Trade:
+    # a checkpointed partition lost with its executor is not recomputable
+    # (acceptable for a bounded sampled frame; a production run writes
+    # this stage to storage anyway — the manifest IS the artifact).
+    sampled = sampled.localCheckpoint(eager=True)
 
     # 6. contiguous-fill packing per hash bucket
     packed = pack_documents(

@@ -49,15 +49,17 @@ def test_stage_invariants_hold(spark):
     assert all(len(r.ids.split(" ")) == r.n_tokens for r in rows)
 
 
-def test_sampled_stage_is_cached_not_recomputed(spark):
+def test_sampled_stage_is_checkpointed_not_recomputed(spark):
     """The three downstream consumers (packing, vocab-encoding, and the
-    manifest projection) must read the persisted sampled frame — walking
-    the executed plan to its TRUE leaves (descending through the AQE
-    wrapper and query stages, stopping at cache scans) must find exactly
-    three InMemoryTableScans and zero file scans: the corpus-sized
-    dedup / decontamination / quality chain is never re-run per
-    consumer. (Plan STRINGS can't prove this — InMemoryRelation prints
-    its cached child including file scans.)"""
+    manifest projection) must read the materialized sampled frame —
+    walking the executed plan to its TRUE leaves (descending through the
+    AQE wrapper and query stages) must find exactly three checkpoint
+    RDD scans and zero file scans: the corpus-sized dedup /
+    decontamination / quality chain is never re-run per consumer, and
+    (since localCheckpoint truncates lineage) never re-APPEARS under
+    them either — the static plan stays O(10) exchanges as the chain
+    grows. (Plan STRINGS can't prove the first half — InMemoryRelation
+    used to print its cached child including file scans.)"""
     df = _manifest(spark)
     leaves: list[str] = []
 
@@ -69,8 +71,8 @@ def test_sampled_stage_is_cached_not_recomputed(spark):
         if "QueryStageExec" in cls:
             walk(n.plan())
             return
-        if cls == "InMemoryTableScanExec":
-            leaves.append("cache")
+        if cls in ("InMemoryTableScanExec", "RDDScanExec"):
+            leaves.append("materialized")
             return
         kids = n.children()
         if kids.size() == 0:
@@ -80,7 +82,17 @@ def test_sampled_stage_is_cached_not_recomputed(spark):
             walk(kids.apply(i))
 
     walk(df._jdf.queryExecution().executedPlan())
-    assert leaves == ["cache", "cache", "cache"], leaves
+    assert leaves == ["materialized"] * 3, leaves
+
+
+def test_manifest_static_plan_is_truncated(spark):
+    """The lineage-truncation claim, pinned: the composed chain's static
+    plan must hold O(10) exchanges, not the ~840 the un-truncated
+    composition accumulated (every upstream stage re-planned under each
+    of the three consumers)."""
+    df = _manifest(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
 
 
 def test_manifest_matches_standalone_stage_counts(spark):
