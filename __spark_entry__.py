@@ -130,6 +130,7 @@ def _registry():
         battery_mining,
         battery_prep,
         battery_quality,
+        battery_r7,
         battery_temporal,
         battery_text,
     )

@@ -1,0 +1,508 @@
+"""Round-7 battery additions: categorical independence testing
+(chi-square + Cramér's V), robust trend estimation (Theil–Sen),
+rank correlation (Spearman with tie-averaged ranks), a two-sided
+trade-balance rollup, date-spine backfill gap auditing, sessionized
+bounce rates, and an IVF cell-balance index audit.
+
+Each entry pairs the Spark plan with a DuckDB oracle that restates the
+semantics independently. Registered into the shared REGISTRY on import
+(see __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# chi-square independence: order priority × order status
+# --------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+    with obs as (
+        select o_orderpriority as pr, o_orderstatus as st,
+               count(*)::double as o
+        from orders group by 1, 2
+    ), rt as (select pr, sum(o) as r from obs group by pr),
+    ct as (select st, sum(o) as c from obs group by st),
+    tot as (select sum(o) as n, count(distinct pr) as nr,
+                   count(distinct st) as nc from obs)
+    select cast(tot.n as bigint) as n,
+           cast((nr - 1) * (nc - 1) as bigint) as dof,
+           round(sum(o * o * tot.n / (r * c)) - tot.n, 4) as chi2,
+           round(sqrt((sum(o * o * tot.n / (r * c)) - tot.n)
+                      / (tot.n * least(nr - 1, nc - 1))), 6) as cramers_v
+    from obs join rt using (pr) join ct using (st) cross join tot
+    group by tot.n, nr, nc
+"""
+
+
+@register("order_priority_chisq", _CHISQ_ORACLE)
+def order_priority_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status → (n, dof, chi2, cramers_v) — the categorical-drift /
+    stratification-check statistic (is status distributed the same
+    across priorities?). Uses the zero-cell-free identity
+    χ² = n·Σ_observed O²/(R·C) − n, so the full r×c grid never
+    materializes: one contingency aggregate, two marginal aggregates
+    broadcast back onto it, no cross join — scan-speed at any fact
+    size, state bounded by r×c. Cramér's V normalizes by
+    n·min(r−1, c−1) for an effect size in [0, 1]."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"), F.col("o_orderstatus").alias("st")
+    )
+    obs = o.groupBy("pr", "st").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rt = obs.groupBy("pr").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("st").agg(F.sum("o").alias("c"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("pr").alias("nr"),
+        F.countDistinct("st").alias("nc"),
+    )
+    joined = (
+        obs.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = F.col("o") * F.col("o") * F.col("n") / (F.col("r") * F.col("c"))
+    return (
+        joined.groupBy("n", "nr", "nc")
+        .agg(F.sum(term).alias("__s"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            F.round(F.col("__s") - F.col("n"), 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    (F.col("__s") - F.col("n"))
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend over daily means
+# --------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+    with d as (
+        select event_type, date_trunc('day', ts)::date as day,
+               avg(value) as mv
+        from events group by 1, 2
+    ), slopes as (
+        select a.event_type,
+               (b.mv - a.mv) / date_diff('day', a.day, b.day) as s
+        from d a join d b
+          on a.event_type = b.event_type and a.day < b.day
+    )
+    select event_type, cast(count(*) as bigint) as n_pairs,
+           round(quantile_cont(s, 0.5), 4) as slope_per_day
+    from slopes group by event_type
+    order by event_type
+"""
+
+
+@register("event_value_theil_sen", _THEILSEN_ORACLE)
+def event_value_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes between daily mean values → (event_type, n_pairs,
+    slope_per_day). Robust to outlier days where the OLS fit
+    (`event_value_hourly_trend`) is not — the trend estimator a metrics
+    pipeline wants when a single bad backfill day would swing the
+    least-squares line. Scale: the pairwise self-join runs on the DAILY
+    PRE-AGGREGATE (|types| × |days| rows), so pair volume is bounded by
+    days² per type — independent of fact-row count; the raw scan is one
+    map-side-combinable groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("mv"))
+    a = d.select("event_type", F.col("day").alias("da"), F.col("mv").alias("ma"))
+    b = d.select("event_type", F.col("day").alias("db"), F.col("mv").alias("mb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("mb") - F.col("ma"))
+                / F.datediff(F.col("db"), F.col("da"))
+            ).alias("s"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.percentile("s", F.lit(0.5)), 4).alias("slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# nation trade balance: customer-side vs supplier-side revenue
+# --------------------------------------------------------------------------
+
+_TRADE_ORACLE = """
+    with cust as (
+        select c_nationkey as nk, sum(o_totalprice) as cr
+        from orders join customer on o_custkey = c_custkey
+        group by 1
+    ), supp as (
+        select s_nationkey as nk, sum(l_extendedprice * (1 - l_discount)) as sr
+        from lineitem join supplier on l_suppkey = s_suppkey
+        group by 1
+    )
+    select n_name,
+           round(coalesce(cr, 0), 2) as cust_revenue,
+           round(coalesce(sr, 0), 2) as supp_revenue,
+           round(coalesce(cr, 0) - coalesce(sr, 0), 2) as balance
+    from nation
+    left join cust on nk = n_nationkey
+    left join supp on supp.nk = n_nationkey
+    order by n_name
+"""
+
+
+@register("nation_trade_balance", _TRADE_ORACLE)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided rollup on independent join paths: per nation, revenue
+    its customers SPEND (orders ⋈ customer) vs revenue its suppliers
+    EARN (lineitem ⋈ supplier), and the balance — the
+    import/export-style report that exercises two fact scans with
+    different dimension joins converging on one spine. Both dimension
+    joins broadcast; each fact is scanned once and pre-aggregated to
+    nation cardinality before the 25-row spine joins, so the final
+    joins are trivial regardless of fact size."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("o_totalprice").alias("cr"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "supplier").select(
+                    "s_suppkey", "s_nationkey"
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sr"))
+    )
+    return (
+        nation.join(cust, nation["n_nationkey"] == cust["nk"], "left")
+        .join(supp, nation["n_nationkey"] == supp["snk"], "left")
+        .select(
+            "n_name",
+            F.round(F.coalesce("cr", F.lit(0.0)), 2).alias("cust_revenue"),
+            F.round(F.coalesce("sr", F.lit(0.0)), 2).alias("supp_revenue"),
+            F.round(
+                F.coalesce("cr", F.lit(0.0)) - F.coalesce("sr", F.lit(0.0)), 2
+            ).alias("balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# backfill gap audit: missing days per order priority
+# --------------------------------------------------------------------------
+
+_GAP_ORACLE = """
+    with d as (
+        select distinct o_orderpriority as pr,
+               date_trunc('day', o_orderdate)::date as day
+        from orders
+    ), g as (
+        select pr, day,
+               date_diff('day',
+                         lag(day) over (partition by pr order by day),
+                         day) as gap
+        from d
+    )
+    select pr as priority,
+           strftime(min(day), '%Y-%m-%d') as first_day,
+           strftime(max(day), '%Y-%m-%d') as last_day,
+           cast(date_diff('day', min(day), max(day)) + 1 as bigint)
+               as n_expected,
+           cast(count(*) as bigint) as n_present,
+           cast(date_diff('day', min(day), max(day)) + 1 - count(*) as bigint)
+               as n_missing,
+           cast(coalesce(max(gap) - 1, 0) as bigint) as max_gap_days
+    from g group by pr
+    order by pr
+"""
+
+
+@register("orders_backfill_gap_audit", _GAP_ORACLE)
+def orders_backfill_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-continuity audit per order priority → (priority, first_day,
+    last_day, n_expected, n_present, n_missing, max_gap_days): the
+    data-quality check a partitioned-ingest pipeline runs to catch
+    failed backfill days before a consumer trains on a hole. No date
+    spine materializes — n_missing is span-minus-present arithmetic and
+    the longest hole is max(lag-gap) − 1 over the DISTINCT-day frame
+    (|priorities| × |days| rows), so cost is one distinct aggregate +
+    one tiny window regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.to_date("o_orderdate").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("pr").orderBy("day")
+    g = o.withColumn("gap", F.datediff("day", F.lag("day").over(w)))
+    span = F.datediff(F.max("day"), F.min("day")) + 1
+    return (
+        g.groupBy("pr")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+            span.cast("bigint").alias("n_expected"),
+            F.count(F.lit(1)).cast("bigint").alias("n_present"),
+            (span - F.count(F.lit(1))).cast("bigint").alias("n_missing"),
+            F.coalesce(F.max("gap") - 1, F.lit(0))
+            .cast("bigint")
+            .alias("max_gap_days"),
+        )
+        .withColumnRenamed("pr", "priority")
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (tie-averaged ranks)
+# --------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    with r as (
+        select event_type,
+               rank() over (partition by event_type order by extract(hour from ts))
+                 + (count(*) over (partition by event_type, extract(hour from ts))
+                    - 1) / 2.0 as rx,
+               rank() over (partition by event_type order by value)
+                 + (count(*) over (partition by event_type, value) - 1) / 2.0
+                   as ry
+        from events
+    )
+    select event_type, cast(count(*) as bigint) as n,
+           round((count(*) * sum(rx * ry) - sum(rx) * sum(ry))
+                 / sqrt((count(*) * sum(rx * rx) - sum(rx) * sum(rx))
+                        * (count(*) * sum(ry * ry) - sum(ry) * sum(ry))), 4)
+               as spearman
+    from r group by event_type
+    order by event_type
+"""
+
+
+@register("event_value_spearman", _SPEARMAN_ORACLE)
+def event_value_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day per
+    type → (event_type, n, spearman): the monotone-association measure
+    that survives the heavy value outliers Pearson (the crosscorr
+    family) is dragged by. Ties get AVERAGE ranks — min-rank + (tie
+    count − 1)/2, the textbook treatment both engines restate with
+    identical rank/count windows — then Pearson's product-moment
+    formula runs on the ranks as five partial-aggregable sums. Cost:
+    two windows over the per-type frame + one aggregate; at warehouse
+    scale the windows are the sort, everything else is scan-speed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    wx = Window.partitionBy("event_type").orderBy("hr")
+    wxt = Window.partitionBy("event_type", "hr")
+    wy = Window.partitionBy("event_type").orderBy("value")
+    wyt = Window.partitionBy("event_type", "value")
+    r = ev.select(
+        "event_type",
+        (F.rank().over(wx) + (F.count(F.lit(1)).over(wxt) - 1) / 2.0).alias("rx"),
+        (F.rank().over(wy) + (F.count(F.lit(1)).over(wyt) - 1) / 2.0).alias("ry"),
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("rx") * F.col("ry")) - F.sum("rx") * F.sum("ry")
+    den = F.sqrt(
+        (n * F.sum(F.col("rx") * F.col("rx")) - F.sum("rx") * F.sum("rx"))
+        * (n * F.sum(F.col("ry") * F.col("ry")) - F.sum("ry") * F.sum("ry"))
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(num / den, 4).alias("spearman"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# sessionized bounce rate by entry event type
+# --------------------------------------------------------------------------
+
+_BOUNCE_ORACLE = """
+    with e as (
+        select user_id, ts, event_id, event_type,
+               case when ts - lag(ts) over (partition by user_id order by ts,
+                                            event_id)
+                         > interval 30 minutes
+                    then 1 else 0 end as brk
+        from events
+    ), s as (
+        select user_id, ts, event_id, event_type,
+               sum(brk) over (partition by user_id order by ts, event_id
+                              rows between unbounded preceding
+                                       and current row) as sid
+        from e
+    ), sess as (
+        select user_id, sid, count(*) as n_events,
+               min(struct_pack(ts := ts, event_id := event_id,
+                               event_type := event_type)).event_type
+                   as entry_type
+        from s group by user_id, sid
+    )
+    select entry_type, cast(count(*) as bigint) as n_sessions,
+           cast(sum(case when n_events = 1 then 1 else 0 end) as bigint)
+               as n_bounced,
+           round(sum(case when n_events = 1 then 1 else 0 end)
+                 / count(*)::double, 4) as bounce_rate
+    from sess group by entry_type
+    order by entry_type
+"""
+
+
+@register("event_session_bounce", _BOUNCE_ORACLE)
+def event_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY event type → (entry_type,
+    n_sessions, n_bounced, bounce_rate): sessions (30-minute inactivity
+    gap, lag+cumulative-sum formulation — the batch restatement of the
+    native `session_window` face `user_sessions` exercises) that ended
+    after their first event, grouped by what that first event was — the
+    landing-page-quality question. The entry event is the deterministic
+    (ts, event_id)-argmin struct; both engines break the gap strictly
+    (> 30 min) so the formulations agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+            > 1800,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk")
+    )
+    s = ev.select("user_id", "ts", "event_id", "event_type", brk).withColumn(
+        "sid",
+        F.sum("brk").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+            )
+        )["event_type"].alias("entry_type"),
+    )
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            bounced.cast("bigint").alias("n_bounced"),
+            F.round(bounced / F.count(F.lit(1)), 4).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF index diagnostics: cell-balance audit
+# --------------------------------------------------------------------------
+
+_CELL_BALANCE_ORACLE = """
+    with cents as (
+        select vec_id as cent_id, embedding::DOUBLE[] as cv
+        from embeddings where vec_id < 16
+    ), c as (
+        select vec_id, embedding::DOUBLE[] as v from embeddings
+    ), assign as (
+        select vec_id, cell from (
+            select c.vec_id, cents.cent_id as cell,
+                   row_number() over (
+                       partition by c.vec_id
+                       order by round(list_cosine_similarity(c.v, cents.cv), 6)
+                                desc, cents.cent_id
+                   ) as rn
+            from c cross join cents
+        ) t where rn = 1
+    ), occ as (
+        select cell, count(*)::bigint as n_vectors from assign group by cell
+    ), tot as (
+        select sum(n_vectors)::double as n, count(*)::double as k from occ
+    )
+    select cell, n_vectors,
+           round(n_vectors / tot.n, 6) as share,
+           round(n_vectors * tot.k / tot.n, 4) as balance_factor
+    from occ cross join tot
+    order by cell
+"""
+
+
+@register("embedding_ivf_cell_balance", _CELL_BALANCE_ORACLE)
+def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health audit → per coarse cell (cell, n_vectors, share,
+    balance_factor): occupancy under the same 16-centroid first-N
+    quantizer `embedding_topk_ivf` serves from. balance_factor is
+    occupancy relative to perfect balance (n·k⁻¹ per cell = 1.0) — the
+    number an ANN operator watches, because a hot cell (factor ≫ 1)
+    inflates every probe that routes to it and an empty cell wastes
+    nprobe budget. Cell assignment is a literal-array argmax in one
+    shuffle-free scan; the audit aggregate is k rows."""
+    from flight_radar_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.collect_centroids(emb, 16)
+    assigned = emb.select(
+        S.assign_cell(F.col("embedding").cast("array<double>"), cents, 6).alias(
+            "cell"
+        )
+    )
+    occ = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    tot = occ.agg(
+        F.sum("n_vectors").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    return (
+        occ.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("n"), 6).alias("share"),
+            F.round(F.col("n_vectors") * F.col("k") / F.col("n"), 4).alias(
+                "balance_factor"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -78,6 +78,14 @@ def test_unique_operator_coverage_pinned():
 POST_FREEZE: set[str] = {
     "multimodal_jpeg_dims",
     "embedding_topk_ivfpq_refined",
+    # battery_r7 (registered post-freeze)
+    "order_priority_chisq",
+    "event_value_theil_sen",
+    "nation_trade_balance",
+    "orders_backfill_gap_audit",
+    "event_value_spearman",
+    "event_session_bounce",
+    "embedding_ivf_cell_balance",
 }
 
 
