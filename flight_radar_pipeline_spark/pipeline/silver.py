@@ -121,6 +121,52 @@ def scd2_apply(
     )
 
 
+def scd3_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    tracked: str,
+    prev_col: str | None = None,
+) -> DataFrame:
+    """Type-3 slowly-changing-dimension apply: one row per key, with the
+    ``tracked`` attribute keeping its PREVIOUS value in ``prev_col``
+    (default ``prev_<tracked>``) — the limited-history middle ground
+    between SCD1 (overwrite, no history) and SCD2 (full interval
+    history). On update: a CHANGED tracked value pushes the old value
+    into ``prev_col``; an unchanged one carries the existing previous
+    value; a brand-new key starts with NULL. Non-tracked attributes
+    refresh from the update (SCD1-style). ``current`` must already
+    carry ``prev_col``; ``updates`` carries the schema without it.
+
+    Scale: one key-shuffle left join of the update batch against the
+    current slice's (key, tracked, prev) projection plus one anti-join
+    for untouched rows — no window, no full rewrite; with a
+    transactional format this is MERGE INTO with an UPDATE SET
+    prev = old.tracked clause.
+    """
+    key_list = list(keys)
+    pc = prev_col or f"prev_{tracked}"
+    old = current.select(
+        *key_list,
+        F.col(tracked).alias("__old"),
+        F.col(pc).alias("__oldprev"),
+    )
+    fresh = (
+        updates.join(old, key_list, "left")
+        .withColumn(
+            pc,
+            F.when(F.col("__old").isNull(), F.lit(None).cast("string"))
+            .when(F.col("__old") != F.col(tracked), F.col("__old"))
+            .otherwise(F.col("__oldprev")),
+        )
+        .drop("__old", "__oldprev")
+    )
+    untouched = current.join(
+        updates.select(*key_list).distinct(), key_list, "anti"
+    )
+    return untouched.unionByName(fresh.select(*current.columns))
+
+
 def merge_rollup(
     rollup: DataFrame,
     delta_rollup: DataFrame,

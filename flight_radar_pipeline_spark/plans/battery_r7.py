@@ -506,3 +506,329 @@ def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD Type 3: previous-value column (completes the SCD1/SCD2 family)
+# --------------------------------------------------------------------------
+
+_SCD3_ORACLE = """
+    with cur as (
+        select o_orderkey, o_orderstatus, null::varchar as prev_status
+        from orders
+    ), upd as (
+        select o_orderkey,
+               case o_orderstatus when 'O' then 'F' when 'F' then 'O'
+                    else 'O' end as o_orderstatus
+        from orders where o_orderkey % 10 = 0
+    ), fresh as (
+        select u.o_orderkey, u.o_orderstatus,
+               case when c.o_orderstatus is null then null
+                    when c.o_orderstatus <> u.o_orderstatus
+                         then c.o_orderstatus
+                    else c.prev_status end as prev_status
+        from upd u left join cur c using (o_orderkey)
+    )
+    select * from fresh
+    union all
+    select * from cur c
+    where not exists (select 1 from upd u where u.o_orderkey = c.o_orderkey)
+    order by o_orderkey
+"""
+
+
+@register("orders_scd3_merge", _SCD3_ORACLE)
+def orders_scd3_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 apply (pipeline.scd3_apply): a 10% update batch with
+    flipped order status merged into the current table, the old status
+    surviving in ``prev_status`` — the limited-history middle ground
+    between SCD1 (`orders_scd1_merge`, overwrite) and SCD2
+    (`orders_scd2_history`, full intervals), completing the family.
+    Changed values push into prev, unchanged carry it, new keys start
+    NULL. One key-shuffle join + one anti-join; the oracle restates it
+    as updates-with-case ∪ untouched."""
+    from flight_radar_pipeline_spark.pipeline.silver import scd3_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    current = orders.withColumn("prev_status", F.lit(None).cast("string"))
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "O", "F")
+        .when(F.col("o_orderstatus") == "F", "O")
+        .otherwise("O"),
+    )
+    return scd3_apply(
+        current, updates, ["o_orderkey"], "o_orderstatus", "prev_status"
+    ).orderBy("o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation audit: does half the embedding keep the neighbors?
+# --------------------------------------------------------------------------
+
+_MATRYOSHKA_ORACLE = """
+    with q as (
+        select vec_id as query_id, embedding::DOUBLE[] as qv
+        from embeddings where vec_id < 10
+    ), c as (
+        select vec_id as neighbor_id, embedding::DOUBLE[] as nv
+        from embeddings
+    ), full_top as (
+        select query_id, neighbor_id from (
+            select q.query_id, c.neighbor_id,
+                   row_number() over (
+                       partition by q.query_id
+                       order by round(list_cosine_similarity(q.qv, c.nv), 6)
+                                desc, c.neighbor_id
+                   ) as rn
+            from q cross join c where q.query_id != c.neighbor_id
+        ) where rn <= 5
+    ), trunc_top as (
+        select query_id, neighbor_id from (
+            select q.query_id, c.neighbor_id,
+                   row_number() over (
+                       partition by q.query_id
+                       order by round(list_cosine_similarity(
+                                    q.qv[1:32], c.nv[1:32]), 6)
+                                desc, c.neighbor_id
+                   ) as rn
+            from q cross join c where q.query_id != c.neighbor_id
+        ) where rn <= 5
+    )
+    select f.query_id,
+           cast(count(t.neighbor_id) as bigint) as n_overlap,
+           round(count(t.neighbor_id) / (10.0 - count(t.neighbor_id)), 4)
+               as jaccard
+    from full_top f
+    left join trunc_top t using (query_id, neighbor_id)
+    group by f.query_id
+    order by f.query_id
+"""
+
+
+@register("embedding_matryoshka_audit", _MATRYOSHKA_ORACLE)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit → per query (query_id, n_overlap,
+    jaccard): overlap@5 between the exact cosine top-5 on the FULL
+    64-dim embedding and on its FIRST 32 dims — the measurement that
+    decides whether an MRL-style index can serve from truncated vectors
+    (half the memory and FLOPs per probe) without retraining. Both
+    rankings are deterministic (rounded cosine desc, id asc); overlap
+    counts via one equi-join of the two top-k frames. At 100 TB this
+    audit runs on a query SAMPLE against the serving index, exactly as
+    here (10 probe queries, brute-force baseline — the same baseline
+    contract as `embedding_topk_bruteforce`)."""
+    from flight_radar_pipeline_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def topk(vec_slice: bool) -> DataFrame:
+        vd = F.col("embedding").cast("array<double>")
+        v = F.slice(vd, 1, 32) if vec_slice else vd
+        c = emb.select(F.col("vec_id").alias("neighbor_id"), v.alias("__nv"))
+        q = queries.select(F.col("vec_id").alias("query_id"), v.alias("__qv"))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    S.cosine_similarity(F.col("__qv"), F.col("__nv")), 6
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = topk(False)
+    trunc_top = topk(True).withColumn("__hit", F.lit(1))
+    hits = F.count("__hit")
+    return (
+        full_top.join(trunc_top, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            hits.cast("bigint").alias("n_overlap"),
+            F.round(hits / (10.0 - hits), 4).alias("jaccard"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# l-diversity privacy audit (completes k-anonymity / DP-release family)
+# --------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+    with g as (
+        select c_nationkey as nation, cast(floor(c_acctbal / 1000) as bigint)
+                   as bal_band,
+               c_mktsegment as seg, count(*) as cnt
+        from customer group by 1, 2, 3
+    )
+    select nation, bal_band,
+           cast(sum(cnt) as bigint) as n_customers,
+           cast(count(*) as bigint) as l_distinct,
+           round(max(cnt) / sum(cnt)::double, 4) as dominant_share
+    from g group by nation, bal_band
+    order by nation, bal_band
+"""
+
+
+@register("customer_l_diversity", _LDIV_ORACLE)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over quasi-identifier groups → (nation,
+    bal_band, n_customers, l_distinct, dominant_share): within each
+    (nation, account-balance band) group, how many DISTINCT sensitive
+    values (market segment) appear and how dominant the top one is —
+    the release-safety check k-anonymity (`customer_k_anonymity`)
+    misses: a group can be large yet carry one sensitive value
+    (l = 1 ⇒ membership reveals the attribute; dominant_share near 1 ⇒
+    high-confidence inference). Two map-side-combinable aggregates,
+    state bounded by |groups| × |segments|."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    g = c.groupBy("nation", "bal_band", "seg").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        g.groupBy("nation", "bal_band")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_customers"),
+            F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+            F.round(F.max("cnt") / F.sum("cnt"), 4).alias("dominant_share"),
+        )
+        .orderBy("nation", "bal_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus Zipf fit: log-log OLS over the token frequency ranking
+# --------------------------------------------------------------------------
+
+_ZIPF_V = 200
+
+_ZIPF_ORACLE = f"""
+    with tok as (
+        select unnest(string_split_regex(lower(text), '\\W+')) as t
+        from documents
+    ), freq as (
+        select t, count(*)::double as f from tok where t <> '' group by t
+    ), ranked as (
+        select ln(row_number() over (order by f desc, t)) as x, ln(f) as y
+        from freq
+        order by f desc, t limit {_ZIPF_V}
+    ), s as (
+        select count(*)::double as n, sum(x) as sx, sum(y) as sy,
+               sum(x * x) as sxx, sum(y * y) as syy, sum(x * y) as sxy
+        from ranked
+    )
+    select cast(n as bigint) as n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) as slope,
+           round((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n,
+                 4) as intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) as r2
+    from s
+"""
+
+
+@register("corpus_zipf_fit", _ZIPF_ORACLE)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token ranking → (n_tokens, slope,
+    intercept, r2): OLS of ln(frequency) on ln(rank) over the top
+    {v} tokens — the corpus-health diagnostic (natural language sits
+    near slope −1; synthetic/boilerplate-heavy corpora deviate, and a
+    drifting slope between crawls flags a pipeline change upstream).
+    The degree-distribution sibling of `user_degree_powerlaw` applied
+    to text. Cost: one tokenize+count aggregate; the ranked frame is
+    top-{v} rows and the fit is closed-form sums on it."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), r"\W+")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    ranked = (
+        freq.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _ZIPF_V)
+        .select(
+            F.log(F.col("__rn")).alias("x"), F.log("f").alias("y")
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - sx * slope) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            4,
+        ).alias("r2"),
+    )
+
+
+corpus_zipf_fit.__doc__ = corpus_zipf_fit.__doc__.format(v=_ZIPF_V)
+
+
+# --------------------------------------------------------------------------
+# burstiness: Fano factor of hourly arrival counts
+# --------------------------------------------------------------------------
+
+_FANO_ORACLE = """
+    with h as (
+        select event_type, date_trunc('hour', ts) as hr,
+               count(*)::double as c
+        from events group by 1, 2
+    )
+    select event_type, cast(count(*) as bigint) as n_hours,
+           round(avg(c), 4) as mean_per_hour,
+           round(var_samp(c) / avg(c), 4) as fano
+    from h group by event_type
+    order by event_type
+"""
+
+
+@register("event_type_burstiness", _FANO_ORACLE)
+def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type → (event_type, n_hours,
+    mean_per_hour, fano): the Fano factor (variance-to-mean ratio) of
+    hourly arrival counts — 1.0 for a Poisson process, ≫ 1 for bursty
+    traffic (the dispersion statistic capacity planning and
+    anomaly-threshold sizing need; a mean-based alert on a fano-20
+    stream pages constantly). Counting is one map-side-combinable
+    groupBy to |types| × |hours| rows; the dispersion aggregate runs on
+    that pre-aggregate — scan-speed at any event volume. The
+    rate-structure complement of the value-space moment entries
+    (`event_value_stats_merged`)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return (
+        h.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(F.avg("c"), 4).alias("mean_per_hour"),
+            F.round(F.var_samp("c") / F.avg("c"), 4).alias("fano"),
+        )
+        .orderBy("event_type")
+    )

@@ -86,6 +86,11 @@ POST_FREEZE: set[str] = {
     "event_value_spearman",
     "event_session_bounce",
     "embedding_ivf_cell_balance",
+    "orders_scd3_merge",
+    "embedding_matryoshka_audit",
+    "customer_l_diversity",
+    "corpus_zipf_fit",
+    "event_type_burstiness",
 }
 
 
