@@ -832,3 +832,74 @@ def event_type_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming SCD3 twin (foreachBatch versioned merge, ≡ batch final state)
+# --------------------------------------------------------------------------
+
+
+@register("orders_scd3_stream_merge", _SCD3_ORACLE)
+def orders_scd3_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD3 sink — the stream twin of `orders_scd3_merge`,
+    completing the lake family's batch/stream symmetry (SCD1, SCD2,
+    CDC, and rollup already have proven-equal twins): updates arrive as
+    a file-source stream and ``foreachBatch`` applies
+    ``pipeline.scd3_apply`` into a versioned parquet target (read
+    latest version → previous-value merge → write next version). The
+    final table equals the batch apply, which is what the shared oracle
+    states. Per-batch work is one key-shuffle join + anti-join against
+    the current version; versioned directories keep the
+    read-your-own-writes loop safe and checkpoint-replayed batches
+    idempotent."""
+    import os
+    import tempfile
+
+    from flight_radar_pipeline_spark.pipeline.silver import scd3_apply
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    work = tempfile.mkdtemp(prefix="scd3_stream_")
+    versions = [os.path.join(work, "v0")]
+    orders.withColumn("prev_status", F.lit(None).cast("string")).write.mode(
+        "overwrite"
+    ).parquet(versions[0])
+
+    stage = os.path.join(work, "updates")
+    os.makedirs(stage)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/orders.parquet"),
+        os.path.join(stage, "orders.parquet"),
+    )
+    physical = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    upd_stream = (
+        spark.readStream.schema(physical)
+        .parquet(stage)
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderstatus") == "O", "F")
+            .when(F.col("o_orderstatus") == "F", "O")
+            .otherwise("O")
+            .alias("o_orderstatus"),
+        )
+    )
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        cur = spark.read.parquet(versions[-1])
+        nxt = os.path.join(work, f"v{len(versions)}")
+        scd3_apply(
+            cur, batch, ["o_orderkey"], "o_orderstatus", "prev_status"
+        ).write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    q = (
+        upd_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(versions[-1]).orderBy("o_orderkey")

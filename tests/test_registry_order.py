@@ -91,6 +91,7 @@ POST_FREEZE: set[str] = {
     "customer_l_diversity",
     "corpus_zipf_fit",
     "event_type_burstiness",
+    "orders_scd3_stream_merge",
 }
 
 
