@@ -60,6 +60,9 @@ ALLOWED_BNLJ = {
     "nation_month_revenue_growth",  # |nations| × generated-month spine
     "ab_cuped_event_value",       # 1-row theta/xbar broadcast
     "cohort_cumulative_ltv",      # 1-row max-month broadcast (age spine)
+    "order_priority_chisq",       # 1-row (n, nr, nc) totals broadcast
+    "embedding_ivf_cell_balance",  # 1-row (n, k) totals broadcast
+    "embedding_matryoshka_audit",  # exact baseline: 10-query broadcast, != cond
 }
 
 

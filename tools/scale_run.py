@@ -92,6 +92,25 @@ EXTRA_FAMILIES = [
     "embedding_topk_ivfpq",         # routing + literal-lookup reconstruction
 ]
 
+# round-7 additions, measured separately (--extras-r7), appended as r7_*
+EXTRA_FAMILIES_R7 = [
+    "multimodal_jpeg_dims",         # bounded marker walk over a 512-B slice
+    "embedding_topk_ivfpq_refined", # ADC shortlist + exact rescore on R rows
+    "order_priority_chisq",         # |priorities|×|statuses| contingency agg
+    "event_value_theil_sen",        # hour-bucket pre-agg → bounded pair set
+    "nation_trade_balance",         # two fact aggs + broadcast nation join
+    "orders_backfill_gap_audit",    # month-spine anti-join over a pre-agg
+    "event_value_spearman",         # two rank windows over an hourly pre-agg
+    "event_session_bounce",         # per-session count agg → session grain
+    "embedding_ivf_cell_balance",   # cell-count agg over IVF assignments
+    "orders_scd3_merge",            # keyed window over (key, version)
+    "embedding_matryoshka_audit",   # 10-query broadcast vs truncated dims
+    "customer_l_diversity",         # distinct-count agg per quasi-id group
+    "corpus_zipf_fit",              # top-V vocab agg + closed-form OLS
+    "event_type_burstiness",        # (type, hour) pre-agg → Fano per type
+    "orders_scd3_stream_merge",     # foreachBatch versioned merge (stream)
+]
+
 
 def _clear_shared_caches() -> None:
     from flight_radar_pipeline_spark.plans.battery_corpus import clear_kmeans_cache
@@ -142,8 +161,9 @@ def _semantic_dedup_at_k(spark, sf_dir: str, k: int):
     return S.semantic_dedup_decisions(emb, cents, threshold=0.35)
 
 
-def run_extras(sf01: str, sf1: str, only: set[str] | None = None) -> int:
-    """Time EXTRA_FAMILIES at both SFs, merge as r6_* into SCALE_RUN.json."""
+def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
+               families: list[str] | None = None, prefix: str = "r6_") -> int:
+    """Time an extras family list at both SFs, merge into SCALE_RUN.json."""
     spark = get_spark_session(app_name="frp-scale-extras", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
@@ -153,7 +173,7 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None) -> int:
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "..", "SCALE_RUN.json")
     report = json.load(open(out_path)) if os.path.exists(out_path) else {}
-    for name in EXTRA_FAMILIES:
+    for name in (families if families is not None else EXTRA_FAMILIES):
         if only is not None and name not in only:
             continue
         fn = queries[name]
@@ -162,7 +182,7 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None) -> int:
         _clear_shared_caches()
         c1, w1 = _time_query(spark, fn, sf1)
         ratio = round(w1 / w01, 2) if w01 > 0 and w1 >= 0 else None
-        report[f"r6_{name}"] = {
+        report[f"{prefix}{name}"] = {
             "sf0.1_warm": w01, "sf1_warm": w1,
             "sf0.1_cold": c01, "sf1_cold": c1, "ratio": ratio,
         }
@@ -174,10 +194,13 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None) -> int:
 
 
 def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] == "--extras":
+    if len(sys.argv) > 1 and sys.argv[1] in ("--extras", "--extras-r7"):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
         only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+        if sys.argv[1] == "--extras-r7":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R7, prefix="r7_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
