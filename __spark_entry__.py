@@ -131,6 +131,7 @@ def _registry():
         battery_prep,
         battery_quality,
         battery_r7,
+        battery_r7b,
         battery_temporal,
         battery_text,
     )

@@ -995,3 +995,128 @@ def topk_neighbors_ivfpq(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist_n: int = 16,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+    score_decimals: int = 7,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k → (query_id, rank,
+    neighbor_id, relevance, mmr_score): greedily pick the candidate
+    maximizing ``lam·rel − (1−lam)·max_sim_to_already_selected`` from an
+    exact cosine shortlist. The training-data-selection re-ranker: pure
+    relevance top-k returns near-duplicate neighbors; MMR trades
+    relevance for coverage of the shortlist's distinct regions.
+
+    Greedy selection is inherently sequential, so the k rounds are
+    UNROLLED over the shortlist — a bounded relation (``shortlist_n``
+    rows per query) that lives in one broadcastable DataFrame; each round
+    is an aggregate + argmax join on it, never touching the corpus again.
+    Scale: one corpus scan builds the shortlist (same posture as
+    ``topk_neighbors_bruteforce``); everything after is
+    O(k · shortlist_n²) on query-bounded data. The first pick is the
+    pure-relevance argmax (the MMR base case). Scores are rounded before
+    every argmax so the greedy path is engine-portable; ties break on
+    neighbor_id.
+
+    The shortlist, pair matrix, and each round's accumulated selection
+    are ``localCheckpoint``ed (eager): without the truncation every
+    round's plan re-derives all previous rounds from the corpus scan —
+    O(k²) recomputed sub-DAGs and a several-hundred-stage job for k = 5.
+    Checkpointing makes each greedy round a constant-size job over
+    materialized shortlist-bounded data (the ``_PAIR_CACHE`` discipline;
+    blocks are freed by ``spark.catalog.clearCache()`` / session GC).
+    """
+    shortlist = topk_neighbors_bruteforce(
+        corpus, queries, k=shortlist_n, id_col=id_col, vec_col=vec_col,
+        decimals=decimals,
+    ).withColumnRenamed("cosine", "relevance")
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    short = (
+        shortlist.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", "relevance", "__v")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    a = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("ia"),
+        F.col("__v").alias("__va"),
+    )
+    b = short.select(
+        "query_id",
+        F.col("neighbor_id").alias("ib"),
+        F.col("__v").alias("__vb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id", "ia", "ib",
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), decimals
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("relevance"), F.asc("neighbor_id")
+    )
+    selected = (
+        short.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("rank"),
+            "neighbor_id",
+            "relevance",
+            F.round(F.lit(float(lam)) * F.col("relevance"), score_decimals)
+            .alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select("query_id", F.col("neighbor_id").alias("ib"))
+        cand = short.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        ).select("query_id", "neighbor_id", "relevance")
+        maxsim = (
+            pairs.join(sel_ids, ["query_id", "ib"])
+            .groupBy("query_id", F.col("ia").alias("neighbor_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("mmr_score"), F.asc("neighbor_id")
+        )
+        pick = (
+            cand.join(maxsim, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr_score",
+                F.round(
+                    F.lit(float(lam)) * F.col("relevance")
+                    - F.lit(1.0 - float(lam)) * F.col("max_sim"),
+                    score_decimals,
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("rank"),
+                "neighbor_id",
+                "relevance",
+                "mmr_score",
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected

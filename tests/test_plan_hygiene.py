@@ -63,6 +63,7 @@ ALLOWED_BNLJ = {
     "order_priority_chisq",       # 1-row (n, nr, nc) totals broadcast
     "embedding_ivf_cell_balance",  # 1-row (n, k) totals broadcast
     "embedding_matryoshka_audit",  # exact baseline: 10-query broadcast, != cond
+    "event_type_kruskal_wallis",  # 1-row tie-correction-total broadcast
 }
 
 

@@ -92,6 +92,13 @@ POST_FREEZE: set[str] = {
     "corpus_zipf_fit",
     "event_type_burstiness",
     "orders_scd3_stream_merge",
+    # battery_r7b (registered post-freeze)
+    "event_value_mann_whitney",
+    "event_type_kruskal_wallis",
+    "customer_t_closeness",
+    "doc_dsir_importance",
+    "doc_lang_temperature_sample",
+    "embedding_mmr_topk",
 }
 
 

@@ -109,6 +109,12 @@ EXTRA_FAMILIES_R7 = [
     "corpus_zipf_fit",              # top-V vocab agg + closed-form OLS
     "event_type_burstiness",        # (type, hour) pre-agg → Fano per type
     "orders_scd3_stream_merge",     # foreachBatch versioned merge (stream)
+    "event_value_mann_whitney",     # rank window over the distinct-value pre-agg
+    "event_type_kruskal_wallis",    # same + one fact-grain broadcast join
+    "customer_t_closeness",         # (nation, band, seg)-grain aggs
+    "doc_dsir_importance",          # 64-bucket hashed-feature aggs
+    "doc_lang_temperature_sample",  # |langs| count agg + conditional count
+    "embedding_mmr_topk",           # shortlist-bounded greedy, checkpointed
 ]
 
 
