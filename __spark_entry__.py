@@ -132,6 +132,7 @@ def _registry():
         battery_quality,
         battery_r7,
         battery_r7b,
+        battery_r7c,
         battery_temporal,
         battery_text,
     )

@@ -253,3 +253,34 @@ def repetition_ratio(text: Column | str, n: int = 3, decimals: int = 4) -> Colum
     return F.round(
         rep.cast("double") / F.greatest(total, F.lit(1)).cast("double"), decimals
     )
+
+
+_SOUNDEX_ALPHA = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SOUNDEX_DIGITS = "01230120022455012623010202"
+
+
+def soundex_code(word: Column | str) -> Column:
+    """Simplified American Soundex → 4-char phonetic key (e.g. PFISTER →
+    P236, JACKSON → J250), the classic record-linkage BLOCKING function:
+    names that sound alike land in the same block, so fuzzy comparison
+    runs within blocks instead of all-pairs. Simplification, documented:
+    the H/W-elision rule (same-coded letters separated only by h/w merge)
+    is dropped — vowels still separate, adjacent same-code letters still
+    collapse. NULL for inputs with no letters.
+
+    Deliberately RE2-safe: run collapsing is one ``d+`` replace per digit
+    class rather than a ``(\\d)\\1+`` backreference, because the DuckDB
+    oracle's regex engine (RE2) has no backreferences — the identical
+    program runs on both engines. Pure column expressions end to end:
+    scan speed at 100 TB, never a Python row."""
+    s = F.upper(F.regexp_replace(_col(word), "[^A-Za-z]", ""))
+    coded = F.translate(s, _SOUNDEX_ALPHA, _SOUNDEX_DIGITS)
+    for d in "0123456":
+        coded = F.regexp_replace(coded, d + "+", d)
+    rest = F.regexp_replace(
+        coded.substr(F.lit(2), F.length(coded)), "0", ""
+    )
+    out = F.concat(
+        F.substring(s, 1, 1), F.rpad(F.substring(rest, 1, 3), 3, "0")
+    )
+    return F.when(F.length(s) > 0, out)

@@ -469,3 +469,76 @@ def bounded_min_cost(
         dist = merged.select("__node", "cost")
     e.unpersist()
     return dist.select(F.col("__node").alias(node), F.col("cost").alias("min_cost"))
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    decimals: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a directed bipartite edge list →
+    (role, node, paths, score): role 'hub' scores source nodes, role
+    'authority' scores destination nodes, after ``iterations`` rounds of
+    the mutual-reinforcement recurrence a ← Aᵀh, h ← A a starting from
+    h₀ ≡ 1.
+
+    Parity-first formulation: iterations run UNNORMALIZED in bigint, so
+    every intermediate is an exact integer — the number of alternating
+    paths of the corresponding length ending at the node (h₀ = 1 makes
+    a₁ the in-degree, h₁ the sum of neighbor in-degrees, and so on).
+    Integer sums are associativity-free, so Spark's partial aggregation
+    and any SQL oracle agree bit-for-bit — no per-iteration float
+    normalization whose aggregation-order noise could flip a rounded
+    digit. L1 normalization happens ONCE at the end (one exact-integer
+    division per row, rounded to ``decimals``), and ranking ties break
+    on the exact integer ``paths`` before node id.
+
+    Magnitude bound, checked at the 100 TB design point: values grow ≤
+    (max_deg)^iterations; with 3 iterations the worst term is
+    in_deg²·out_deg·h₁ — for the order-graph battery use at sf1 that is
+    ~10¹⁶ of bigint's 9.2·10¹⁸ headroom. For graphs hot enough to
+    overflow, lower ``iterations`` or shift to the normalized-double
+    variant (accepting per-iteration rounding pins).
+
+    Scale posture mirrors ``pagerank``: edges dedupe and checkpoint once
+    clustered on ``src``; each iteration is one src-keyed join + one
+    dst-keyed map-side-combinable sum (then the transpose pair); score
+    tables stay node-sized.
+    """
+    dedup = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).distinct()
+    e = dedup.repartition("src").localCheckpoint(eager=True)
+    h = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1).cast("long").alias("s")
+    )
+    a = None
+    for _ in range(iterations):
+        a = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").cast("long").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        h = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").cast("long").alias("s"))
+            .withColumnRenamed("src", "node")
+        )
+    w_all = Window.partitionBy()
+    out = []
+    for role, table in (("authority", a), ("hub", h)):
+        out.append(
+            table.select(
+                F.lit(role).alias("role"),
+                "node",
+                F.col("s").alias("paths"),
+                F.round(F.col("s") / F.sum("s").over(w_all), decimals).alias(
+                    "score"
+                ),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -99,6 +99,14 @@ POST_FREEZE: set[str] = {
     "doc_dsir_importance",
     "doc_lang_temperature_sample",
     "embedding_mmr_topk",
+    # battery_r7c (registered post-freeze)
+    "brand_discount_elasticity",
+    "user_growth_accounting",
+    "doc_readability",
+    "event_type_bh_fdr",
+    "event_value_conformal",
+    "part_soundex_blocks",
+    "entity_hits_scores",
 }
 
 

@@ -115,6 +115,13 @@ EXTRA_FAMILIES_R7 = [
     "doc_dsir_importance",          # 64-bucket hashed-feature aggs
     "doc_lang_temperature_sample",  # |langs| count agg + conditional count
     "embedding_mmr_topk",           # shortlist-bounded greedy, checkpointed
+    "brand_discount_elasticity",    # broadcast dim join + |brands| agg
+    "user_growth_accounting",       # (user, day)-grain windows
+    "doc_readability",              # scan-speed column exprs + |langs| agg
+    "event_type_bh_fdr",            # windows over the m-row test table
+    "event_value_conformal",        # distinct-residual cumulative window
+    "part_soundex_blocks",          # vocabulary-grain pair join
+    "entity_hits_scores",           # bigint path-count iterations
 ]
 
 
