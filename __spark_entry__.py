@@ -133,6 +133,8 @@ def _registry():
         battery_r7,
         battery_r7b,
         battery_r7c,
+        battery_r7d,
+        battery_r7e,
         battery_temporal,
         battery_text,
     )

@@ -111,13 +111,14 @@ _GROWTH_ORACLE = """
                         then 1 else 0 end) as n_resurrected
         from lagged group by day
     )
-    select day, cast(n_active as bigint) as n_active,
+    select strftime(day, '%Y-%m-%d') as day,
+           cast(n_active as bigint) as n_active,
            cast(n_new as bigint) as n_new,
            cast(n_retained as bigint) as n_retained,
            cast(n_resurrected as bigint) as n_resurrected,
            cast(coalesce(lag(n_active) over (order by day), 0) - n_retained
                 as bigint) as n_churned
-    from daily order by day
+    from daily order by 1
 """
 
 
@@ -158,7 +159,7 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_d = Window.partitionBy().orderBy("day")
     return daily.select(
-        "day",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("n_active").cast("bigint").alias("n_active"),
         F.col("n_new").cast("bigint").alias("n_new"),
         F.col("n_retained").cast("bigint").alias("n_retained"),

@@ -64,6 +64,8 @@ ALLOWED_BNLJ = {
     "embedding_ivf_cell_balance",  # 1-row (n, k) totals broadcast
     "embedding_matryoshka_audit",  # exact baseline: 10-query broadcast, != cond
     "event_type_kruskal_wallis",  # 1-row tie-correction-total broadcast
+    "doc_domain_classifier_gd",   # 1-row standardization-stats + AUC-totals broadcast
+    "lineitem_mahalanobis_outliers",  # 1-row covariance-stats broadcast
 }
 
 

@@ -1,0 +1,39 @@
+"""Invariant tests for the round-7e additions: nDCG bounds and the
+identity that the ideal list scores 1.0; HHI/CR4 range and equal-share
+baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from flight_radar_pipeline_spark.plans.battery_r7e import (
+    embedding_ann_ndcg,
+    nation_supplier_concentration,
+)
+
+
+def test_ndcg_bounds(spark):
+    rows = embedding_ann_ndcg(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 1 <= r.n_retrieved <= 10
+        assert 0.0 <= r.dcg <= r.idcg + 1e-9
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        # the LSH list scores below ideal unless the bucket held the
+        # true top-k in order; either way the ratio is the metric
+        if r.n_retrieved == 10 and r.ndcg == pytest.approx(1.0):
+            assert r.dcg == pytest.approx(r.idcg, abs=2e-6)
+
+
+def test_concentration_bounds(spark):
+    rows = nation_supplier_concentration(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n = r.n_suppliers
+        # HHI ∈ [1/n, 1]; CR4 ∈ (0, 1], = 1 when n ≤ 4
+        assert 1.0 / n - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        assert 0.0 < r.cr4_share <= 1.0 + 1e-6
+        if n <= 4:
+            assert r.cr4_share == pytest.approx(1.0, abs=1e-4)

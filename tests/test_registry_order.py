@@ -107,6 +107,14 @@ POST_FREEZE: set[str] = {
     "event_value_conformal",
     "part_soundex_blocks",
     "entity_hits_scores",
+    # battery_r7d (registered post-freeze)
+    "doc_domain_classifier_gd",
+    "event_hourly_stl_decompose",
+    "lineitem_mahalanobis_outliers",
+    "event_type_markov_stationary",
+    # battery_r7e (registered post-freeze)
+    "embedding_ann_ndcg",
+    "nation_supplier_concentration",
 }
 
 

@@ -122,6 +122,12 @@ EXTRA_FAMILIES_R7 = [
     "event_value_conformal",        # distinct-residual cumulative window
     "part_soundex_blocks",          # vocabulary-grain pair join
     "entity_hits_scores",           # bigint path-count iterations
+    "doc_domain_classifier_gd",     # checkpointed features, 3-sum GD steps
+    "event_hourly_stl_decompose",   # windows on the |hours| pre-agg
+    "lineitem_mahalanobis_outliers",  # decimal-exact stats, row-local d2
+    "event_type_markov_stationary",  # |types|^2 matrix power iteration
+    "embedding_ann_ndcg",           # two ANN lists + 2k|queries|-row fold
+    "nation_supplier_concentration",  # one fact agg to (nation, supp) grain
 ]
 
 
