@@ -257,3 +257,139 @@ def nation_supplier_concentration(
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming growth-accounting ledger (≡ batch user_growth_accounting)
+# --------------------------------------------------------------------------
+
+from flight_radar_pipeline_spark.plans.battery_r7c import _GROWTH_ORACLE
+
+
+@register("user_growth_stream_ledger", _GROWTH_ORACLE)
+def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming growth accounting — the stream twin of
+    `user_growth_accounting`: events arrive in 3 CHRONOLOGICAL
+    microbatches (contiguous day ranges staged as files whose mtimes
+    pin the trigger order) and ``foreachBatch`` maintains (a) a
+    per-user ``last_day`` state table and (b) an append-only daily
+    ledger of new/retained/resurrected counts. Classification joins
+    each batch's distinct (user, day) grain against the batch-local lag
+    window COALESCED with the carried state, so a user's continuity
+    survives batch boundaries with ONE date of state per user — the
+    bounded-state shape that runs forever at 100 TB (the alternative,
+    keeping active-day sets, grows without bound). Day ranges align to
+    batch boundaries, so each ledger day is written exactly once;
+    churn (yesterday's actives − today's retained) is derived at read
+    time over the |days| ledger. The final ledger must equal the batch
+    entry — the oracle is shared verbatim."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    total = (lohi.hi - lohi.lo).days + 1
+    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
+    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+
+    work = tempfile.mkdtemp(prefix="growth_stream_")
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    waves = [
+        ev.filter(F.to_date("ts") < F.lit(cut1)),
+        ev.filter(
+            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
+        ),
+        ev.filter(F.to_date("ts") >= F.lit(cut2)),
+    ]
+    t0 = 1_700_000_000
+    for i, wave in enumerate(waves):
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{i:03d}.parquet")
+                os.symlink(os.path.join(bdir, f), dst)
+                # pin trigger order: the file source picks oldest-first
+                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
+
+    state_versions: list[str | None] = [None]
+    ledger_dirs: list[str] = []
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        ua = batch.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+        w_u = Window.partitionBy("user_id").orderBy("day")
+        ua = ua.withColumn("prev_in_batch", F.lag("day").over(w_u))
+        if state_versions[-1] is not None:
+            st = spark.read.parquet(state_versions[-1])
+            ua = ua.join(st, "user_id", "left")
+        else:
+            ua = ua.withColumn("last_day", F.lit(None).cast("date"))
+        ua = ua.withColumn(
+            "prev_day", F.coalesce("prev_in_batch", "last_day")
+        )
+        inc = ua.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("prev_day").isNull(), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(
+                F.when(
+                    F.col("prev_day") == F.date_sub("day", 1), 1
+                ).otherwise(0)
+            ).alias("n_retained"),
+            F.sum(
+                F.when(
+                    F.col("prev_day").isNotNull()
+                    & (F.col("prev_day") < F.date_sub("day", 1)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_resurrected"),
+        )
+        ldir = os.path.join(work, f"ledger_b{len(ledger_dirs)}")
+        inc.write.mode("overwrite").parquet(ldir)
+        ledger_dirs.append(ldir)
+        new_state = ua.groupBy("user_id").agg(F.max("day").alias("last_day"))
+        if state_versions[-1] is not None:
+            old = spark.read.parquet(state_versions[-1])
+            new_state = (
+                old.unionByName(new_state)
+                .groupBy("user_id")
+                .agg(F.max("last_day").alias("last_day"))
+            )
+        nxt = os.path.join(work, f"state_v{len(state_versions)}")
+        new_state.write.mode("overwrite").parquet(nxt)
+        state_versions.append(nxt)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ledger = spark.read.parquet(*ledger_dirs)
+    w_d = Window.partitionBy().orderBy("day")
+    return ledger.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_new").cast("bigint").alias("n_new"),
+        F.col("n_retained").cast("bigint").alias("n_retained"),
+        F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+        (
+            F.coalesce(F.lag("n_active").over(w_d), F.lit(0))
+            - F.col("n_retained")
+        )
+        .cast("bigint")
+        .alias("n_churned"),
+    ).orderBy("day")

@@ -66,6 +66,7 @@ ALLOWED_BNLJ = {
     "event_type_kruskal_wallis",  # 1-row tie-correction-total broadcast
     "doc_domain_classifier_gd",   # 1-row standardization-stats + AUC-totals broadcast
     "lineitem_mahalanobis_outliers",  # 1-row covariance-stats broadcast
+    "embedding_ann_ndcg",         # IDCG baseline: 8-query broadcast, != cond
 }
 
 

@@ -115,6 +115,7 @@ POST_FREEZE: set[str] = {
     # battery_r7e (registered post-freeze)
     "embedding_ann_ndcg",
     "nation_supplier_concentration",
+    "user_growth_stream_ledger",
 }
 
 

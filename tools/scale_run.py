@@ -128,6 +128,7 @@ EXTRA_FAMILIES_R7 = [
     "event_type_markov_stationary",  # |types|^2 matrix power iteration
     "embedding_ann_ndcg",           # two ANN lists + 2k|queries|-row fold
     "nation_supplier_concentration",  # one fact agg to (nation, supp) grain
+    "user_growth_stream_ledger",    # foreachBatch state + ledger (stream)
 ]
 
 
