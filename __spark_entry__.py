@@ -135,6 +135,7 @@ def _registry():
         battery_r7c,
         battery_r7d,
         battery_r7e,
+        battery_r7f,
         battery_temporal,
         battery_text,
     )

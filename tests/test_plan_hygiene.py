@@ -67,6 +67,7 @@ ALLOWED_BNLJ = {
     "doc_domain_classifier_gd",   # 1-row standardization-stats + AUC-totals broadcast
     "lineitem_mahalanobis_outliers",  # 1-row covariance-stats broadcast
     "embedding_ann_ndcg",         # IDCG baseline: 8-query broadcast, != cond
+    "embedding_contrastive_triplets",  # 32-anchor broadcast scan, != cond
 }
 
 

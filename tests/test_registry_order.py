@@ -116,6 +116,12 @@ POST_FREEZE: set[str] = {
     "embedding_ann_ndcg",
     "nation_supplier_concentration",
     "user_growth_stream_ledger",
+    # battery_r7f (registered post-freeze)
+    "doc_bpe_fertility",
+    "doc_span_corruption_plan",
+    "doc_ngram_novelty",
+    "embedding_contrastive_triplets",
+    "user_type_entropy_profile",
 }
 
 

@@ -129,6 +129,11 @@ EXTRA_FAMILIES_R7 = [
     "embedding_ann_ndcg",           # two ANN lists + 2k|queries|-row fold
     "nation_supplier_concentration",  # one fact agg to (nation, supp) grain
     "user_growth_stream_ledger",    # foreachBatch state + ledger (stream)
+    "doc_bpe_fertility",            # vocab-grain BPE + word-keyed join
+    "doc_span_corruption_plan",     # row-local position hash + doc windows
+    "doc_ngram_novelty",            # distinct-gram agg + gram-keyed join
+    "embedding_contrastive_triplets",  # 32-anchor broadcast scan
+    "user_type_entropy_profile",    # (user, day, type)-grain aggs
 ]
 
 
