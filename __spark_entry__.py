@@ -136,6 +136,7 @@ def _registry():
         battery_r7d,
         battery_r7e,
         battery_r7f,
+        battery_r7g,
         battery_temporal,
         battery_text,
     )

@@ -1,0 +1,46 @@
+"""Invariant tests for the round-7g additions: k-core monotonicity and
+degree floor, proximity-pair symmetry bounds, and latency-quantile
+ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from flight_radar_pipeline_spark.plans.battery_r7g import (
+    doc_proximity_search,
+    entity_kcore_peeling,
+    signup_purchase_latency_quantiles,
+)
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+
+def test_kcore_monotone_and_nonempty(spark):
+    rows = entity_kcore_peeling(spark, SF_DIR).orderBy("round").collect()
+    assert len(rows) == 4
+    prev = None
+    for r in rows:
+        assert r.n_customers >= 0 and r.n_suppliers >= 0
+        if prev is not None:
+            # peeling only removes: survivor counts are non-increasing
+            assert r.n_customers <= prev.n_customers
+            assert r.n_suppliers <= prev.n_suppliers
+            assert r.n_edges <= prev.n_edges
+        prev = r
+    # the self-sized k must not empty the graph in round 1
+    assert rows[0].n_edges > 0
+
+
+def test_proximity_pairs_bounds(spark):
+    rows = doc_proximity_search(spark, SF_DIR).collect()
+    total_docs = load_table(spark, SF_DIR, "documents").count()
+    assert 0 < sum(r.n_docs for r in rows) <= total_docs
+    for r in rows:
+        # every doc counted must carry at least one pair
+        assert r.n_pairs >= r.n_docs
+
+
+def test_latency_quantiles_ordered(spark):
+    row = signup_purchase_latency_quantiles(spark, SF_DIR).collect()[0]
+    assert row.n_converted > 0
+    assert 0 <= row.p25_min <= row.p50_min <= row.p75_min <= row.p90_min

@@ -122,6 +122,10 @@ POST_FREEZE: set[str] = {
     "doc_ngram_novelty",
     "embedding_contrastive_triplets",
     "user_type_entropy_profile",
+    # battery_r7g (registered post-freeze)
+    "entity_kcore_peeling",
+    "doc_proximity_search",
+    "signup_purchase_latency_quantiles",
 }
 
 

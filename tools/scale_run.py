@@ -134,6 +134,9 @@ EXTRA_FAMILIES_R7 = [
     "doc_ngram_novelty",            # distinct-gram agg + gram-keyed join
     "embedding_contrastive_triplets",  # 32-anchor broadcast scan
     "user_type_entropy_profile",    # (user, day, type)-grain aggs
+    "entity_kcore_peeling",         # shrinking per-round degree aggs
+    "doc_proximity_search",         # two-term posting-list join
+    "signup_purchase_latency_quantiles",  # distinct-minute cumulative window
 ]
 
 
