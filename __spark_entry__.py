@@ -137,6 +137,7 @@ def _registry():
         battery_r7e,
         battery_r7f,
         battery_r7g,
+        battery_r7h,
         battery_temporal,
         battery_text,
     )

@@ -68,6 +68,9 @@ ALLOWED_BNLJ = {
     "lineitem_mahalanobis_outliers",  # 1-row covariance-stats broadcast
     "embedding_ann_ndcg",         # IDCG baseline: 8-query broadcast, != cond
     "embedding_contrastive_triplets",  # 32-anchor broadcast scan, != cond
+    "brand_simpson_check",        # 1-row pooled-slope broadcast
+    "event_value_runs_test",      # 1-row global-median broadcast
+    "order_interarrival_fit",     # 1-row (n, mean) + 1-row KS broadcast
 }
 
 

@@ -126,7 +126,21 @@ POST_FREEZE: set[str] = {
     "entity_kcore_peeling",
     "doc_proximity_search",
     "signup_purchase_latency_quantiles",
+    # battery_r7h (registered post-freeze — closes the slate at 49,
+    # so the round-8 window is again slate + pricing_summary = 50)
+    "brand_simpson_check",
+    "event_value_runs_test",
+    "event_hourly_harmonic_fit",
+    "doc_shingle_diversity",
+    "ab_sprt_daily_decision",
+    "order_interarrival_fit",
 }
+
+
+def test_post_freeze_slate_is_exactly_the_round8_window():
+    """49 slate entries + pricing_summary = the 50-slot round-8 window,
+    the same pre-agreed rotation mechanism rounds 5–7 used."""
+    assert len(POST_FREEZE) == 49
 
 
 def test_round7_window_covers_all_never_checked_oracled_entries():

@@ -137,6 +137,12 @@ EXTRA_FAMILIES_R7 = [
     "entity_kcore_peeling",         # shrinking per-round degree aggs
     "doc_proximity_search",         # two-term posting-list join
     "signup_purchase_latency_quantiles",  # distinct-minute cumulative window
+    "brand_simpson_check",          # same decimal sums as elasticity
+    "event_value_runs_test",        # per-user lag window + 1-row moments
+    "event_hourly_harmonic_fit",    # |hours| pre-agg, closed-form fit
+    "doc_shingle_diversity",        # row-local array exprs
+    "ab_sprt_daily_decision",       # |days| cumulative walk
+    "order_interarrival_fit",       # per-customer lag + distinct-gap CDF
 ]
 
 
