@@ -49,6 +49,13 @@ def test_battery_query(name, spark, duck):
         "doc_boilerplate_spans",
         "top_session_paths",
         "orders_table_checksum",
+        # round-7 order-sensitive additions: greedy re-ranking, hash-ranked
+        # negative sampling, two ranked ANN lists folded positionally, and
+        # integer path-count ranking
+        "embedding_mmr_topk",
+        "embedding_contrastive_triplets",
+        "embedding_ann_ndcg",
+        "entity_hits_scores",
     ],
 )
 def test_battery_partition_determinism(name, spark):
