@@ -542,3 +542,43 @@ def hits_scores(
             )
         )
     return out[0].unionByName(out[1])
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> list[DataFrame]:
+    """Fixed-round k-core peeling over a SYMMETRIZED edge list → list of
+    per-round surviving edge DataFrames (round 1..rounds): each round
+    drops nodes with degree < k and every edge touching them. A fixed
+    round budget approximates the k-core fixpoint; two consecutive
+    equal rounds prove the fixpoint was reached (peeling is monotone —
+    the survivor sets only shrink).
+
+    Scale posture: one map-side-combinable degree aggregate + two
+    node-keyed semi-joins per round on a monotonically shrinking edge
+    list, checkpointed each round so the static plan stays linear in
+    rounds. All-integer: exact cross-engine parity by construction.
+    """
+    sym = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    out: list[DataFrame] = []
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+        )
+        sym = (
+            sym.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out.append(sym)
+    return out

@@ -105,6 +105,8 @@ def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
     sym = pair.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -113,21 +115,11 @@ def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     k = (deg_row.m + 2 * deg_row.v - 1) // (2 * deg_row.v)
     out = []
-    for rnd in range(1, _KCORE_ROUNDS + 1):
-        keep = (
-            sym.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("node"))
-        )
-        sym = (
-            sym.join(keep.withColumnRenamed("node", "src"), "src")
-            .join(keep.withColumnRenamed("node", "dst"), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+    for rnd, sym_r in enumerate(
+        kcore_peel(sym, k=k, rounds=_KCORE_ROUNDS), start=1
+    ):
         out.append(
-            sym.agg(
+            sym_r.agg(
                 F.lit(rnd).alias("round"),
                 F.countDistinct(
                     F.when(F.col("src").startswith("c"), F.col("src"))

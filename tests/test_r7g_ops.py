@@ -44,3 +44,33 @@ def test_latency_quantiles_ordered(spark):
     row = signup_purchase_latency_quantiles(spark, SF_DIR).collect()[0]
     assert row.n_converted > 0
     assert 0 <= row.p25_min <= row.p50_min <= row.p75_min <= row.p90_min
+
+
+def test_kcore_hand_graph_two_round_cascade(spark):
+    """Path graph a-b-c-d-e at k=2: round 1 drops the endpoints (deg 1),
+    which exposes b and d as new degree-1 nodes; round 2 drops them,
+    which strands c — a 3-round cascade to the empty 2-core, the
+    sequencing property a single-pass degree filter would get wrong."""
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    rounds = kcore_peel(edges, k=2, rounds=3)
+    survivors = [
+        sorted({r.src for r in df.collect()}) for df in rounds
+    ]
+    assert survivors[0] == ["b", "c", "d"]
+    assert survivors[1] == ["c"] or survivors[1] == []  # c has deg 0 now
+    assert survivors[2] == []
+
+
+def test_kcore_hand_graph_triangle_is_its_own_2core(spark):
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
+    und = [("a", "b"), ("b", "c"), ("c", "a")]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    rounds = kcore_peel(edges, k=2, rounds=2)
+    for df in rounds:
+        assert sorted({r.src for r in df.collect()}) == ["a", "b", "c"]
