@@ -213,3 +213,92 @@ def geo_nearest_within(
         F.col("__best.nn").alias("nn_id"),
         F.col("__best.km").alias("nn_km"),
     )
+
+
+def geo_dbscan_clusters(
+    points: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    eps_km: float,
+    min_pts: int,
+    cell_deg: float,
+    max_abs_lat: float = 90.0,
+) -> DataFrame:
+    """DBSCAN over geographic points → (id, cluster_id, role): density
+    clustering composed entirely from the library's bucketed primitives
+    — ``geo_cell_pairs`` supplies every eps-neighborhood pair (grid
+    equi-join, never all-pairs) and ``graph.connected_components``
+    merges core points, so the classic algorithm inherits both scale
+    postures unchanged.
+
+    Semantics (standard DBSCAN, deterministic border attachment):
+    - core: a point with ≥ ``min_pts`` neighbors within ``eps_km``
+      (the point itself counts, matching scikit-learn).
+    - clusters: connected components of the core–core eps-graph;
+      ``cluster_id`` = min core id in the component (isolated cores —
+      no core neighbor — form singleton clusters under their own id).
+    - border: a non-core point within eps of ≥ 1 core joins its
+      MINIMUM-cluster-id core neighbor (the arbitrary-assignment point
+      of textbook DBSCAN pinned to a total order, so the labeling is
+      partition/rerun/engine-invariant).
+    - noise: everything else; returned with cluster_id NULL.
+
+    Scale: one pair generation (grid-bounded), one |pairs| degree
+    aggregate, CC on the core-core subgraph (label propagation,
+    shallow geographic components), and two node-sized joins. The
+    ``cell_deg`` adjacency contract is validated by ``geo_cell_pairs``
+    (an undersized grid raises — silent recall loss is a bug).
+    """
+    ids = points.select(F.col(id_col).alias("id")).distinct()
+    pairs = geo_cell_pairs(
+        points, id_col, lat_col, lon_col, eps_km, cell_deg, max_abs_lat
+    ).select("id_a", "id_b")
+    sym = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    # neighbor counts (self counts toward min_pts, per scikit-learn)
+    deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+        (F.count(F.lit(1)) + 1).alias("n_in_eps")
+    )
+    core = deg.filter(F.col("n_in_eps") >= min_pts).select("id")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    from flight_radar_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(core_edges)  # (doc_id, cluster_id)
+    core_labeled = (
+        core.join(cc.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+            F.lit("core").alias("role"),
+        )
+    )
+    border = (
+        sym.withColumnRenamed("id_a", "id")
+        .join(
+            core_labeled.select(
+                F.col("id").alias("id_b"), F.col("cluster_id").alias("cid")
+            ),
+            "id_b",
+        )
+        .join(core_labeled.select("id"), "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cid").alias("cluster_id"))
+        .select("id", "cluster_id", F.lit("border").alias("role"))
+    )
+    labeled = core_labeled.unionByName(border)
+    noise = ids.join(labeled.select("id"), "id", "left_anti").select(
+        "id",
+        F.lit(None).cast(labeled.schema["cluster_id"].dataType).alias(
+            "cluster_id"
+        ),
+        F.lit("noise").alias("role"),
+    )
+    return labeled.unionByName(noise)
