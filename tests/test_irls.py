@@ -1,0 +1,66 @@
+"""IRLS logistic regression: recovers a known generating model from a
+deterministic hash-Bernoulli draw, log-likelihood climbs monotonically,
+and 3 Newton steps beat 6 first-order GD steps on the same data."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+from flight_radar_pipeline_spark.operators.mining import logistic_irls
+
+
+def _data(spark, n=5000, b0=0.5, b1=2.0, b2=-1.0):
+    """y ~ Bernoulli(sigma(b0 + b1 z1 + b2 z2)) with md5-derived z and
+    the Bernoulli draw itself a unit-hash threshold — fully
+    deterministic, no rand()."""
+    df = spark.range(n).select(
+        (unit_hash(F.col("id"), "z1") * 4 - 2).alias("z1"),
+        (unit_hash(F.col("id"), "z2") * 4 - 2).alias("z2"),
+        unit_hash(F.col("id"), "draw").alias("u"),
+    )
+    eta = b0 + b1 * F.col("z1") + b2 * F.col("z2")
+    return df.select(
+        "z1", "z2",
+        (F.col("u") < 1.0 / (1.0 + F.exp(-eta))).cast("int").alias("y"),
+    )
+
+
+def test_irls_recovers_model_and_likelihood_climbs(spark):
+    df = _data(spark).localCheckpoint(eager=True)
+    w, liks = logistic_irls(df, ["z1", "z2"], "y", steps=5)
+    assert all(b >= a - 1e-9 for a, b in zip(liks, liks[1:])), liks
+    assert abs(w[0] - 0.5) < 0.25
+    assert abs(w[1] - 2.0) < 0.35
+    assert abs(w[2] + 1.0) < 0.3
+
+
+def test_newton_beats_first_order_gd(spark):
+    df = _data(spark, n=3000).localCheckpoint(eager=True)
+    _, liks = logistic_irls(df, ["z1", "z2"], "y", steps=3)
+
+    # 6 plain GD steps (eta=1.0, mean gradient), the battery's recipe
+    w = [0.0, 0.0, 0.0]
+    for _ in range(6):
+        p = 1.0 / (
+            1.0
+            + F.exp(-(w[0] + w[1] * F.col("z1") + w[2] * F.col("z2")))
+        )
+        r = df.agg(
+            F.avg(F.col("y") - p).alias("g0"),
+            F.avg((F.col("y") - p) * F.col("z1")).alias("g1"),
+            F.avg((F.col("y") - p) * F.col("z2")).alias("g2"),
+        ).collect()[0]
+        w = [w[0] + r.g0, w[1] + r.g1, w[2] + r.g2]
+    p = 1.0 / (
+        1.0 + F.exp(-(w[0] + w[1] * F.col("z1") + w[2] * F.col("z2")))
+    )
+    gd_lik = df.agg(
+        F.avg(
+            F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+            + (1 - F.col("y")) * F.log(F.greatest(1 - p, F.lit(1e-12)))
+        )
+    ).collect()[0][0]
+    assert liks[-1] > gd_lik + 1e-4, (liks, gd_lik)
