@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -84,16 +86,17 @@ def decode_features(
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """PIXEL decode — NOT AVAILABLE in this environment (codec-only gap).
+    """COMPRESSED-codec decode — NOT AVAILABLE in this environment.
 
-    Header-level metadata is NOT stubbed: :func:`parse_image_dims` reads
-    PNG IHDR / GIF logical-screen width+height natively from the bytes
-    with pure column expressions. What remains here is the pixel-data
-    codec (decompress/resize/embed), whose production implementation
-    decodes ``payload`` with PIL/ffmpeg inside the same ``mapInPandas``
-    batch loop as :func:`decode_features` (same signature, wider schema:
-    pixels/frames/sample_rate). Kept as an explicit stub so the plumbing
-    stays honest about what is fake.
+    The stub keeps shrinking: header metadata is parsed natively for
+    PNG/GIF/JPEG/WAV/MP4 (pure column expressions), and RAW pixel
+    formats decode FULLY — :func:`decode_bmp_stats` does real 24-bpp
+    BMP pixel decode (numpy over Arrow batches: channel means, luma
+    std, luminance histogram). What remains here is strictly the
+    compressed-codec path (PNG deflate, JPEG DCT, video), whose
+    production implementation decodes ``payload`` with PIL/ffmpeg
+    inside the same ``mapInPandas`` batch loop. Kept as an explicit
+    stub so the plumbing stays honest about what is fake.
     """
     try:
         import PIL.Image  # noqa: F401
@@ -612,3 +615,117 @@ def parse_mp4_meta(
         F.when(is_mp4, ticks).alias("duration_ticks"),
         F.when(is_mp4, F.round(ticks / ts.cast("double"), 6)).alias("duration_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP: the one image container this environment can FULLY decode — 24-bpp
+# uncompressed pixels need no codec, just byte arithmetic. This closes the
+# pixel-decode gap for raw formats; only COMPRESSED codecs (PNG deflate,
+# JPEG DCT, video) remain behind decode_image_stub.
+# ---------------------------------------------------------------------------
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("std_luma", DoubleType(), True),
+        StructField("luma_hist", ArrayType(LongType()), True),
+    ]
+)
+
+
+def synth_bmp_bytes(seed: int, width: int, height: int) -> bytes:
+    """A REAL 24-bpp bottom-up uncompressed BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + 4-byte-padded BGR rows) with a deterministic
+    per-(seed, x, y) pixel pattern — any conforming viewer opens it.
+    Used by tests and corpus synthesis; the asymmetric pattern makes
+    row-order (bottom-up) and stride mistakes visible."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            b = (seed + 3 * x + 7 * y) % 256
+            g = (seed * 5 + x) % 256
+            r = (seed * 11 + y) % 256
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def decode_bmp_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """FULL pixel decode for 24-bpp uncompressed BMP payloads →
+    (doc_id, width, height, mean_r, mean_g, mean_b, std_luma,
+    luma_hist[8]): Arrow-batched ``mapInPandas`` + numpy — each batch's
+    byte blobs reshape to (height, stride) → crop → (h, w, 3) BGR →
+    channel means, Rec.601 luma std, and an 8-bin luminance histogram,
+    the actual decode→feature-extract hot loop of an image-corpus
+    pipeline (brightness/contrast quality gates, dedup-by-histogram).
+    Non-BMP / non-24bpp / compressed payloads yield NULL stats rows —
+    route them to the codec path instead. Rounds means/std to 4:
+    numpy's pairwise sums are deterministic for a fixed array shape, so
+    the output is rerun-stable."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "std_luma", "luma_hist",
+            )}
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                out["doc_id"].append(did)
+                blob = bytes(raw)
+                ok = (
+                    len(blob) >= 54
+                    and blob[:2] == b"BM"
+                    and int.from_bytes(blob[28:30], "little") == 24
+                    and int.from_bytes(blob[30:34], "little") == 0
+                )
+                if not ok:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                off = int.from_bytes(blob[10:14], "little")
+                w = int.from_bytes(blob[18:22], "little", signed=True)
+                h = int.from_bytes(blob[22:26], "little", signed=True)
+                stride = (w * 3 + 3) // 4 * 4
+                if h <= 0 or w <= 0 or len(blob) < off + stride * h:
+                    for k in list(out)[1:]:
+                        out[k].append(None)
+                    continue
+                arr = np.frombuffer(
+                    blob, dtype=np.uint8, count=stride * h, offset=off
+                ).reshape(h, stride)[::-1, : w * 3].reshape(h, w, 3)
+                bgr = arr.astype(np.float64)
+                luma = (
+                    0.299 * bgr[:, :, 2]
+                    + 0.587 * bgr[:, :, 1]
+                    + 0.114 * bgr[:, :, 0]
+                )
+                hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(round(float(bgr[:, :, 2].mean()), 4))
+                out["mean_g"].append(round(float(bgr[:, :, 1].mean()), 4))
+                out["mean_b"].append(round(float(bgr[:, :, 0].mean()), 4))
+                out["std_luma"].append(round(float(luma.std()), 4))
+                out["luma_hist"].append([int(v) for v in hist])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode, schema=BMP_STATS_SCHEMA)
