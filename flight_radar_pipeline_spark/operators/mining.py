@@ -439,3 +439,53 @@ def logistic_irls(
         w = list(np.asarray(w) + np.linalg.solve(H, g))
         liks.append(float(row["loglik"]))
     return [float(v) for v in w], liks
+
+
+def quantile_regression_gd(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    tau: float,
+    steps: int = 40,
+    lr: float = 0.5,
+) -> tuple[list[float], list[float]]:
+    """Linear quantile regression by subgradient descent on the pinball
+    loss → (weights, per-step mean pinball losses); weights =
+    [bias, w_1, ..., w_k]. Fits the conditional τ-quantile line — the
+    regression OLS can't give you: τ = 0.5 is median (robust)
+    regression, τ = 0.9/0.99 are the SLA/tail-latency curves capacity
+    planning runs on.
+
+    Subgradient: ∂ρ_τ/∂w = −mean(x · (τ − 1[y < w·x])) — one
+    map-side-combinable (k+2)-sum pass per step, weights on the driver
+    (the `logistic_irls` discipline). The pinball loss is piecewise
+    linear, so plain GD with a modest fixed step converges to a
+    neighborhood of the optimum; pass more ``steps``/smaller ``lr`` to
+    tighten. Deterministic given deterministic input.
+    """
+    k = len(feature_cols)
+    w = [0.0] * (k + 1)
+    losses: list[float] = []
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    y = F.col(label_col).cast("double")
+    for _ in range(steps):
+        pred = F.lit(w[0])
+        for j in range(1, k + 1):
+            pred = pred + F.lit(w[j]) * xs[j]
+        below = F.when(y < pred, 1.0).otherwise(0.0)
+        resid = y - pred
+        aggs = [
+            F.avg(xs[j] * (F.lit(tau) - below)).alias(f"g{j}")
+            for j in range(k + 1)
+        ]
+        aggs.append(
+            F.avg(
+                F.when(resid >= 0, F.lit(tau) * resid).otherwise(
+                    F.lit(tau - 1.0) * resid
+                )
+            ).alias("pinball")
+        )
+        row = df.agg(*aggs).collect()[0]
+        w = [w[j] + lr * row[f"g{j}"] for j in range(k + 1)]
+        losses.append(float(row["pinball"]))
+    return [float(v) for v in w], losses

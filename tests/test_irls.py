@@ -64,3 +64,40 @@ def test_newton_beats_first_order_gd(spark):
         )
     ).collect()[0][0]
     assert liks[-1] > gd_lik + 1e-4, (liks, gd_lik)
+
+
+def test_quantile_regression_orders_and_converges(spark):
+    """y = 10 + 4 z + heteroscedastic noise: the τ=0.1/0.5/0.9 lines
+    must be ordered, the median line must track the generating line,
+    and the pinball loss must not increase over the run's tail."""
+    from flight_radar_pipeline_spark.operators.mining import (
+        quantile_regression_gd,
+    )
+
+    n = 4000
+    df = (
+        spark.range(n)
+        .select(
+            (unit_hash(F.col("id"), "qx") * 4 - 2).alias("z"),
+            (unit_hash(F.col("id"), "qe") * 2 - 1).alias("e"),
+        )
+        .select("z", (10.0 + 4.0 * F.col("z") + 3.0 * F.col("e")).alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    fits = {}
+    for tau in (0.1, 0.5, 0.9):
+        w, losses = quantile_regression_gd(
+            df, ["z"], "y", tau=tau, steps=200, lr=1.0
+        )
+        fits[tau] = w
+        assert min(losses[-5:]) <= min(losses[:5])
+    # evaluate the three lines at z = -1, 0, 1: quantile ordering holds
+    for z in (-1.0, 0.0, 1.0):
+        v = {t: fits[t][0] + fits[t][1] * z for t in fits}
+        assert v[0.1] < v[0.5] < v[0.9], v
+    # median line ≈ the generating line (noise is symmetric)
+    assert abs(fits[0.5][0] - 10.0) < 0.8
+    assert abs(fits[0.5][1] - 4.0) < 0.8
+    # uniform(-3,3) noise: q10/q90 offsets ≈ ∓2.4 from the median line
+    assert -3.4 < fits[0.1][0] - fits[0.5][0] < -1.4
+    assert 1.4 < fits[0.9][0] - fits[0.5][0] < 3.4
