@@ -489,3 +489,50 @@ def quantile_regression_gd(
         w = [w[j] + lr * row[f"g{j}"] for j in range(k + 1)]
         losses.append(float(row["pinball"]))
     return [float(v) for v in w], losses
+
+
+def benford_second_digit_fit(
+    amounts: DataFrame, amount_col: str, freq_dp: int = 6, chi2_dp: int = 4
+) -> DataFrame:
+    """Second-digit Benford screen — the forensic follow-up to
+    `benford_digit_fit`: fabricators who know the first-digit law
+    rarely match the SECOND-digit distribution
+    P(d₂ = d) = Σ_{d₁=1..9} log10(1 + 1/(10·d₁ + d)), d ∈ 0..9.
+    Same parity discipline: digits from integer cents (never double
+    formatting); domain = cents ≥ 10 so a second digit exists. One
+    scan, a ≤10-row aggregate, one 1-row total broadcast."""
+    import math
+
+    x = F.col(amount_col)
+    cents = F.floor(x * 100).cast("bigint")
+    d = amounts.where(cents >= 10).select(
+        F.substring(cents.cast("string"), 2, 1).alias("digit_s")
+    )
+    obs = d.groupBy("digit_s").agg(F.count("*").alias("n_obs"))
+    totals = d.agg(F.count("*").cast("double").alias("total"))
+    exp_map = {
+        dd: sum(math.log10(1.0 + 1.0 / (10 * d1 + dd)) for d1 in range(1, 10))
+        for dd in range(10)
+    }
+    exp_freq = F.col("digit").cast("string")
+    expr = F.lit(None).cast("double")
+    for dd, p in exp_map.items():
+        expr = F.when(F.col("digit") == dd, F.lit(p)).otherwise(expr)
+    return (
+        obs.select(F.col("digit_s").cast("int").alias("digit"), "n_obs")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("total"), freq_dp).alias(
+                "obs_freq"
+            ),
+            F.round(expr, freq_dp).alias("exp_freq"),
+            F.round(
+                F.pow(F.col("n_obs") - F.col("total") * expr, 2)
+                / (F.col("total") * expr),
+                chi2_dp,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

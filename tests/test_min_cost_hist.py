@@ -126,3 +126,28 @@ def test_hist_quantiles_single_bin_group(spark):
     # bucket 4 spans [40,50): estimate stays inside the occupied bin
     assert 40.0 <= row["quantile"] <= 50.0
     assert row["n"] == 7
+
+
+def test_benford_second_digit_distribution(spark):
+    """Second-digit expectations sum to 1 and are nearly flat
+    (0.085–0.12); a Benford-conforming synthetic sample (exp-uniform
+    magnitudes) lands a small chi2; digits cover 0..9."""
+    import math
+
+    from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+    from flight_radar_pipeline_spark.operators.mining import (
+        benford_second_digit_fit,
+    )
+
+    df = spark.range(20000).select(
+        F.pow(F.lit(10.0), unit_hash(F.col("id"), "benf2") * 4).alias("amt")
+    )
+    rows = benford_second_digit_fit(df, "amt").collect()
+    assert sorted(r.digit for r in rows) == list(range(10))
+    s = sum(r.exp_freq for r in rows)
+    assert abs(s - 1.0) < 1e-4
+    for r in rows:
+        assert 0.08 < r.exp_freq < 0.125
+    chi2 = sum(r.chi2_term for r in rows)
+    # 9 dof; a conforming sample should sit far below gross rejection
+    assert chi2 < 40.0, chi2
