@@ -305,3 +305,76 @@ def interpolate_gaps(
         expr_round_half_up(filled, decimals).alias("v_filled"),
         kind.alias("fill_kind"),
     )
+
+
+def sessionize_capped(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    max_duration_seconds: int,
+    max_events: int = 500,
+) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a maximum session
+    duration → (user, n_events, n_sessions, n_gap_breaks, n_cap_breaks):
+    a new session starts when the gap to the previous event exceeds
+    ``gap_seconds`` OR the span since the session's first event exceeds
+    ``max_duration_seconds`` — the production rule (analytics stacks cap
+    sessions at 4–24 h so a lunch-break keep-alive can't weld a day into
+    one session) that the gap-only ``session_window`` / lag+cumsum
+    rewrites CANNOT express: the duration test depends on the running
+    session START, a data-dependent reset that is not a window frame.
+
+    So the recursion folds JVM-side with ``F.aggregate`` over the
+    per-user sorted timestamp array (the `user_balance_clamped` /
+    Holt shape): state = (session_start, last_ts, counters), one pass,
+    no Python. ``max_events`` bounds per-user state (documented cap, as
+    Holt's 40-obs history) — beyond it, sessionize per (user, day)
+    partitions upstream. Gap breaks use strict ``>`` (two events exactly
+    ``gap`` apart stay together, matching the battery's lag+cumsum
+    oracle convention)."""
+    arr = F.slice(
+        F.sort_array(F.collect_list(F.col(ts_col).cast("long"))),
+        1,
+        max_events,
+    )
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(
+        arr.alias("__ts")
+    )
+    init = F.struct(
+        F.lit(-1).cast("long").alias("start"),
+        F.lit(-1).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("ns"),
+        F.lit(0).cast("long").alias("ngap"),
+        F.lit(0).cast("long").alias("ncap"),
+    )
+
+    def step(acc, t):
+        first = acc["start"] < 0
+        gap_brk = (~first) & ((t - acc["last"]) > gap_seconds)
+        cap_brk = (
+            (~first)
+            & ~gap_brk
+            & ((t - acc["start"]) > max_duration_seconds)
+        )
+        new_sess = first | gap_brk | cap_brk
+        return F.struct(
+            F.when(new_sess, t).otherwise(acc["start"]).alias("start"),
+            t.alias("last"),
+            (acc["ns"] + new_sess.cast("long")).alias("ns"),
+            (acc["ngap"] + gap_brk.cast("long")).alias("ngap"),
+            (acc["ncap"] + cap_brk.cast("long")).alias("ncap"),
+        )
+
+    folded = per_user.select(
+        "user",
+        F.size("__ts").cast("long").alias("n_events"),
+        F.aggregate("__ts", init, step).alias("__st"),
+    )
+    return folded.select(
+        "user",
+        "n_events",
+        F.col("__st.ns").alias("n_sessions"),
+        F.col("__st.ngap").alias("n_gap_breaks"),
+        F.col("__st.ncap").alias("n_cap_breaks"),
+    )

@@ -89,3 +89,62 @@ def test_connected_components_known_graph(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_sessionize_capped_hand_sequence(spark):
+    """gap=10s, cap=25s over ts [0,5,12,20,26,50]: 26 breaks on the
+    DURATION cap (gap only 6), 50 breaks on the gap → 3 sessions."""
+    from flight_radar_pipeline_spark.operators.temporal import (
+        sessionize_capped,
+    )
+
+    rows = [(1, t) for t in [0, 5, 12, 20, 26, 50]]
+    df = spark.createDataFrame(rows, "u long, t long").select(
+        "u", F.col("t").cast("timestamp").alias("ts")
+    )
+    r = sessionize_capped(df, "u", "ts", 10, 25).collect()[0]
+    assert (r.n_sessions, r.n_gap_breaks, r.n_cap_breaks) == (3, 1, 1)
+    assert r.n_events == 6
+
+
+def test_sessionize_capped_uncapped_equals_lag_cumsum(spark):
+    """With the cap effectively infinite, per-user session counts must
+    equal the classic lag+cumsum formulation on real data."""
+    from flight_radar_pipeline_spark.operators.temporal import (
+        sessionize_capped,
+    )
+    from flight_radar_pipeline_spark.sources.readers import load_table
+    from conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r.user: r.n_sessions
+        for r in sessionize_capped(
+            ev, "user_id", "ts", 1800, 10**12, max_events=100000
+        ).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    want = (
+        ev.select(
+            "user_id",
+            (
+                F.coalesce(
+                    (
+                        F.col("ts").cast("long")
+                        - F.lag(F.col("ts").cast("long")).over(w)
+                    )
+                    > 1800,
+                    F.lit(True),
+                )
+            )
+            .cast("long")
+            .alias("brk"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("brk").alias("ns"))
+        .collect()
+    )
+    for r in want:
+        assert got[r.user_id] == r.ns, r.user_id
