@@ -536,3 +536,79 @@ def benford_second_digit_fit(
         )
         .orderBy("digit")
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration report → (bin, n, mean_pred, frac_pos,
+    gap, brier_term): equal-width score bins with predicted-vs-observed
+    positive rates — the reliability diagram as a relation — plus each
+    bin's contribution to the Brier score. A well-calibrated scorer has
+    |gap| ≈ 0 everywhere; a sharp-but-overconfident one (the classifier
+    failure mode thresholds inherit) shows monotone gaps at the
+    extremes. ECE = Σ (n/N)·|gap| and Brier = Σ brier_term·n/N are
+    one-liner rollups of this output.
+
+    One scan, an n_bins-row aggregate; scores clamp into [0, 1] and the
+    top edge closes (score = 1.0 lands in the last bin)."""
+    s = F.least(F.greatest(F.col(score_col), F.lit(0.0)), F.lit(1.0))
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    return (
+        scored.select(b, s.alias("s"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("s"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+            F.round(F.avg("s") - F.avg("y"), 6).alias("gap"),
+            F.round(F.avg(F.pow(F.col("s") - F.col("y"), 2)), 6).alias(
+                "brier_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def mixture_reweight_multiplicative(
+    domain_losses: Sequence[tuple[str, float, float]],
+    eta: float = 1.0,
+    steps: int = 1,
+    reference: Sequence[tuple[str, float]] | None = None,
+) -> list[tuple[str, float]]:
+    """DoReMi-style domain reweighting (Xie et al. 2023, simplified to
+    the static-loss case) → [(domain, weight)]: starting from reference
+    shares (uniform if None), apply ``steps`` multiplicative-weights
+    updates w_d ∝ w_d · exp(η · excess_d) where excess_d = loss_d −
+    baseline_d, then renormalize — domains where the proxy model is
+    WORSE than baseline gain training share. With static losses the
+    iteration collapses to softmax-tilting (documented); the step loop
+    exists so a caller re-estimating losses per step (the real DoReMi
+    inner loop) can drive it.
+
+    Driver-side pure function by design: the inputs are |domains| rows
+    — the per-domain losses come from corpus-scale jobs (e.g.
+    `operators.lm.bigram_lm_scores` aggregated per domain), but the
+    reweighting itself is O(|domains|) arithmetic that has no business
+    on the cluster."""
+    import math
+
+    names = [d for d, _, _ in domain_losses]
+    excess = {d: ls - bl for d, ls, bl in domain_losses}
+    if reference is None:
+        w = {d: 1.0 / len(names) for d in names}
+    else:
+        ref = dict(reference)
+        tot = sum(ref[d] for d in names)
+        w = {d: ref[d] / tot for d in names}
+    for _ in range(steps):
+        w = {d: w[d] * math.exp(eta * excess[d]) for d in names}
+        z = sum(w.values())
+        w = {d: v / z for d, v in w.items()}
+    return [(d, w[d]) for d in names]

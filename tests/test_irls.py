@@ -101,3 +101,70 @@ def test_quantile_regression_orders_and_converges(spark):
     # uniform(-3,3) noise: q10/q90 offsets ≈ ∓2.4 from the median line
     assert -3.4 < fits[0.1][0] - fits[0.5][0] < -1.4
     assert 1.4 < fits[0.9][0] - fits[0.5][0] < 3.4
+
+
+def test_calibration_perfect_scorer_has_small_gaps(spark):
+    """Labels drawn AT the score via unit-hash → a perfectly calibrated
+    scorer: every bin's |gap| must be small and Brier ≈ E[p(1−p)]."""
+    from flight_radar_pipeline_spark.operators.mining import (
+        calibration_report,
+    )
+
+    df = spark.range(20000).select(
+        unit_hash(F.col("id"), "p").alias("p"),
+        (unit_hash(F.col("id"), "y") < unit_hash(F.col("id"), "p"))
+        .cast("int")
+        .alias("y"),
+    )
+    rows = calibration_report(df, "p", "y").collect()
+    assert len(rows) == 10
+    n_tot = sum(r.n for r in rows)
+    ece = sum(r.n * abs(r.gap) for r in rows) / n_tot
+    assert ece < 0.02, ece
+    brier = sum(r.n * r.brier_term for r in rows) / n_tot
+    # E[p(1-p)] for p~U(0,1) = 1/6
+    assert abs(brier - 1 / 6) < 0.01
+
+
+def test_calibration_flags_overconfident_scorer(spark):
+    """Scores pushed toward the extremes (s = p² / odd transform) while
+    labels stay Bernoulli(p): the low bins must over-predict negatives
+    (gap < 0) and high bins over-predict positives (gap > 0)... i.e.
+    the overconfidence signature |gap| large at the extremes."""
+    from flight_radar_pipeline_spark.operators.mining import (
+        calibration_report,
+    )
+
+    df = spark.range(20000).select(
+        unit_hash(F.col("id"), "p").alias("p"),
+        (unit_hash(F.col("id"), "y") < unit_hash(F.col("id"), "p"))
+        .cast("int")
+        .alias("y"),
+    )
+    # overconfident transform: s = 3p² − 2p³ is steeper at the ends? no:
+    # use s = 0.5 + (p − 0.5)^(1/3)-style sharpening via s = p*p*(3-2p)
+    sharp = df.select(
+        (F.col("p") * F.col("p") * (3 - 2 * F.col("p"))).alias("s"), "y"
+    )
+    rows = {r.bin: r for r in calibration_report(sharp, "s", "y").collect()}
+    assert rows[0].gap < -0.01   # predicted ~0.03, observed higher
+    assert rows[9].gap > 0.01    # predicted ~0.97, observed lower
+
+
+def test_mixture_reweight_directions_and_softmax_identity():
+    import math
+
+    from flight_radar_pipeline_spark.operators.mining import (
+        mixture_reweight_multiplicative,
+    )
+
+    losses = [("web", 3.0, 2.5), ("code", 2.0, 2.2), ("wiki", 2.4, 2.4)]
+    out = dict(mixture_reweight_multiplicative(losses, eta=1.0, steps=1))
+    assert abs(sum(out.values()) - 1.0) < 1e-12
+    # web has positive excess → gains; code negative → shrinks; wiki flat
+    assert out["web"] > 1 / 3 > out["code"]
+    # static-loss collapse: steps=T ≡ softmax(T·eta·excess) from uniform
+    out3 = dict(mixture_reweight_multiplicative(losses, eta=1.0, steps=3))
+    z = sum(math.exp(3.0 * (ls - bl)) for _, ls, bl in losses)
+    for d, ls, bl in losses:
+        assert abs(out3[d] - math.exp(3.0 * (ls - bl)) / z) < 1e-12
