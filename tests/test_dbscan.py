@@ -8,7 +8,6 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.operators.spatial import (
     geo_dbscan_clusters,

@@ -7,7 +7,6 @@ regression/readability bounds."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from flight_radar_pipeline_spark.functions.text import soundex_code

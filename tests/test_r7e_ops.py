@@ -5,7 +5,6 @@ baselines."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from flight_radar_pipeline_spark.plans.battery_r7e import (

@@ -9,7 +9,6 @@ from __future__ import annotations
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from flight_radar_pipeline_spark.plans.battery_r7f import (

@@ -4,7 +4,6 @@ ordering."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from conftest import SF_DIR
 from flight_radar_pipeline_spark.plans.battery_r7g import (
