@@ -37,26 +37,28 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-7 rotation — the final slate of the pre-agreed rotation contract
-# (tests/test_registry_order.py): the 49-entry round-6 POST_FREEZE slate
-# (every oracled entry registered after the round-6 window froze — none
+# Round-8 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py): the 49-entry round-7 POST_FREEZE slate
+# (every oracled entry registered after the round-7 window froze — none
 # has ever held a driver correctness row) moves into the window WHOLESALE,
 # plus `pricing_summary` as the proven spine. 49 + 1 = 50 exactly.
-# A green round takes cumulative driver coverage to ALL 203 oracled
-# entries — every oracle-paired query in the registry driver-checked at
-# least once.
+# A green round takes cumulative driver coverage to ALL 252 oracled
+# entries registered through round 7 — every oracle-paired query in the
+# registry driver-checked at least once.
 #
-# MUST_BE_CHECKED decision (round-6 verdict asked for it explicitly):
-# `click_view_attribution` / `event_window_density` /
-# `event_value_percentiles` / `multimodal_features` rotate OUT for this
-# one round. Each holds a green driver row in CORRECTNESS_r06.json (and
-# earlier rounds) under its current shape, and each stays pinned by the
-# mandatory full-registry oracle sweep (tests/test_battery.py) — accepted
-# and documented rather than swapping two never-checked slate entries out,
-# which would merely move the one-round hole onto them.
+# MUST_BE_CHECKED decision (round-7 verdict item 6 asked for this to be
+# explicit): `click_view_attribution` / `event_window_density` /
+# `event_value_percentiles` / `multimodal_features` stay OUT a second
+# consecutive round — a deliberate decision, not an accident. Each holds
+# a fully-green driver row in CORRECTNESS_r06.json under its current
+# shape (plans unchanged since — tools/audit_compare.py proves zero
+# unintended plan drift round-over-round), and each stays pinned by the
+# mandatory full-registry oracle sweep (tests/test_battery.py). Swapping
+# two never-checked slate entries out would merely move the one-round
+# hole onto them; they are first in line for the round-9 window spine.
 #
-# Demoted entries (the whole round-6 window minus the spine) all hold
-# green rows in CORRECTNESS_r06.json; tests/test_battery.py's
+# Demoted entries (the whole round-7 window minus the spine) all hold
+# green rows in CORRECTNESS_r07.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -66,56 +68,56 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # proven spine
     "pricing_summary",
-    # the round-6 POST_FREEZE slate, wholesale (49 — never driver-checked)
-    "customer_geo_cell_pairs",
-    "entity_reach_3hop",
-    "event_decayed_type_scores",
-    "doc_char_class_entropy",
-    "lineitem_weighted_median",
-    "session_overlap_pairs",
-    "user_event_type_unpivot",
-    "user_value_holt",
-    "customer_adamic_adar",
-    "doc_containment_pairs",
-    "orders_cdc_apply",
-    "orders_pit_segment",
-    "customer_nearest_neighbor",
-    "part_fs_match_weights",
-    "doc_lang_kl_drift",
-    "customer_k_anonymity",
-    "user_kmv_rolling_7d",
-    "orders_cdc_stream_apply",
-    "user_degree_powerlaw",
-    "user_balance_clamped",
-    "part_sorted_neighborhood_pairs",
-    "doc_hybrid_rrf_search",
-    "nation_revenue_share",
-    "entity_reach_temporal",
-    "event_value_stats_merged",
-    "daily_type_rank_shift",
-    "embedding_label_balance",
-    "user_kmv_stream_partials",
-    "rollup_restatement_diff",
-    "orders_lineitem_join_ivm",
-    "doc_fold_label_parity",
-    "event_drift_stream_moments",
-    "entity_min_cost_3hop",
-    "event_value_hist_quantiles",
-    "view_click_crosscorr",
-    "embedding_mutual_nn",
-    "event_value_cdf_norm",
-    "part_revenue_abc",
-    "event_type_ks_drift",
-    "nation_dp_customer_counts",
-    "event_value_bootstrap_ci",
-    "orders_scd2_stream_merge",
-    "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "nation_month_revenue_growth",
-    "ab_cuped_event_value",
-    "cohort_cumulative_ltv",
-    "embedding_topk_ivfpq",
-    "event_hist_stream_quantiles",
+    # the round-7 POST_FREEZE slate, wholesale (49 — never driver-checked)
+    "multimodal_jpeg_dims",
+    "embedding_topk_ivfpq_refined",
+    "order_priority_chisq",
+    "event_value_theil_sen",
+    "nation_trade_balance",
+    "orders_backfill_gap_audit",
+    "event_value_spearman",
+    "event_session_bounce",
+    "embedding_ivf_cell_balance",
+    "orders_scd3_merge",
+    "embedding_matryoshka_audit",
+    "customer_l_diversity",
+    "corpus_zipf_fit",
+    "event_type_burstiness",
+    "orders_scd3_stream_merge",
+    "event_value_mann_whitney",
+    "event_type_kruskal_wallis",
+    "customer_t_closeness",
+    "doc_dsir_importance",
+    "doc_lang_temperature_sample",
+    "embedding_mmr_topk",
+    "brand_discount_elasticity",
+    "user_growth_accounting",
+    "doc_readability",
+    "event_type_bh_fdr",
+    "event_value_conformal",
+    "part_soundex_blocks",
+    "entity_hits_scores",
+    "doc_domain_classifier_gd",
+    "event_hourly_stl_decompose",
+    "lineitem_mahalanobis_outliers",
+    "event_type_markov_stationary",
+    "embedding_ann_ndcg",
+    "nation_supplier_concentration",
+    "user_growth_stream_ledger",
+    "doc_bpe_fertility",
+    "doc_span_corruption_plan",
+    "doc_ngram_novelty",
+    "embedding_contrastive_triplets",
+    "user_type_entropy_profile",
+    "entity_kcore_peeling",
+    "doc_proximity_search",
+    "signup_purchase_latency_quantiles",
+    "brand_simpson_check",
+    "event_value_runs_test",
+    "event_hourly_harmonic_fit",
+    "doc_shingle_diversity",
+    "ab_sprt_daily_decision",
+    "order_interarrival_fit",
 ]
 CHECKED_WINDOW = 50
 
