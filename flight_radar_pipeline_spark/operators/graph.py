@@ -506,7 +506,16 @@ def hits_scores(
     clustered on ``src``; each iteration is one src-keyed join + one
     dst-keyed map-side-combinable sum (then the transpose pair); score
     tables stay node-sized.
+
+    Output coverage: hub rows cover nodes reachable as a SOURCE after
+    the final iteration and authority rows nodes reachable as a
+    DESTINATION — a dst-only node has hub score 0 by definition and is
+    OMITTED from the hub rows rather than emitted with score 0 (and
+    symmetrically for src-only nodes in the authority rows); left-join
+    against a node table at the call site to densify if needed.
     """
+    if iterations < 1:
+        raise ValueError(f"hits_scores needs iterations >= 1, got {iterations}")
     dedup = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
@@ -550,22 +559,31 @@ def kcore_peel(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    symmetrize: bool = True,
 ) -> list[DataFrame]:
-    """Fixed-round k-core peeling over a SYMMETRIZED edge list → list of
-    per-round surviving edge DataFrames (round 1..rounds): each round
-    drops nodes with degree < k and every edge touching them. A fixed
-    round budget approximates the k-core fixpoint; two consecutive
-    equal rounds prove the fixpoint was reached (peeling is monotone —
-    the survivor sets only shrink).
+    """Fixed-round k-core peeling → list of per-round surviving edge
+    DataFrames (round 1..rounds): each round drops nodes with degree < k
+    and every edge touching them. A fixed round budget approximates the
+    k-core fixpoint; two consecutive equal rounds prove the fixpoint was
+    reached (peeling is monotone — the survivor sets only shrink).
+
+    Degree is computed from the src side, which is only correct on a
+    symmetric edge set — so by default the operator symmetrizes the
+    input itself (union with the reversed edges). ``symmetrize=False``
+    is for callers that already hold both directions. Either way the
+    edge set is deduplicated here: a multi-edge input would silently
+    inflate degrees and yield wrong cores, so the precondition is
+    enforced in code, not just the docstring.
 
     Scale posture: one map-side-combinable degree aggregate + two
     node-keyed semi-joins per round on a monotonically shrinking edge
     list, checkpointed each round so the static plan stays linear in
     rounds. All-integer: exact cross-engine parity by construction.
     """
-    sym = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if symmetrize:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = e.distinct().localCheckpoint(eager=True)
     out: list[DataFrame] = []
     for _ in range(rounds):
         keep = (

@@ -514,7 +514,6 @@ def benford_second_digit_fit(
         dd: sum(math.log10(1.0 + 1.0 / (10 * d1 + dd)) for d1 in range(1, 10))
         for dd in range(10)
     }
-    exp_freq = F.col("digit").cast("string")
     expr = F.lit(None).cast("double")
     for dd, p in exp_map.items():
         expr = F.when(F.col("digit") == dd, F.lit(p)).otherwise(expr)

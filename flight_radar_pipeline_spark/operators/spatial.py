@@ -257,11 +257,17 @@ def geo_dbscan_clusters(
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    # neighbor counts (self counts toward min_pts, per scikit-learn)
-    deg = sym.groupBy(F.col("id_a").alias("id")).agg(
-        (F.count(F.lit(1)) + 1).alias("n_in_eps")
-    )
-    core = deg.filter(F.col("n_in_eps") >= min_pts).select("id")
+    # neighbor counts (self counts toward min_pts, per scikit-learn).
+    # deg only holds points with >= 1 pair, so min_pts <= 1 must
+    # short-circuit: every point (isolated ones included) has itself in
+    # its eps-neighborhood and is a core singleton, matching sklearn.
+    if min_pts <= 1:
+        core = ids
+    else:
+        deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+            (F.count(F.lit(1)) + 1).alias("n_in_eps")
+        )
+        core = deg.filter(F.col("n_in_eps") >= min_pts).select("id")
     core_edges = (
         pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
         .join(core.withColumnRenamed("id", "id_b"), "id_b")

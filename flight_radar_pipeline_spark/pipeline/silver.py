@@ -146,20 +146,29 @@ def scd3_apply(
     """
     key_list = list(keys)
     pc = prev_col or f"prev_{tracked}"
+    tracked_type = current.schema[tracked].dataType
     old = current.select(
         *key_list,
         F.col(tracked).alias("__old"),
         F.col(pc).alias("__oldprev"),
+        F.lit(True).alias("__present"),
     )
+    # New keys are detected by join-presence (__present null), NOT by
+    # __old being null — an existing row whose tracked value is NULL must
+    # still carry its previous value forward. Change detection is
+    # null-safe so NULL→NULL counts as unchanged and NULL→value pushes
+    # the (NULL) old value down, matching MERGE semantics. The NULL for
+    # brand-new keys is cast to the tracked column's actual type so
+    # non-string tracked columns don't coerce (or fail under ANSI).
     fresh = (
         updates.join(old, key_list, "left")
         .withColumn(
             pc,
-            F.when(F.col("__old").isNull(), F.lit(None).cast("string"))
-            .when(F.col("__old") != F.col(tracked), F.col("__old"))
+            F.when(F.col("__present").isNull(), F.lit(None).cast(tracked_type))
+            .when(~F.col("__old").eqNullSafe(F.col(tracked)), F.col("__old"))
             .otherwise(F.col("__oldprev")),
         )
-        .drop("__old", "__oldprev")
+        .drop("__old", "__oldprev", "__present")
     )
     untouched = current.join(
         updates.select(*key_list).distinct(), key_list, "anti"

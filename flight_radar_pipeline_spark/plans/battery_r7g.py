@@ -116,7 +116,9 @@ def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (deg_row.m + 2 * deg_row.v - 1) // (2 * deg_row.v)
     out = []
     for rnd, sym_r in enumerate(
-        kcore_peel(sym, k=k, rounds=_KCORE_ROUNDS), start=1
+        # input is already symmetric + distinct by construction; the
+        # operator still dedupes internally (multi-edge guard)
+        kcore_peel(sym, k=k, rounds=_KCORE_ROUNDS, symmetrize=False), start=1
     ):
         out.append(
             sym_r.agg(

@@ -92,3 +92,12 @@ def test_core_partition_matches_bruteforce(spark):
             assert got[i][1] == "core", i
         else:
             assert got[i][1] in ("border", "noise"), i
+
+def test_min_pts_one_makes_every_point_a_core_singleton(spark):
+    """Round-7 ADVICE: min_pts <= 1 must label isolated points as core
+    singletons (their own cluster), matching scikit-learn — not noise."""
+    # id 0 is isolated; ids 1 and 2 are eps-neighbors of each other
+    pts = [(10.0, 10.0), (0.0, 0.0), (0.0, 0.005)]
+    got = _run(spark, pts, eps_km=1.5, min_pts=1)
+    assert got[0] == (0, "core")
+    assert got[1] == (1, "core") and got[2] == (1, "core")

@@ -4,6 +4,7 @@ ordering."""
 
 from __future__ import annotations
 
+import pytest
 
 from conftest import SF_DIR
 from flight_radar_pipeline_spark.plans.battery_r7g import (
@@ -73,3 +74,28 @@ def test_kcore_hand_graph_triangle_is_its_own_2core(spark):
     rounds = kcore_peel(edges, k=2, rounds=2)
     for df in rounds:
         assert sorted({r.src for r in df.collect()}) == ["a", "b", "c"]
+
+def test_kcore_unsymmetrized_multiedge_input_is_sanitized(spark):
+    """Round-7 ADVICE: an unsymmetrized, multi-edge input must yield the
+    same cores as the clean symmetric set — the operator symmetrizes and
+    dedupes internally rather than trusting the docstring contract."""
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
+    # triangle given one-directionally, with a duplicated edge that
+    # would inflate a's degree past any filter if not deduped
+    raw = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a")]
+    edges = spark.createDataFrame(raw, "src string, dst string")
+    rounds = kcore_peel(edges, k=2, rounds=2)
+    for df in rounds:
+        assert sorted({r.src for r in df.collect()}) == ["a", "b", "c"]
+    # same multi-edge input at k=3: duplicate must NOT lift a/b to deg 3
+    rounds3 = kcore_peel(edges, k=3, rounds=1)
+    assert rounds3[0].count() == 0
+
+
+def test_hits_zero_iterations_raises(spark):
+    from flight_radar_pipeline_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        hits_scores(edges, iterations=0)
