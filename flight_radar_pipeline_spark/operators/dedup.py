@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from flight_radar_pipeline_spark.operators.lifecycle import hold
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -280,7 +281,7 @@ def near_dup_pairs(
     b_sets = sets_df.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("__set_b")
     )
-    return (
+    return hold(
         cands.join(a_sets, "id_a")
         .join(b_sets, "id_b")
         .withColumn("inter_sz", F.size(F.array_intersect("__set_a", "__set_b")))
@@ -294,7 +295,8 @@ def near_dup_pairs(
             ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
     )
 
 
@@ -474,7 +476,7 @@ def ngram_jaccard_pairs(
     sb = sets.select(
         F.col(id_col).alias("id_b"), F.col("__grams").alias("__gb"), F.col("sz").alias("sz_b")
     )
-    return (
+    return hold(
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("inter_sz", F.size(F.array_intersect("__ga", "__gb")))
@@ -486,7 +488,8 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sets,
     )
 
 
@@ -632,10 +635,11 @@ def simhash_near_dup_pairs(
             )
         )
     )
-    return (
+    return hold(
         cands.withColumn("hamming", ham.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        sigs,
     )
 
 
@@ -742,7 +746,8 @@ def ngram_containment_pairs(
             )
         ).alias("__d")
     ).select("__d.src_id", "__d.dst_id", "__d.__c")
-    return (
+    return hold(
         directed.filter(F.col("__c") >= containment_threshold)
-        .select("src_id", "dst_id", F.round("__c", 4).alias("containment"))
+        .select("src_id", "dst_id", F.round("__c", 4).alias("containment")),
+        g,
     )

@@ -336,14 +336,17 @@ def adamic_adar_pairs(
         md = md.persist(storage)
     a = md.select(F.col("__u").alias("id_a"), "__i", "__d")
     b = md.select(F.col("__u").alias("id_b"), F.col("__i").alias("__i2"))
-    return (
+    from flight_radar_pipeline_spark.operators.lifecycle import hold
+
+    return hold(
         a.join(b, (F.col("__i") == F.col("__i2")) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("__d"))), 4).alias("adamic_adar"),
         )
-        .filter(F.col("n_common") >= min_common)
+        .filter(F.col("n_common") >= min_common),
+        md,
     )
 
 

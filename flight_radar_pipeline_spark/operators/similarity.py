@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import math
 
+from flight_radar_pipeline_spark.operators.lifecycle import hold, release
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -338,7 +339,7 @@ def cosine_near_dup_pairs(
     )
     va = unit.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
-    return (
+    return hold(
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
@@ -346,7 +347,8 @@ def cosine_near_dup_pairs(
             F.round(_dot(F.col("__va"), F.col("__vb")), decimals),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "cosine"),
+        sigs,
     )
 
 
@@ -833,15 +835,18 @@ def mutual_nn_pairs(
         .select("src", "dst", "cosine")
     )
     if signature_storage is not None:
-        # both sides of the reciprocity join consume nn; without this the
-        # whole candidate-generation + verify pipeline runs twice. There
-        # is no per-operator unpersist hook (the consuming action happens
-        # in the caller): long-lived sessions running many operators
-        # should call spark.catalog.clearCache() between them — the
-        # shared contract bench.py / tools/check_battery.py /
-        # tests/test_battery.py follow — or pass signature_storage=None
-        # to trade the recompute for zero cached state.
-        nn = nn.persist(signature_storage)
+        # both sides of the reciprocity join consume nn; without
+        # materialization the whole candidate-generation + verify
+        # pipeline runs twice. An eager localCheckpoint (not persist)
+        # makes the operator self-contained: the checkpoint action
+        # consumes `scored` HERE, so its upstream signature cache can be
+        # released before returning, and the nn blocks are owned by the
+        # returned plan — reclaimed by the ContextCleaner when the
+        # DataFrame is dropped. A default call holds ZERO entries in the
+        # SQL cache manager (tests/test_lifecycle.py pins this); no
+        # clearCache contract needed.
+        nn = nn.localCheckpoint(eager=True)
+        release(scored)
     fwd = nn.select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"
     ).filter(F.col("id_a") < F.col("id_b"))
@@ -1032,7 +1037,8 @@ def mmr_rerank(
     O(k²) recomputed sub-DAGs and a several-hundred-stage job for k = 5.
     Checkpointing makes each greedy round a constant-size job over
     materialized shortlist-bounded data (the ``_PAIR_CACHE`` discipline;
-    blocks are freed by ``spark.catalog.clearCache()`` / session GC).
+    blocks are owned by the returned plan and freed by the
+    ContextCleaner when the DataFrame is garbage-collected).
     """
     shortlist = topk_neighbors_bruteforce(
         corpus, queries, k=shortlist_n, id_col=id_col, vec_col=vec_col,
