@@ -140,6 +140,7 @@ def _registry():
         battery_r7f,
         battery_r7g,
         battery_r7h,
+        battery_r8,
         battery_temporal,
         battery_text,
     )

@@ -666,6 +666,38 @@ def synth_bmp_bytes(seed: int, width: int, height: int) -> bytes:
     return header + b"".join(rows)
 
 
+def synth_bmp_payloads(
+    df: DataFrame,
+    seed_col: str = "seed",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Distributed BMP fixture generator: appends a ``payload`` binary
+    column holding :func:`synth_bmp_bytes`(seed, width, height) per row —
+    the corpus-synthesis side of the decode hot loop, run as the same
+    Arrow-batched ``mapInPandas`` shape as the decoder so the battery
+    entry exercises binary columns through Arrow in BOTH directions.
+    Linear in rows × pixels; partition-preserving (no shuffle)."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField("payload", BinaryType(), True)]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_bmp_bytes(int(s), int(w), int(h))
+                for s, w, h in zip(
+                    pdf[seed_col], pdf[width_col], pdf[height_col]
+                )
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=schema)
+
+
 def decode_bmp_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:

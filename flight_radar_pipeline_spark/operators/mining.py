@@ -386,6 +386,8 @@ def logistic_irls(
     label_col: str,
     steps: int = 4,
     ridge: float = 1e-8,
+    agg_dp: int | None = None,
+    weight_dp: int | None = None,
 ) -> tuple[list[float], list[float]]:
     """Logistic regression by IRLS (Newton–Raphson) → (weights,
     per-step mean log-likelihoods); weights = [bias, w_1, ..., w_k].
@@ -403,8 +405,20 @@ def logistic_irls(
     separable data where the MLE diverges. At 100 TB this is the
     full-batch second-order trainer: S scans, no parameter shuffle, no
     Python on the hot path.
+
+    ``agg_dp`` / ``weight_dp`` are the cross-engine parity knobs (the
+    `doc_domain_classifier_gd` discipline): when set, every gradient /
+    Hessian / log-likelihood aggregate rounds IN-ENGINE to ``agg_dp``
+    decimals before the solve, and updated weights round to
+    ``weight_dp`` after it — so a SQL oracle aggregating in a different
+    partial order and solving the (rounded, hence identical) normal
+    system in closed form walks the same weight trajectory. None (the
+    default) keeps full precision.
     """
     import numpy as np
+
+    def _r(col, alias):
+        return (F.round(col, agg_dp) if agg_dp is not None else col).alias(alias)
 
     k = len(feature_cols)
     w = [0.0] * (k + 1)
@@ -419,15 +433,18 @@ def logistic_irls(
         wt = p * (1.0 - p)
         aggs = []
         for j in range(k + 1):
-            aggs.append(F.sum((y - p) * xs[j]).alias(f"g{j}"))
+            aggs.append(_r(F.sum((y - p) * xs[j]), f"g{j}"))
         for j in range(k + 1):
             for l in range(j, k + 1):
-                aggs.append(F.sum(wt * xs[j] * xs[l]).alias(f"h{j}_{l}"))
+                aggs.append(_r(F.sum(wt * xs[j] * xs[l]), f"h{j}_{l}"))
         aggs.append(
-            F.avg(
-                y * F.log(F.greatest(p, F.lit(1e-12)))
-                + (1.0 - y) * F.log(F.greatest(1.0 - p, F.lit(1e-12)))
-            ).alias("loglik")
+            _r(
+                F.avg(
+                    y * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (1.0 - y) * F.log(F.greatest(1.0 - p, F.lit(1e-12)))
+                ),
+                "loglik",
+            )
         )
         row = df.agg(*aggs).collect()[0]
         g = np.array([row[f"g{j}"] for j in range(k + 1)])
@@ -437,6 +454,8 @@ def logistic_irls(
                 H[j, l] = H[l, j] = row[f"h{j}_{l}"]
         H += ridge * np.eye(k + 1)
         w = list(np.asarray(w) + np.linalg.solve(H, g))
+        if weight_dp is not None:
+            w = [round(v, weight_dp) for v in w]
         liks.append(float(row["loglik"]))
     return [float(v) for v in w], liks
 
@@ -448,6 +467,8 @@ def quantile_regression_gd(
     tau: float,
     steps: int = 40,
     lr: float = 0.5,
+    agg_dp: int | None = None,
+    weight_dp: int | None = None,
 ) -> tuple[list[float], list[float]]:
     """Linear quantile regression by subgradient descent on the pinball
     loss → (weights, per-step mean pinball losses); weights =
@@ -462,12 +483,21 @@ def quantile_regression_gd(
     linear, so plain GD with a modest fixed step converges to a
     neighborhood of the optimum; pass more ``steps``/smaller ``lr`` to
     tighten. Deterministic given deterministic input.
+
+    ``agg_dp`` / ``weight_dp``: cross-engine parity knobs — round each
+    step's subgradient/loss aggregates in-engine and the updated weights
+    driver-side, so a SQL oracle walks the identical trajectory (same
+    discipline as ``logistic_irls``). None keeps full precision.
     """
     k = len(feature_cols)
     w = [0.0] * (k + 1)
     losses: list[float] = []
     xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
     y = F.col(label_col).cast("double")
+
+    def _r(col, alias):
+        return (F.round(col, agg_dp) if agg_dp is not None else col).alias(alias)
+
     for _ in range(steps):
         pred = F.lit(w[0])
         for j in range(1, k + 1):
@@ -475,18 +505,23 @@ def quantile_regression_gd(
         below = F.when(y < pred, 1.0).otherwise(0.0)
         resid = y - pred
         aggs = [
-            F.avg(xs[j] * (F.lit(tau) - below)).alias(f"g{j}")
+            _r(F.avg(xs[j] * (F.lit(tau) - below)), f"g{j}")
             for j in range(k + 1)
         ]
         aggs.append(
-            F.avg(
-                F.when(resid >= 0, F.lit(tau) * resid).otherwise(
-                    F.lit(tau - 1.0) * resid
-                )
-            ).alias("pinball")
+            _r(
+                F.avg(
+                    F.when(resid >= 0, F.lit(tau) * resid).otherwise(
+                        F.lit(tau - 1.0) * resid
+                    )
+                ),
+                "pinball",
+            )
         )
         row = df.agg(*aggs).collect()[0]
         w = [w[j] + lr * row[f"g{j}"] for j in range(k + 1)]
+        if weight_dp is not None:
+            w = [round(v, weight_dp) for v in w]
         losses.append(float(row["pinball"]))
     return [float(v) for v in w], losses
 

@@ -77,7 +77,15 @@ def test_unique_operator_coverage_pinned():
 
 # entries registered AFTER the round-8 window froze (they become rotation
 # candidates for round 9; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    # battery_r8 (registered post-freeze): the staged round-7 library
+    # operators wrapped as oracled entries per the round-7 verdict
+    "user_sessions_capped",
+    "lineitem_benford_second_digit",
+    "event_score_calibration",
+    "doc_mixture_reweight",
+    "orders_window_builtins",
+}
 
 
 def test_round8_window_is_slate_plus_spine():
