@@ -141,6 +141,7 @@ def _registry():
         battery_r7g,
         battery_r7h,
         battery_r8,
+        battery_r8b,
         battery_temporal,
         battery_text,
     )

@@ -85,6 +85,12 @@ POST_FREEZE: set[str] = {
     "event_score_calibration",
     "doc_mixture_reweight",
     "orders_window_builtins",
+    # battery_r8b (registered post-freeze)
+    "event_value_irls_logistic",
+    "event_hour_pinball_p90",
+    "customer_geo_dbscan",
+    "part_golden_records",
+    "multimodal_bmp_decode",
 }
 
 
