@@ -71,6 +71,9 @@ ALLOWED_BNLJ = {
     "brand_simpson_check",        # 1-row pooled-slope broadcast
     "event_value_runs_test",      # 1-row global-median broadcast
     "order_interarrival_fit",     # 1-row (n, mean) + 1-row KS broadcast
+    "lineitem_benford_second_digit",  # 1-row digit-total broadcast
+    "event_value_irls_logistic",  # 1-row standardization-stats broadcast
+    "event_hour_pinball_p90",     # 1-row standardization-stats broadcast
 }
 
 

@@ -195,6 +195,21 @@ def _semantic_dedup_at_k(spark, sf_dir: str, k: int):
     return S.semantic_dedup_decisions(emb, cents, threshold=0.35)
 
 
+# round-8 additions, measured separately (--extras-r8), appended as r8_*
+EXTRA_FAMILIES_R8 = [
+    "user_sessions_capped",           # per-user sorted-array fold, one shuffle
+    "lineitem_benford_second_digit",  # one scan, 10-row agg
+    "event_score_calibration",        # one scan, 10-bin agg
+    "doc_mixture_reweight",           # |langs| agg + driver softmax tilt
+    "orders_window_builtins",         # one window shuffle on o_custkey
+    "event_value_irls_logistic",      # 3 Newton 5-sum passes, checkpointed z
+    "event_hour_pinball_p90",         # 12 subgradient 2-avg passes
+    "customer_geo_dbscan",            # grid pair join + CC on cores (self-sized min_pts)
+    "part_golden_records",            # blocked FS pairs + CC + survivorship agg
+    "multimodal_bmp_decode",          # Arrow synth + decode, linear in pixels
+]
+
+
 def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
                families: list[str] | None = None, prefix: str = "r6_") -> int:
     """Time an extras family list at both SFs, merge into SCALE_RUN.json."""
@@ -228,13 +243,16 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 
 
 def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] in ("--extras", "--extras-r7"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("--extras", "--extras-r7", "--extras-r8"):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
         only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
         if sys.argv[1] == "--extras-r7":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R7, prefix="r7_")
+        if sys.argv[1] == "--extras-r8":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R8, prefix="r8_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
