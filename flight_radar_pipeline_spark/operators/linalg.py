@@ -25,6 +25,7 @@ nulls by design — see ``similarity.py``).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -438,4 +439,63 @@ def opq_reconstruction_error(
         id_col=id_col,
         vec_col=vec_col,
         decimals=decimals,
+    )
+
+
+def jl_sign_matrix(n_dims: int, out_dims: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix: sign of
+    output dim j × input dim d = +1 iff the first md5 nibble of
+    ``{salt}-{j}-{d}`` is ≥ 8 — reproducible in any engine with md5, so
+    an oracle can restate the SAME matrix as literals. Achlioptas
+    (2001): ±1/√k entries satisfy the JL guarantee; the 1/√k scale is
+    applied by :func:`jl_project` so the matrix itself stays integer."""
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{salt}-{j}-{d}".encode()).hexdigest()[0], 16
+            )
+            >= 8
+            else -1
+            for d in range(n_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    n_dims: int,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "jl",
+    out_col: str = "jl_vec",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: appends ``out_col`` =
+    R·v/√k (R the deterministic ±1 matrix of :func:`jl_sign_matrix`,
+    k = ``out_dims``) — the shuffle-free dimensionality reducer that
+    preserves pairwise inner products within (1±ε) at k = O(log n / ε²).
+    At 100 TB this is the pre-ANN compaction pass: one scan, each output
+    component a signed sum over the input array folded JVM-side
+    (row-local ``F.aggregate``; signs are ±1 literals so the fold is
+    adds/subtracts, no multiply) — no shuffle, no Python, plan stays one
+    projection over the parquet scan.
+
+    Component order: strict left-to-right over input dims (the
+    ``_py_dot`` IEEE convention), so any engine restating the same
+    signed sums agrees bit-for-bit before the single /√k scale."""
+    signs = jl_sign_matrix(n_dims, out_dims, salt)
+    v = F.col(vec_col).cast("array<double>")
+    scale = 1.0 / math.sqrt(out_dims)
+    comps = []
+    for j in range(out_dims):
+        row = signs[j]
+        expr = F.lit(0.0)
+        for d in range(n_dims):
+            e = F.element_at(v, d + 1)
+            expr = (expr + e) if row[d] == 1 else (expr - e)
+        comps.append(expr * F.lit(scale))
+    return df.select(
+        F.col(id_col), F.col(vec_col), F.array(*comps).alias(out_col)
     )

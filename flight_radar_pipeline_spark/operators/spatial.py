@@ -224,6 +224,7 @@ def geo_dbscan_clusters(
     min_pts: int,
     cell_deg: float,
     max_abs_lat: float = 90.0,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN over geographic points → (id, cluster_id, role): density
     clustering composed entirely from the library's bucketed primitives
@@ -251,9 +252,14 @@ def geo_dbscan_clusters(
     (an undersized grid raises — silent recall loss is a bug).
     """
     ids = points.select(F.col(id_col).alias("id")).distinct()
-    pairs = geo_cell_pairs(
-        points, id_col, lat_col, lon_col, eps_km, cell_deg, max_abs_lat
-    ).select("id_a", "id_b")
+    if pairs is None:
+        pairs = geo_cell_pairs(
+            points, id_col, lat_col, lon_col, eps_km, cell_deg, max_abs_lat
+        )
+    # callers that already computed (and e.g. counted, for min_pts
+    # self-sizing) the eps-pair table pass it in — the grid join is the
+    # second-most expensive stage and need not run twice
+    pairs = pairs.select("id_a", "id_b")
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -274,10 +280,13 @@ def geo_dbscan_clusters(
         .select("id_a", "id_b")
     )
     from flight_radar_pipeline_spark.operators.graph import (
-        connected_components,
+        connected_components_star,
     )
 
-    cc = connected_components(core_edges)  # (doc_id, cluster_id)
+    # star contraction, not label propagation: geographic eps-graphs are
+    # long-diameter blobs (a connected coastline needs diameter rounds
+    # under label prop; star contraction converges in O(log n) rounds)
+    cc = connected_components_star(core_edges)  # (doc_id, cluster_id)
     core_labeled = (
         core.join(cc.withColumnRenamed("doc_id", "id"), "id", "left")
         .select(

@@ -378,3 +378,86 @@ def sessionize_capped(
         F.col("__st.ngap").alias("n_gap_breaks"),
         F.col("__st.ncap").alias("n_cap_breaks"),
     )
+
+
+def cusum_changepoint(
+    series: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    value_dp: int = 6,
+    z_dp: int = 4,
+) -> DataFrame:
+    """Offline CUSUM changepoint estimate per group → (group, n_points,
+    change_t, cusum_peak, cusum_z): with S_t = Σ_{i≤t}(x_i − x̄), the
+    estimated level-shift point is argmax_t |S_t| and the standardized
+    peak z = max|S_t| / (σ·√n) grades its strength (≫1 ⇒ a real shift;
+    ~0.5 under a stable mean). The monitoring staple for "did this
+    metric change level, and when" — the retrospective dual of the
+    streaming drift entries.
+
+    ``series`` is the PRE-AGGREGATED (group, t, x) relation (e.g. daily
+    means) — CUSUM is a property of the bucketed series, so the fact
+    table never enters a window. Parity discipline: x and x̄ round to
+    ``value_dp`` first, then the cumulative sum runs in t-order — a
+    sequential fold both engines execute identically — so S_t is
+    bit-identical cross-engine; argmax ties break on earliest t. One
+    |groups|-keyed window over |series| rows; nothing fact-sized
+    shuffles.
+    """
+    x = F.round(F.col(value_col).cast("double"), value_dp)
+    g = F.col(group_col)
+    w_all = Window.partitionBy(group_col)
+    w_cum = w_all.orderBy(t_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stats = series.select(
+        g.alias("group"),
+        F.col(t_col).alias("t"),
+        x.alias("x"),
+    ).select(
+        "group",
+        "t",
+        "x",
+        F.round(F.avg("x").over(Window.partitionBy("group")), value_dp).alias(
+            "xbar"
+        ),
+        F.stddev_pop("x").over(Window.partitionBy("group")).alias("sd"),
+        F.count(F.lit(1)).over(Window.partitionBy("group")).alias("n"),
+    )
+    cum = stats.select(
+        "group",
+        "t",
+        "n",
+        "sd",
+        F.sum(F.col("x") - F.col("xbar"))
+        .over(
+            Window.partitionBy("group")
+            .orderBy("t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("s"),
+    )
+    ranked = cum.select(
+        "group",
+        "t",
+        "n",
+        "sd",
+        "s",
+        F.row_number()
+        .over(
+            Window.partitionBy("group").orderBy(
+                F.abs(F.col("s")).desc(), F.col("t").asc()
+            )
+        )
+        .alias("__rn"),
+    )
+    return ranked.filter(F.col("__rn") == 1).select(
+        F.col("group"),
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("t").alias("change_t"),
+        F.round(F.abs("s"), value_dp).alias("cusum_peak"),
+        F.round(
+            F.abs("s") / (F.col("sd") * F.sqrt(F.col("n"))), z_dp
+        ).alias("cusum_z"),
+    )

@@ -332,14 +332,18 @@ def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _geo_coord("c_custkey", "lon", 600, 30.0).alias("lon"),
     )
     n = pts.count()
-    npairs = geo_cell_pairs(
+    # one grid join serves BOTH the min_pts sizing count and the
+    # clustering itself (checkpointed; the count materializes it)
+    pairs = geo_cell_pairs(
         pts, "id", "lat", "lon",
         radius_km=_DB_EPS_KM, cell_deg=2.0, max_abs_lat=45.0,
-    ).count()
+    ).localCheckpoint(eager=True)
+    npairs = pairs.count()
     mp = max(3, math.ceil(2.0 * npairs / n) + 1)
     out = geo_dbscan_clusters(
         pts, "id", "lat", "lon",
         eps_km=_DB_EPS_KM, min_pts=mp, cell_deg=2.0, max_abs_lat=45.0,
+        pairs=pairs,
     )
     return out.orderBy("id")
 
