@@ -142,6 +142,7 @@ def _registry():
         battery_r7h,
         battery_r8,
         battery_r8b,
+        battery_r8c,
         battery_temporal,
         battery_text,
     )

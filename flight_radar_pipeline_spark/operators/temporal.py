@@ -457,7 +457,10 @@ def cusum_changepoint(
         F.col("n").cast("bigint").alias("n_points"),
         F.col("t").alias("change_t"),
         F.round(F.abs("s"), value_dp).alias("cusum_peak"),
-        F.round(
-            F.abs("s") / (F.col("sd") * F.sqrt(F.col("n"))), z_dp
+        # a constant series has sd = 0 and nothing to grade: z is NULL
+        # rather than an ANSI divide-by-zero
+        F.when(
+            F.col("sd") > 0,
+            F.round(F.abs("s") / (F.col("sd") * F.sqrt(F.col("n"))), z_dp),
         ).alias("cusum_z"),
     )

@@ -74,6 +74,7 @@ ALLOWED_BNLJ = {
     "lineitem_benford_second_digit",  # 1-row digit-total broadcast
     "event_value_irls_logistic",  # 1-row standardization-stats broadcast
     "event_hour_pinball_p90",     # 1-row standardization-stats broadcast
+    "embedding_jl_distortion",    # audit baseline: 8-query broadcast, != cond
 }
 
 

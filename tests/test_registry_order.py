@@ -91,6 +91,9 @@ POST_FREEZE: set[str] = {
     "customer_geo_dbscan",
     "part_golden_records",
     "multimodal_bmp_decode",
+    # battery_r8c (registered post-freeze)
+    "event_value_cusum_changepoint",
+    "embedding_jl_distortion",
 }
 
 

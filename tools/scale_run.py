@@ -207,6 +207,8 @@ EXTRA_FAMILIES_R8 = [
     "customer_geo_dbscan",            # grid pair join + CC on cores (self-sized min_pts)
     "part_golden_records",            # blocked FS pairs + CC + survivorship agg
     "multimodal_bmp_decode",          # Arrow synth + decode, linear in pixels
+    "event_value_cusum_changepoint",  # (type, day) pre-agg + |days| windows
+    "embedding_jl_distortion",        # one-scan projection + 8-query audit
 ]
 
 
