@@ -484,18 +484,23 @@ def jl_project(
 
     Component order: strict left-to-right over input dims (the
     ``_py_dot`` IEEE convention), so any engine restating the same
-    signed sums agrees bit-for-bit before the single /√k scale."""
+    signed sums agrees bit-for-bit before the single /√k scale — IEEE
+    guarantees x + e·(±1.0) ≡ x ± e, so the zip_with/aggregate fold
+    below equals the unrolled add/subtract chain bit-for-bit while
+    generating loop code instead of a 64-term expression per component
+    (measured: the unrolled form paid ~2× in codegen at 16×64)."""
     signs = jl_sign_matrix(n_dims, out_dims, salt)
     v = F.col(vec_col).cast("array<double>")
     scale = 1.0 / math.sqrt(out_dims)
     comps = []
     for j in range(out_dims):
-        row = signs[j]
-        expr = F.lit(0.0)
-        for d in range(n_dims):
-            e = F.element_at(v, d + 1)
-            expr = (expr + e) if row[d] == 1 else (expr - e)
-        comps.append(expr * F.lit(scale))
+        srow = F.array(*[F.lit(float(x)) for x in signs[j]])
+        dot = F.aggregate(
+            F.zip_with(v, srow, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        comps.append(dot * F.lit(scale))
     return df.select(
         F.col(id_col), F.col(vec_col), F.array(*comps).alias(out_col)
     )
