@@ -56,6 +56,15 @@ def test_battery_query(name, spark, duck):
         "embedding_contrastive_triplets",
         "embedding_ann_ndcg",
         "entity_hits_scores",
+        # round-8 order-sensitive additions: min-id component labels with
+        # border argmin attachment, survivorship argmax rules over CC
+        # entities, two rank windows folded into a top-k overlap, ntile /
+        # nth_value frame semantics, and the CUSUM argmax-with-tiebreak
+        "customer_geo_dbscan",
+        "part_golden_records",
+        "embedding_jl_distortion",
+        "orders_window_builtins",
+        "event_value_cusum_changepoint",
     ],
 )
 def test_battery_partition_determinism(name, spark):
