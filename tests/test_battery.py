@@ -27,10 +27,10 @@ def test_battery_query(name, spark, duck):
             assert df.count() >= 0 and len(df.schema.fields) > 0
     finally:
         # several operators persist an intermediate (LSH signatures,
-        # shingle sets, nn tables) with no per-operator unpersist path;
-        # the shared hook is the session cache clear, same as bench.py —
-        # without it the full 200+-entry sweep accumulates executor
-        # storage across entries
+        # shingle sets) released via operators.lifecycle at the consumer;
+        # the sweep keeps the blanket session cache clear as
+        # belt-and-braces, same as bench.py — entries are independent so
+        # nothing useful is lost
         spark.catalog.clearCache()
 
 
