@@ -143,6 +143,7 @@ def _registry():
         battery_r8,
         battery_r8b,
         battery_r8c,
+        battery_r8d,
         battery_temporal,
         battery_text,
     )

@@ -75,6 +75,7 @@ ALLOWED_BNLJ = {
     "event_value_irls_logistic",  # 1-row standardization-stats broadcast
     "event_hour_pinball_p90",     # 1-row standardization-stats broadcast
     "embedding_jl_distortion",    # audit baseline: 8-query broadcast, != cond
+    "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
 }
 
 

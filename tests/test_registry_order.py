@@ -94,6 +94,11 @@ POST_FREEZE: set[str] = {
     # battery_r8c (registered post-freeze)
     "event_value_cusum_changepoint",
     "embedding_jl_distortion",
+    # battery_r8d (registered post-freeze)
+    "event_value_psi_drift",
+    "event_score_ks_separation",
+    "doc_mixture_schedule",
+    "event_cusum_stream_ledger",
 }
 
 

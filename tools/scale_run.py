@@ -209,6 +209,10 @@ EXTRA_FAMILIES_R8 = [
     "multimodal_bmp_decode",          # Arrow synth + decode, linear in pixels
     "event_value_cusum_changepoint",  # (type, day) pre-agg + |days| windows
     "embedding_jl_distortion",        # one-scan projection + 8-query audit
+    "event_value_psi_drift",          # one scan + 10-bin spine
+    "event_score_ks_separation",      # distinct-score grain windows
+    "doc_mixture_schedule",           # two rank windows, |lang| partitions
+    "event_cusum_stream_ledger",      # 3-batch foreachBatch partial merge
 ]
 
 
