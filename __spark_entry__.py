@@ -144,6 +144,7 @@ def _registry():
         battery_r8b,
         battery_r8c,
         battery_r8d,
+        battery_r8e,
         battery_temporal,
         battery_text,
     )

@@ -320,7 +320,8 @@ _SCUSUM_ORACLE = """
                    rows between unbounded preceding and current row) as s2
         from st
     )
-    select event_type, cast(n as bigint) as n_points, day as change_day,
+    select event_type, cast(n as bigint) as n_points,
+           strftime(day, '%Y-%m-%d') as change_day,
            round(abs(s2), 6) as cusum_peak,
            round(abs(s2) / (sd * sqrt(n)), 4) as cusum_z
     from cum
@@ -428,7 +429,7 @@ def event_cusum_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("group").alias("event_type"),
         "n_points",
-        F.col("change_t").alias("change_day"),
+        F.date_format("change_t", "yyyy-MM-dd").alias("change_day"),
         "cusum_peak",
         "cusum_z",
     ).orderBy("event_type")

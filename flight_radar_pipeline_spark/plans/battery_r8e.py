@@ -1,0 +1,231 @@
+"""Round-8e battery additions: two more analytic families with
+exact-arithmetic cross-engine parity —
+
+- delete-one-group jackknife: the resampling variance estimate and
+  per-group influence of the grand mean, from nothing but per-group
+  decimal-exact partials (the resampling family beside the md5-Poisson
+  bootstrap entry, with zero replicate scans);
+- Haar wavelet energy by level over the hourly event-count series:
+  multi-resolution decomposition as 9 unrolled pairwise integer
+  aggregates — which timescale carries the variance (diurnal vs
+  week-scale vs trend).
+
+Registered into the shared REGISTRY on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# delete-one-nation jackknife of the mean order price
+# --------------------------------------------------------------------------
+
+_JACK_ORACLE = """
+    with part as (
+        select n.n_name,
+               sum(cast(round(o.o_totalprice * 100) as bigint)) as s_cents,
+               count(*) as n_i
+        from orders o
+        join customer c on o.o_custkey = c.c_custkey
+        join nation n on c.c_nationkey = n.n_nationkey
+        group by n.n_name
+    ), tot as (
+        select sum(s_cents) as s_all, sum(n_i) as n_all,
+               count(*) as g
+        from part
+    ), theta as (
+        select n_name, n_i, g,
+               (s_all - s_cents) / 100.0 / (n_all - n_i) as theta_wo
+        from part, tot
+    ), bar as (
+        select avg(theta_wo) as theta_bar from theta
+    )
+    select n_name, cast(n_i as bigint) as n_orders,
+           round(theta_wo, 4) as theta_wo,
+           round((g - 1) * (theta_bar - theta_wo), 4) as influence
+    from theta, bar
+    order by n_name
+"""
+
+
+@register("nation_order_jackknife", _JACK_ORACLE)
+def nation_order_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife of the mean order price: for each
+    nation, the grand mean WITHOUT that nation's orders (θ₋ᵢ) and its
+    jackknife influence (G−1)(θ̄ − θ₋ᵢ) — whose squared sum is the
+    jackknife variance and whose sign/magnitude names the groups that
+    drag the estimate (the resampling dual of the md5-Poisson bootstrap
+    entry, with ZERO replicate scans: everything derives from one
+    |nations|-row partial table). Decimal-exact: sums run in integer
+    cents, so θ₋ᵢ is the same rational in both engines before the one
+    division; θ̄ averages |nations| values (1e-15 noise, rounded).
+    Plan: two broadcast dim joins, one |nations| aggregate, two tiny
+    cross joins — fact scanned once."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    part = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("s_cents"),
+            F.count(F.lit(1)).alias("n_i"),
+        )
+    )
+    tot = part.agg(
+        F.sum("s_cents").alias("s_all"),
+        F.sum("n_i").alias("n_all"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    theta = part.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "n_i",
+        "g",
+        (
+            (F.col("s_all") - F.col("s_cents"))
+            / 100.0
+            / (F.col("n_all") - F.col("n_i"))
+        ).alias("theta_wo"),
+    )
+    bar = theta.agg(F.avg("theta_wo").alias("theta_bar"))
+    return (
+        theta.crossJoin(F.broadcast(bar))
+        .select(
+            "n_name",
+            F.col("n_i").cast("bigint").alias("n_orders"),
+            F.round("theta_wo", 4).alias("theta_wo"),
+            F.round(
+                (F.col("g") - 1) * (F.col("theta_bar") - F.col("theta_wo")),
+                4,
+            ).alias("influence"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Haar wavelet energy by level over the hourly event-count series
+# --------------------------------------------------------------------------
+
+_HAAR_N = 512     # 2^9 hours (~21 days) — the largest dyadic window inside
+_HAAR_LEVELS = 9  # the 30-day synthetic span
+
+
+def _haar_oracle() -> str:
+    parts = [f"""
+    with span as (
+        select min(ts) as t0 from events
+    ), idx as (
+        select (cast(floor(epoch(ts)) as bigint)
+                - cast(floor(epoch(t0)) as bigint)) // 3600 as h
+        from events, span
+    ), cnt as (
+        select h, count(*) as a from idx where h < {_HAAR_N} group by h
+    ), a0 as (
+        select gs.h, coalesce(cnt.a, 0) as a
+        from (select unnest(generate_series(0, {_HAAR_N - 1})) as h) gs
+        left join cnt on cnt.h = gs.h
+    )"""]
+    for lv in range(1, _HAAR_LEVELS + 1):
+        parts.append(f""", a{lv} as (
+        select hp as h, sum(a) as a, sum(sd) as d
+        from (
+            select h // 2 as hp,
+                   a,
+                   case when h % 2 = 0 then a else -a end as sd
+            from a{lv - 1}
+        ) group by hp
+    )""")
+    selects = [
+        f"select {lv} as level, cast(count(*) as bigint) as n_coeffs,"
+        f" cast(sum(d * d) as bigint) as energy from a{lv}"
+        for lv in range(1, _HAAR_LEVELS + 1)
+    ]
+    parts.append(
+        "\n    select * from ("
+        + " union all ".join(selects)
+        + ") order by level"
+    )
+    return "".join(parts)
+
+
+@register("event_hourly_haar_energy", _haar_oracle())
+def event_hourly_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet decomposition of the hourly event-count series:
+    {levels} unrolled pairwise levels over the first {n} hours (detail
+    d = a_even − a_odd, approximation a = a_even + a_odd — the
+    UNNORMALIZED integer transform, so every coefficient is exact
+    bigint in both engines), reporting per-level detail energy Σd² —
+    which timescale carries the variance: level 1 ≈ hour-to-hour noise,
+    levels 4–5 ≈ the diurnal cycle, top levels ≈ trend. The series is
+    a (hour → count) pre-aggregate zero-filled on a dyadic spine (a
+    missing hour must pair as 0, not vanish); each level is a ≤{n}-row
+    aggregate — the fact table is scanned once, everything after is
+    sub-millisecond data. The multi-resolution companion to the STL
+    and harmonic-fit entries."""
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("t0"))
+    idx = ev.crossJoin(F.broadcast(span)).select(
+        F.floor(
+            (F.unix_timestamp("ts") - F.unix_timestamp("t0")) / 3600
+        )
+        .cast("bigint")
+        .alias("h")
+    )
+    cnt = idx.filter(F.col("h") < _HAAR_N).groupBy("h").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    spine = spark.range(0, _HAAR_N).select(F.col("id").alias("h"))
+    level = (
+        spine.join(cnt, "h", "left")
+        .select("h", F.coalesce("a", F.lit(0)).alias("a"))
+    )
+    outs = []
+    for lv in range(1, _HAAR_LEVELS + 1):
+        paired = level.select(
+            F.floor(F.col("h") / 2).cast("bigint").alias("hp"),
+            "a",
+            F.when(F.col("h") % 2 == 0, F.col("a"))
+            .otherwise(-F.col("a"))
+            .alias("sd"),
+        )
+        level = paired.groupBy(F.col("hp").alias("h")).agg(
+            F.sum("a").alias("a"), F.sum("sd").alias("d")
+        )
+        outs.append(
+            level.agg(
+                F.lit(lv).alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.col("d") * F.col("d")).cast("bigint").alias(
+                    "energy"
+                ),
+            )
+        )
+        level = level.select("h", "a")
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("level")
+
+
+event_hourly_haar_energy.__doc__ = event_hourly_haar_energy.__doc__.format(
+    levels=_HAAR_LEVELS, n=_HAAR_N
+)

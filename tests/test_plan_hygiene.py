@@ -76,6 +76,8 @@ ALLOWED_BNLJ = {
     "event_hour_pinball_p90",     # 1-row standardization-stats broadcast
     "embedding_jl_distortion",    # audit baseline: 8-query broadcast, != cond
     "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
+    "nation_order_jackknife",     # 1-row totals + 1-row theta-bar broadcasts
+    "event_hourly_haar_energy",   # 1-row min-ts broadcast (hour-index anchor)
 }
 
 

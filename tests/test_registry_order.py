@@ -99,6 +99,9 @@ POST_FREEZE: set[str] = {
     "event_score_ks_separation",
     "doc_mixture_schedule",
     "event_cusum_stream_ledger",
+    # battery_r8e (registered post-freeze)
+    "nation_order_jackknife",
+    "event_hourly_haar_energy",
 }
 
 

@@ -213,6 +213,8 @@ EXTRA_FAMILIES_R8 = [
     "event_score_ks_separation",      # distinct-score grain windows
     "doc_mixture_schedule",           # two rank windows, |lang| partitions
     "event_cusum_stream_ledger",      # 3-batch foreachBatch partial merge
+    "nation_order_jackknife",         # |nations| partials, fact scanned once
+    "event_hourly_haar_energy",       # 9 pairwise levels on a 512-row spine
 ]
 
 
