@@ -98,3 +98,65 @@ def test_jl_project_preserves_norms_statistically(spark):
     assert all(0.3 < x < 3.0 for x in ratios), sorted(ratios)[:3]
     mean = sum(ratios) / len(ratios)
     assert 0.75 < mean < 1.25, mean
+
+
+def test_sessionize_capped_max_events_truncates(spark):
+    """max_events bounds per-user fold state: with 30 events and a
+    10-event cap, n_events reports the capped count and breaks only
+    count within the kept prefix."""
+    from flight_radar_pipeline_spark.operators.temporal import (
+        sessionize_capped,
+    )
+
+    rows = [("u", i * 100) for i in range(30)]  # 100s apart, no breaks
+    df = spark.createDataFrame(rows, "user_id string, t long").select(
+        "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    r = sessionize_capped(
+        df, "user_id", "ts", gap_seconds=1000,
+        max_duration_seconds=10_000_000, max_events=10,
+    ).collect()[0]
+    assert r.n_events == 10
+    assert r.n_sessions == 1 and r.n_gap_breaks == 0 and r.n_cap_breaks == 0
+
+
+def test_calibration_top_edge_closes(spark):
+    """score = 1.0 must land in the LAST bin, not a phantom 11th."""
+    from flight_radar_pipeline_spark.operators.mining import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (0.999, 1), (0.0, 0)], "s double, y int"
+    )
+    rows = {r.bin: r for r in calibration_report(df, "s", "y", 10).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[9].n == 2
+
+
+def test_calibration_clamps_out_of_range_scores(spark):
+    from flight_radar_pipeline_spark.operators.mining import (
+        calibration_report,
+    )
+
+    df = spark.createDataFrame(
+        [(-0.5, 0), (1.7, 1)], "s double, y int"
+    )
+    rows = {r.bin: r for r in calibration_report(df, "s", "y", 10).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[0].mean_pred == 0.0 and rows[9].mean_pred == 1.0
+
+
+def test_benford_second_digit_drops_single_digit_cents(spark):
+    """Amounts under 0.10 (single-digit cents) have no second digit and
+    must be excluded from the domain, not mis-parsed."""
+    from flight_radar_pipeline_spark.operators.mining import (
+        benford_second_digit_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(0.05,), (0.09,), (1.23,)], "amount double"
+    )
+    rows = benford_second_digit_fit(df, "amount").collect()
+    assert sum(r.n_obs for r in rows) == 1  # only 1.23 (cents=123) counts
+    assert rows[0].digit == 2  # second digit of '123'
