@@ -229,3 +229,72 @@ def event_hourly_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 event_hourly_haar_energy.__doc__ = event_hourly_haar_energy.__doc__.format(
     levels=_HAAR_LEVELS, n=_HAAR_N
 )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect from observed variance
+# --------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959963984540054   # Phi^-1(0.975): two-sided alpha = 0.05
+_Z_POWER = 0.8416212335729143  # Phi^-1(0.80):  power = 80%
+
+_MDE_ORACLE = f"""
+    with arms as (
+        select case when user_id % 2 = 0 then 'A' else 'B' end as arm,
+               value
+        from events
+    ), s as (
+        select
+            sum(case when arm = 'A' then 1 else 0 end) as n_a,
+            sum(case when arm = 'B' then 1 else 0 end) as n_b,
+            round(avg(case when arm = 'A' then value end), 6) as mean_a,
+            round(var_samp(case when arm = 'A' then value end), 6) as var_a,
+            round(var_samp(case when arm = 'B' then value end), 6) as var_b
+        from arms
+    )
+    select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+           mean_a,
+           round(({_Z_ALPHA!r} + {_Z_POWER!r})
+                 * sqrt(var_a / n_a + var_b / n_b), 6) as mde_abs,
+           round(({_Z_ALPHA!r} + {_Z_POWER!r})
+                 * sqrt(var_a / n_a + var_b / n_b) / mean_a, 6) as mde_rel
+    from s
+"""
+
+
+@register("ab_power_mde", _MDE_ORACLE)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment DESIGN beside the analysis entries (CUPED, SPRT,
+    Mann–Whitney): the minimum detectable effect of the standard
+    two-arm test at two-sided α=0.05 / 80% power, from the observed
+    per-arm variances — MDE = (z₀.₉₇₅ + z₀.₈)·√(σ²_A/n_A + σ²_B/n_B),
+    absolute and relative to the control mean. The number a platform
+    quotes BEFORE running the test ("at this traffic you can detect a
+    ±x% move"); z quantiles are shared double literals. One scan, one
+    5-sum aggregate — flat at any scale. Same hash-arm assignment as
+    `ab_cuped_event_value`."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "value",
+    )
+    va = F.when(F.col("arm") == "A", F.col("value"))
+    vb = F.when(F.col("arm") == "B", F.col("value"))
+    s = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.round(F.avg(va), 6).alias("mean_a"),
+        F.round(F.var_samp(va), 6).alias("var_a"),
+        F.round(F.var_samp(vb), 6).alias("var_b"),
+    )
+    z = F.lit(_Z_ALPHA + _Z_POWER)
+    mde = z * F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return s.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "mean_a",
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("mean_a"), 6).alias("mde_rel"),
+    )

@@ -102,6 +102,7 @@ POST_FREEZE: set[str] = {
     # battery_r8e (registered post-freeze)
     "nation_order_jackknife",
     "event_hourly_haar_energy",
+    "ab_power_mde",
 }
 
 

@@ -215,6 +215,7 @@ EXTRA_FAMILIES_R8 = [
     "event_cusum_stream_ledger",      # 3-batch foreachBatch partial merge
     "nation_order_jackknife",         # |nations| partials, fact scanned once
     "event_hourly_haar_energy",       # 9 pairwise levels on a 512-row spine
+    "ab_power_mde",                   # one 5-sum aggregate
 ]
 
 
