@@ -33,6 +33,11 @@ from flight_radar_pipeline_spark.operators.mining import (
     km_survival,
     lag_autocorr,
 )
+from flight_radar_pipeline_spark.operators.lifecycle import (
+    held,
+    persisted_scope,
+    release,
+)
 from flight_radar_pipeline_spark.operators.tfidf import bm25_scores, tfidf_top_terms
 
 __all__ = [
@@ -62,4 +67,7 @@ __all__ = [
     "pack_documents_firstfit",
     "tfidf_top_terms",
     "bm25_scores",
+    "held",
+    "persisted_scope",
+    "release",
 ]
