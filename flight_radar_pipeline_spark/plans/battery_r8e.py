@@ -15,7 +15,7 @@ Registered into the shared REGISTRY on import.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.plans.battery import register
@@ -297,4 +297,101 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_a",
         F.round(mde, 6).alias("mde_abs"),
         F.round(mde / F.col("mean_a"), 6).alias("mde_rel"),
+    )
+
+
+# --------------------------------------------------------------------------
+# exact 1-D Wasserstein (earth-mover) drift between window halves
+# --------------------------------------------------------------------------
+
+_W1_ORACLE = """
+    with ev as (
+        select cast(ts as date) as day, value from events
+    ), span as (
+        select min(day) as lo, max(day) as hi from ev
+    ), lab as (
+        select value,
+               case when date_diff('day', lo, day) * 2
+                         < date_diff('day', lo, hi)
+                    then 1 else 0 end as is_ref
+        from ev, span
+    ), d as (
+        select value, sum(is_ref) as cr, sum(1 - is_ref) as cc
+        from lab group by value
+    ), c as (
+        select value,
+               sum(cr) over (order by value
+                   rows between unbounded preceding and current row) as crt,
+               sum(cc) over (order by value
+                   rows between unbounded preceding and current row) as cct,
+               sum(cr) over () as nr, sum(cc) over () as nc,
+               lead(value) over (order by value) as nxt
+        from d
+    )
+    select cast(max(nr) as bigint) as n_ref, cast(max(nc) as bigint) as n_cur,
+           round(sum(abs(crt * nc - cct * nr) * (nxt - value))
+                 / (max(nr) * 1.0 * max(nc)), 6) as wasserstein_1
+    from c where nxt is not null
+"""
+
+
+@register("event_value_wasserstein_drift", _W1_ORACLE)
+def event_value_wasserstein_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth-mover) distance between the first
+    and second half of the event-value stream — the drift metric that
+    weighs HOW FAR mass moved where PSI counts bin crossings and KS
+    takes the single worst gap: W₁ = ∫|F_ref − F_cur| dv, computed in
+    closed form over the merged distinct-value grid as
+    Σ |F_ref(v) − F_cur(v)|·Δv. Exact-integer discipline: the CDF gap
+    is the bigint cross-product |CR·N_cur − CC·N_ref| (one division at
+    the very end), value gaps are raw per-row doubles identical in both
+    engines. Same integer-date period split as `event_value_psi_drift`.
+    One scan → distinct-value grain → cumulative windows on that
+    bounded table — no fact-sized sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    span = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    lab = ev.crossJoin(F.broadcast(span)).select(
+        "value",
+        F.when(
+            F.datediff(F.col("day"), F.col("lo")) * 2
+            < F.datediff(F.col("hi"), F.col("lo")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    d = lab.groupBy("value").agg(
+        F.sum("is_ref").alias("cr"),
+        F.sum(1 - F.col("is_ref")).alias("cc"),
+    )
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    w_lead = Window.orderBy("value")
+    c = d.select(
+        "value",
+        F.sum("cr").over(w_cum).alias("crt"),
+        F.sum("cc").over(w_cum).alias("cct"),
+        F.sum("cr").over(w_all).alias("nr"),
+        F.sum("cc").over(w_all).alias("nc"),
+        F.lead("value").over(w_lead).alias("nxt"),
+    )
+    return c.filter(F.col("nxt").isNotNull()).agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("crt") * F.col("nc") - F.col("cct") * F.col("nr")
+                )
+                * (F.col("nxt") - F.col("value"))
+            )
+            / (F.max("nr") * 1.0 * F.max("nc")),
+            6,
+        ).alias("wasserstein_1"),
     )

@@ -78,6 +78,7 @@ ALLOWED_BNLJ = {
     "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
     "nation_order_jackknife",     # 1-row totals + 1-row theta-bar broadcasts
     "event_hourly_haar_energy",   # 1-row min-ts broadcast (hour-index anchor)
+    "event_value_wasserstein_drift",  # 1-row span broadcast (period split)
 }
 
 

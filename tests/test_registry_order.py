@@ -103,6 +103,7 @@ POST_FREEZE: set[str] = {
     "nation_order_jackknife",
     "event_hourly_haar_energy",
     "ab_power_mde",
+    "event_value_wasserstein_drift",
 }
 
 

@@ -216,6 +216,7 @@ EXTRA_FAMILIES_R8 = [
     "nation_order_jackknife",         # |nations| partials, fact scanned once
     "event_hourly_haar_energy",       # 9 pairwise levels on a 512-row spine
     "ab_power_mde",                   # one 5-sum aggregate
+    "event_value_wasserstein_drift",  # distinct-value grain windows
 ]
 
 
