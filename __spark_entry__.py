@@ -37,28 +37,29 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-8 rotation — the standing pre-agreed rotation contract
-# (tests/test_registry_order.py): the 49-entry round-7 POST_FREEZE slate
-# (every oracled entry registered after the round-7 window froze — none
-# has ever held a driver correctness row) moves into the window WHOLESALE,
-# plus `pricing_summary` as the proven spine. 49 + 1 = 50 exactly.
-# A green round takes cumulative driver coverage to ALL 252 oracled
-# entries registered through round 7 — every oracle-paired query in the
-# registry driver-checked at least once.
+# Round-9 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py), composed exactly as the round-8 verdict
+# directive 1 prescribed:
+#   (a) the 20-entry round-8 POST_FREEZE slate (every oracled entry
+#       registered after the round-8 window froze — none has ever held a
+#       driver correctness row). A green round takes cumulative driver
+#       coverage to ALL 272 oracled entries — the never-checked backlog
+#       drains to zero for the first time.
+#   (b) `pricing_summary` as the proven spine.
+#   (c) the 4 MUST_BE_CHECKED only-coverage operators
+#       (click_view_attribution / event_window_density /
+#       event_value_percentiles / multimodal_features) — promised
+#       "first in line for the round-9 window" two rounds running;
+#       their last driver rows are CORRECTNESS_r06.
+#   (d) 25 re-checks of the STALEST green rows: every oracled entry whose
+#       last green driver row is r1 (4) or r3 (11), then the 10 oldest-of
+#       the r4 cohort in registry order (deterministic tiebreak). Plans
+#       are drift-audited (tools/audit_compare.py), but a driver-side
+#       re-check of r1/r3-era rows is the cheapest possible insurance.
+# 1 + 20 + 4 + 25 = 50 exactly.
 #
-# MUST_BE_CHECKED decision (round-7 verdict item 6 asked for this to be
-# explicit): `click_view_attribution` / `event_window_density` /
-# `event_value_percentiles` / `multimodal_features` stay OUT a second
-# consecutive round — a deliberate decision, not an accident. Each holds
-# a fully-green driver row in CORRECTNESS_r06.json under its current
-# shape (plans unchanged since — tools/audit_compare.py proves zero
-# unintended plan drift round-over-round), and each stays pinned by the
-# mandatory full-registry oracle sweep (tests/test_battery.py). Swapping
-# two never-checked slate entries out would merely move the one-round
-# hole onto them; they are first in line for the round-9 window spine.
-#
-# Demoted entries (the whole round-7 window minus the spine) all hold
-# green rows in CORRECTNESS_r07.json; tests/test_battery.py's
+# Demoted entries (the whole round-8 window minus the spine) all hold
+# green rows in CORRECTNESS_r08.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -68,56 +69,58 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # proven spine
     "pricing_summary",
-    # the round-7 POST_FREEZE slate, wholesale (49 — never driver-checked)
-    "multimodal_jpeg_dims",
-    "embedding_topk_ivfpq_refined",
-    "order_priority_chisq",
-    "event_value_theil_sen",
-    "nation_trade_balance",
-    "orders_backfill_gap_audit",
-    "event_value_spearman",
-    "event_session_bounce",
-    "embedding_ivf_cell_balance",
-    "orders_scd3_merge",
-    "embedding_matryoshka_audit",
-    "customer_l_diversity",
-    "corpus_zipf_fit",
-    "event_type_burstiness",
-    "orders_scd3_stream_merge",
-    "event_value_mann_whitney",
-    "event_type_kruskal_wallis",
-    "customer_t_closeness",
-    "doc_dsir_importance",
-    "doc_lang_temperature_sample",
-    "embedding_mmr_topk",
-    "brand_discount_elasticity",
-    "user_growth_accounting",
-    "doc_readability",
-    "event_type_bh_fdr",
-    "event_value_conformal",
-    "part_soundex_blocks",
-    "entity_hits_scores",
-    "doc_domain_classifier_gd",
-    "event_hourly_stl_decompose",
-    "lineitem_mahalanobis_outliers",
-    "event_type_markov_stationary",
-    "embedding_ann_ndcg",
-    "nation_supplier_concentration",
-    "user_growth_stream_ledger",
-    "doc_bpe_fertility",
-    "doc_span_corruption_plan",
-    "doc_ngram_novelty",
-    "embedding_contrastive_triplets",
-    "user_type_entropy_profile",
-    "entity_kcore_peeling",
-    "doc_proximity_search",
-    "signup_purchase_latency_quantiles",
-    "brand_simpson_check",
-    "event_value_runs_test",
-    "event_hourly_harmonic_fit",
-    "doc_shingle_diversity",
-    "ab_sprt_daily_decision",
-    "order_interarrival_fit",
+    # (a) the round-8 POST_FREEZE slate, wholesale (20 — never driver-checked)
+    "user_sessions_capped",
+    "lineitem_benford_second_digit",
+    "event_score_calibration",
+    "doc_mixture_reweight",
+    "orders_window_builtins",
+    "event_value_irls_logistic",
+    "event_hour_pinball_p90",
+    "customer_geo_dbscan",
+    "part_golden_records",
+    "multimodal_bmp_decode",
+    "event_value_cusum_changepoint",
+    "embedding_jl_distortion",
+    "event_value_psi_drift",
+    "event_score_ks_separation",
+    "doc_mixture_schedule",
+    "event_cusum_stream_ledger",
+    "nation_order_jackknife",
+    "event_hourly_haar_energy",
+    "ab_power_mde",
+    "event_value_wasserstein_drift",
+    # (c) the MUST_BE_CHECKED only-coverage operators (last rows: r06)
+    "click_view_attribution",
+    "event_window_density",
+    "event_value_percentiles",
+    "multimodal_features",
+    # (d) 25 stalest-green re-checks (last green round in comment)
+    "region_nation_rollup",          # r1
+    "closed_sessions_stream",        # r1
+    "hourly_event_counts_stream",    # r1
+    "nations_with_customers",        # r1
+    "customer_running_total",        # r3
+    "hourly_event_counts",           # r3
+    "doc_text_stats",                # r3
+    "edit_distance_near_dup",        # r3
+    "doc_simhash",                   # r3
+    "top_bigrams_per_lang",          # r3
+    "embedding_topk_lsh",            # r3
+    "doc_token_classes",             # r3
+    "doc_rolling_fingerprint",       # r3
+    "doc_deterministic_sample",      # r3
+    "event_value_anomalies",         # r3
+    "revenue_by_nation",             # r4
+    "shipping_priority",             # r4
+    "order_priority_count",          # r4
+    "top3_parts_per_brand",          # r4
+    "user_click_view_gap",           # r4
+    "latest_order_per_customer",     # r4
+    "segment_set_ops",               # r4
+    "customer_haversine",            # r4
+    "event_props_json",              # r4
+    "most_valuable_order",           # r4
 ]
 CHECKED_WINDOW = 50
 

@@ -4,21 +4,14 @@ entry inside the window carries an oracle and that the rotation contract
 holds: no oracled entry stays driver-unchecked for more than one round
 after registration.
 
-Round-8 window policy (the standing rotation contract): the 49-entry
-round-7 POST_FREEZE slate rotated in wholesale plus ``pricing_summary``
-as the proven spine (49 + 1 = 50 exactly). A green round-8 driver check
-takes cumulative driver coverage to ALL 252 oracled entries registered
-through round 7 — every oracle-paired query driver-checked at least once.
-
-MUST_BE_CHECKED relaxation (standing since round 6, re-pinned explicitly
-per round-7 verdict item 6): the four only-coverage operators (as-of
-join, range join, exact percentiles, multimodal decode) stay OUT a
-second consecutive round — a decision, not an accident. The contract is
-"in the window OR holding a green driver row in a recorded CORRECTNESS
-round" — each of the four has a fully-green row in CORRECTNESS_r06.json,
-their plans are unchanged since (tools/audit_compare.py), and the
-full-registry oracle sweep (tests/test_battery.py) pins them locally
-every run. They are first in line for the round-9 window spine.
+Round-9 window policy (the round-8 verdict directive 1, verbatim): the
+20-entry round-8 POST_FREEZE slate rotated in wholesale, plus
+``pricing_summary`` as the proven spine, plus the 4 MUST_BE_CHECKED
+only-coverage operators (their last driver rows are CORRECTNESS_r06),
+plus 25 re-checks of the stalest green rows (every r1/r3-era entry, then
+the oldest r4 cohort in registry order). 1 + 20 + 4 + 25 = 50 exactly.
+A green round-9 driver check takes cumulative driver coverage to ALL 272
+oracled entries — the never-checked backlog drains to zero.
 """
 
 from __future__ import annotations
@@ -35,6 +28,30 @@ MUST_BE_CHECKED = [
     "multimodal_features",
 ]
 
+# the 20-entry round-8 POST_FREEZE slate (rotated into the round-9 window)
+R8_SLATE = {
+    "user_sessions_capped",
+    "lineitem_benford_second_digit",
+    "event_score_calibration",
+    "doc_mixture_reweight",
+    "orders_window_builtins",
+    "event_value_irls_logistic",
+    "event_hour_pinball_p90",
+    "customer_geo_dbscan",
+    "part_golden_records",
+    "multimodal_bmp_decode",
+    "event_value_cusum_changepoint",
+    "embedding_jl_distortion",
+    "event_value_psi_drift",
+    "event_score_ks_separation",
+    "doc_mixture_schedule",
+    "event_cusum_stream_ledger",
+    "nation_order_jackknife",
+    "event_hourly_haar_energy",
+    "ab_power_mde",
+    "event_value_wasserstein_drift",
+}
+
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
@@ -49,6 +66,20 @@ def _driver_checked(glob: str) -> set[str]:
                 if isinstance(row, dict) and row.get("hash_match"):
                     checked.add(name)
     return checked
+
+
+def _last_green() -> dict[str, int]:
+    """Per-entry newest round holding a fully-green driver row (r1-r8)."""
+    last: dict[str, int] = {}
+    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-8].json")):
+        rnd = int(p.stem.split("_r")[1])
+        d = json.loads(p.read_text())
+        qs = d.get("queries", d)
+        if isinstance(qs, dict):
+            for name, row in qs.items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def test_checked_window_is_fully_oracled():
@@ -67,72 +98,64 @@ def test_window_is_exactly_the_explicit_list():
 
 
 def test_unique_operator_coverage_pinned():
-    """Round-7 relaxed form: each only-coverage operator is either inside
-    the driver window or already holds a green driver row on record."""
+    """Round-9 form: all four only-coverage operators are IN the window
+    (the round-8 verdict made them part of the round-9 spine)."""
     window = set(entrymod._WINDOW)
-    green_ever = _driver_checked("CORRECTNESS_r0[1-6].json")
-    out = [n for n in MUST_BE_CHECKED if n not in window and n not in green_ever]
-    assert not out, f"only-coverage queries with no driver evidence: {out}"
+    out = [n for n in MUST_BE_CHECKED if n not in window]
+    assert not out, f"only-coverage queries missing from the round-9 window: {out}"
 
 
-# entries registered AFTER the round-8 window froze (they become rotation
-# candidates for round 9; append here when adding queries mid-round)
-POST_FREEZE: set[str] = {
-    # battery_r8 (registered post-freeze): the staged round-7 library
-    # operators wrapped as oracled entries per the round-7 verdict
-    "user_sessions_capped",
-    "lineitem_benford_second_digit",
-    "event_score_calibration",
-    "doc_mixture_reweight",
-    "orders_window_builtins",
-    # battery_r8b (registered post-freeze)
-    "event_value_irls_logistic",
-    "event_hour_pinball_p90",
-    "customer_geo_dbscan",
-    "part_golden_records",
-    "multimodal_bmp_decode",
-    # battery_r8c (registered post-freeze)
-    "event_value_cusum_changepoint",
-    "embedding_jl_distortion",
-    # battery_r8d (registered post-freeze)
-    "event_value_psi_drift",
-    "event_score_ks_separation",
-    "doc_mixture_schedule",
-    "event_cusum_stream_ledger",
-    # battery_r8e (registered post-freeze)
-    "nation_order_jackknife",
-    "event_hourly_haar_energy",
-    "ab_power_mde",
-    "event_value_wasserstein_drift",
-}
+# entries registered AFTER the round-9 window froze (they become rotation
+# candidates for round 10; append here when adding queries mid-round)
+POST_FREEZE: set[str] = set()
 
 
-def test_round8_window_is_slate_plus_spine():
-    """The round-8 window is exactly the 49-entry round-7 POST_FREEZE
-    slate + pricing_summary — the same pre-agreed rotation mechanism
-    rounds 5–7 used (each produced a 50/50 green driver check)."""
-    r7_slate = set(entrymod._WINDOW) - {"pricing_summary"}
-    assert len(r7_slate) == 49
-    checked_r17 = _driver_checked("CORRECTNESS_r0[1-7].json")
-    # nothing in the slate has ever held a driver row before this round
-    assert not (r7_slate & checked_r17)
+def test_round9_window_composition():
+    """The round-9 window is exactly: spine + 20-entry r8 slate + 4
+    MUST_BE_CHECKED + 25 stalest-green re-checks (r8 verdict directive 1)."""
+    window = entrymod._WINDOW
+    assert window[0] == "pricing_summary"
+    assert set(window[1:21]) == R8_SLATE
+    assert window[21:25] == MUST_BE_CHECKED
+    # the slate had never held a driver row before round 9
+    checked_r18 = _driver_checked("CORRECTNESS_r0[1-8].json")
+    assert not (R8_SLATE & checked_r18)
+    # every re-check slot holds a green row already (it IS a re-check)
+    rechecks = window[25:]
+    assert len(rechecks) == 25
+    missing = [n for n in rechecks if n not in checked_r18]
+    assert not missing, f"re-check entries without prior green rows: {missing}"
+    # staleness rule: rechecks are the pool's 25 oldest by
+    # (last-green round, registry order) — deterministic, no cherry-picking
+    last = _last_green()
+    names = list(entrymod._registry())
+    order = {n: i for i, n in enumerate(names)}
+    oracles = entrymod.oracle_sql()
+    excluded = R8_SLATE | set(MUST_BE_CHECKED) | {"pricing_summary"}
+    pool = [n for n in names if n in oracles and n in last and n not in excluded]
+    pool.sort(key=lambda n: (last[n], order[n]))
+    assert rechecks == pool[:25]
 
 
-def test_round8_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01–r07 must be in the
-    round-8 window (or the explicit POST_FREEZE slate for round 9) —
+def test_round9_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01-r08 must be in the
+    round-9 window (or the explicit POST_FREEZE slate for round 10) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
-    checked_ever: set[str] = set()
-    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-7].json")):
+    checked_ever = _driver_checked("CORRECTNESS_r0[1-8].json")
+    # _driver_checked collects hash-green rows; for backlog purposes any
+    # recorded row counts, so recompute with plain membership
+    seen: set[str] = set()
+    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-8].json")):
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
-            checked_ever |= set(qs)
+            seen |= set(qs)
     oracles = entrymod.oracle_sql()
-    never = [n for n in entrymod._registry() if n not in checked_ever and n in oracles]
+    never = [n for n in entrymod._registry() if n not in seen and n in oracles]
     out = [n for n in never if n not in set(entrymod._WINDOW) | POST_FREEZE]
     assert not out, f"never-driver-checked oracled entries outside window: {out}"
+    del checked_ever
 
 
 def test_tail_entries_are_outside_window():
