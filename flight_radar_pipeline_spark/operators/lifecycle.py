@@ -40,7 +40,14 @@ def hold(out: DataFrame, *sources: DataFrame) -> DataFrame:
     """Tag ``out`` as holding the persisted DataFrames in ``sources``;
     caches already held by a source (an upstream operator's output)
     are inherited, so release at the final consumer frees the whole
-    chain. Identity-deduped; returns ``out`` for chaining."""
+    chain. Identity-deduped; returns ``out`` for chaining.
+
+    The tag lives on the exact Python object returned — a downstream
+    transformation (``out.filter(...)``, ``out.select(...)``) builds a
+    NEW DataFrame without it, so ``release``/``persisted_scope`` on the
+    derived frame frees nothing. Wrap the operator's direct return
+    value, or re-``hold`` the derived frame with the original as a
+    source (``hold(derived, original)`` re-inherits the chain)."""
     held: list[DataFrame] = []
     seen: set[int] = set()
     for s in sources:
@@ -61,7 +68,8 @@ def held(df: DataFrame) -> tuple[DataFrame, ...]:
 def release(df: DataFrame) -> None:
     """Unpersist every cache ``df`` holds. Call after the consuming
     action; safe to call twice (unpersist is idempotent) and on
-    DataFrames that hold nothing."""
+    DataFrames that hold nothing. Pass the operator's DIRECT return
+    value — a transformed copy carries no tag (see :func:`hold`)."""
     for c in getattr(df, _ATTR, ()):
         try:
             c.unpersist()

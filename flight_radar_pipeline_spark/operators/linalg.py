@@ -473,8 +473,10 @@ def jl_project(
     out_col: str = "jl_vec",
 ) -> DataFrame:
     """Johnson–Lindenstrauss random projection: appends ``out_col`` =
-    R·v/√k (R the deterministic ±1 matrix of :func:`jl_sign_matrix`,
-    k = ``out_dims``) — the shuffle-free dimensionality reducer that
+    R·v/√k to the input (every input column is preserved; an existing
+    ``out_col`` is replaced) — R the deterministic ±1 matrix of
+    :func:`jl_sign_matrix`, k = ``out_dims`` — the shuffle-free
+    dimensionality reducer that
     preserves pairwise inner products within (1±ε) at k = O(log n / ε²).
     At 100 TB this is the pre-ANN compaction pass: one scan, each output
     component a signed sum over the input array folded JVM-side
@@ -501,6 +503,7 @@ def jl_project(
             lambda acc, e: acc + e,
         )
         comps.append(dot * F.lit(scale))
-    return df.select(
-        F.col(id_col), F.col(vec_col), F.array(*comps).alias(out_col)
-    )
+    # append out_col, preserving every input column (Catalyst prunes the
+    # unused ones, so callers that select a subset pay nothing extra)
+    keep = [F.col(c) for c in df.columns if c != out_col]
+    return df.select(*keep, F.array(*comps).alias(out_col))

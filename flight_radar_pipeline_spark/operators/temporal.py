@@ -407,10 +407,8 @@ def cusum_changepoint(
     """
     x = F.round(F.col(value_col).cast("double"), value_dp)
     g = F.col(group_col)
-    w_all = Window.partitionBy(group_col)
-    w_cum = w_all.orderBy(t_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # windows below partition on the post-alias "group"/"t" names, so they
+    # are built inline after the aliasing select (group_col may differ)
     stats = series.select(
         g.alias("group"),
         F.col(t_col).alias("t"),

@@ -161,7 +161,7 @@ _CAL_BINS = 10
 
 _CAL_ORACLE = f"""
     with s as (
-        select 1 / (1 + exp(-((value - 100.0) / 50.0))) as sc,
+        select round(1 / (1 + exp(-((value - 100.0) / 50.0))), 9) as sc,
                case when event_type = 'purchase' then 1.0 else 0.0 end as y
         from events
     ), b as (
@@ -188,16 +188,17 @@ def event_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the event value, binned into {bins} equal-width score buckets
     with predicted-vs-observed positive rates, per-bin gap, and Brier
     terms — the calibration audit every threshold-consuming classifier
-    needs. Scores are raw per-row doubles (identical IEEE expression in
-    both engines), so bin assignment is exact; only the bin-level
-    averages round. One scan, a {bins}-row aggregate."""
+    needs. Scores round to 9 dp BEFORE binning (in both engines) so bin
+    assignment and the bin-level averages never depend on JVM Math.exp
+    and libm exp agreeing to the last ulp. One scan, a {bins}-row
+    aggregate."""
     from flight_radar_pipeline_spark.operators.mining import (
         calibration_report,
     )
 
     ev = load_table(spark, sf_dir, "events")
     scored = ev.select(
-        (1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0)))).alias("score"),
+        F.round(1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0))), 9).alias("score"),
         F.when(F.col("event_type") == "purchase", 1.0)
         .otherwise(0.0)
         .alias("y"),

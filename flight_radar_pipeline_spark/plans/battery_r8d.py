@@ -157,7 +157,7 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KS_ORACLE = """
     with s as (
-        select 1 / (1 + exp(-((value - 100.0) / 50.0))) as sc,
+        select round(1 / (1 + exp(-((value - 100.0) / 50.0))), 9) as sc,
                case when event_type = 'purchase' then 1 else 0 end as g
         from events
     ), d as (
@@ -190,11 +190,13 @@ def event_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplication over the distinct-score pre-aggregate
     (|CG·N_b − CB·N_g| is a bigint — no per-row float CDFs), the
     `signup_purchase_latency_quantiles` discipline; argmax ties break
-    on the smaller score. One scan → distinct-score grain → three
-    windows on that bounded table."""
+    on the smaller score. The score rounds to 9 dp BEFORE the groupBy
+    (in both engines) so the distinct-score grain never depends on
+    JVM Math.exp and libm exp agreeing to the last ulp. One scan →
+    distinct-score grain → three windows on that bounded table."""
     ev = load_table(spark, sf_dir, "events")
     s = ev.select(
-        (1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0)))).alias("sc"),
+        F.round(1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0))), 9).alias("sc"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
     )
     d = s.groupBy("sc").agg(
