@@ -22,6 +22,15 @@ root (committed per round, diffable round-over-round).
 The catalog cache is cleared after each query so per-operator persists
 (shingle/gram-set materializations) can't accumulate across the battery
 or leak one query's cache into the next one's cold run.
+
+Machine-state evidence (round-8 verdict item 2): os.getloadavg() is
+stamped before/after the battery, and a fixed-cost calibration probe (a
+constant 10⁷-row local-range aggregate, median of 3) runs at battery
+start and end. Both land in the JSON line ("calib", "load1m") and in
+BENCH_DETAIL ("machine"), so the co-tenant adjudication — median ratio
+across unchanged plans ≈ calibration-probe ratio ⇒ uniform contention —
+is a one-line computation (tools/bench_compare.py prints it; its --gate
+mode refuses an inflated BENCH_DETAIL commit).
 """
 
 from __future__ import annotations
@@ -78,6 +87,32 @@ def _time_with_retry(one_run) -> tuple[float, float]:
     return cold, warm
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed-cost machine-state probe: a constant 10⁷-row local-range
+    aggregate through the noop sink, median of 3. Identical work every
+    round, so probe_new/probe_old measures MACHINE speed, not plan
+    changes — run at battery start AND end, it makes the co-tenant
+    adjudication ("median ratio across unchanged plans ≈ calibration
+    ratio ⇒ uniform contention, not regressions") a one-line
+    computation any round's judge can re-run (round-8 verdict item 2;
+    the r8 phantom-mover incident is the motivating case)."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(10_000_000).selectExpr(
+            "sum(id * 3 % 7)", "count(distinct id % 1024)"
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg
+        return []
+
+
 def _fit_line(payload: dict, warm: dict[str, float]) -> str:
     """Serialize `payload` compactly, dropping fastest per-query entries
     until the line fits the stdout budget (slowest queries are the ones a
@@ -103,6 +138,9 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    load_start = _loadavg()
+    calib_start = _calibration_probe(spark)
 
     queries = entrymod.queries()
     # Optional subset filter (comma-separated names) for targeted runs,
@@ -131,6 +169,16 @@ def main() -> int:
         cold[name], warm[name] = _time_with_retry(_one_run)
         spark.catalog.clearCache()
 
+    calib_end = _calibration_probe(spark)
+    load_end = _loadavg()
+    machine = {
+        "load_start": load_start,
+        "load_end": load_end,
+        "calib_start_sec": calib_start,
+        "calib_end_sec": calib_end,
+        "calib_probe": "range(1e7) sum(id*3%7)+count(distinct id%1024), median of 3",
+    }
+
     warm_total = round(sum(v for v in warm.values() if v >= 0), 3)
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
@@ -145,6 +193,7 @@ def main() -> int:
         "timing_mode": "warm-of-2+median3-sub1s",
         "sf": sf_val,
         "n_queries": len(warm),
+        "machine": machine,
     }
     root = os.path.dirname(os.path.abspath(__file__))
     # BENCH_DETAIL.json stays the "latest" pointer; a round-stamped copy
@@ -198,6 +247,12 @@ def main() -> int:
                 "timing_mode": "warm-of-2+median3-sub1s",
                 "sf": sf_val,
                 "n_queries": len(warm),
+                "calib": [calib_start, calib_end],
+                "load1m": (
+                    [load_start[0], load_end[0]]
+                    if load_start and load_end
+                    else []
+                ),
                 "detail": "BENCH_DETAIL.json",
             },
             warm,
