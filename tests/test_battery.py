@@ -17,6 +17,7 @@ ORACLES = entry.oracle_sql()
 SF_DIR = "/root/testdata/sf0.001"
 
 
+@pytest.mark.battery_sweep
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_battery_query(name, spark, duck):
     df = QUERIES[name](spark, SF_DIR)
