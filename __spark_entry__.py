@@ -148,6 +148,7 @@ def _registry():
         battery_r8c,
         battery_r8d,
         battery_r8e,
+        battery_r9,
         battery_temporal,
         battery_text,
     )

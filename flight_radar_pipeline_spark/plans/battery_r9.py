@@ -1,0 +1,459 @@
+"""Round-9 battery additions — the round-8 verdict's directive-7 trio:
+
+- `doc_reservoir_sample`: uniform k-per-group reservoir sampling restated
+  as mergeable bottom-k priority sampling (52-bit md5 priority) — exact
+  integer ordering, zero floats, same rows on any engine/partitioning;
+- `user_hll_sparse_audit`: a from-scratch HyperLogLog over an
+  md5-derived hash with the HLL++ regime rule (linear counting vs raw
+  harmonic estimate) audited against exact distinct counts on BOTH
+  sides of the threshold in one relation — register sums are exact
+  dyadic doubles, so the regime decision is bit-identical cross-engine;
+- `event_psi_stream_ledger`: the streaming face of the PSI drift entry —
+  foreachBatch maintains (period, bin) integer counts across
+  chronological microbatches (exact under any merge order), then the
+  Laplace-smoothed PSI runs over the maintained state.
+
+All oracle-paired; registered into the shared REGISTRY on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# uniform k-per-group reservoir via mergeable bottom-k md5 priorities
+# --------------------------------------------------------------------------
+
+_RES_K = 10
+_RES_SALT = "res9"
+
+_RES_ORACLE = f"""
+    with pri as (
+        select lang, doc_id,
+               ('0x' || substr(md5('{_RES_SALT}-' || doc_id::varchar), 1, 13))::bigint
+                   as priority
+        from documents
+    ), ranked as (
+        select lang, doc_id, priority,
+               row_number() over (partition by lang
+                                  order by priority, doc_id) as position
+        from pri
+    )
+    select lang, cast(position as bigint) as position, doc_id, priority
+    from ranked where position <= {_RES_K}
+    order by lang, position
+"""
+
+
+@register("doc_reservoir_sample", _RES_ORACLE)
+def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group reservoir sample as BOTTOM-K PRIORITY
+    sampling: each doc gets a 52-bit priority from md5(salt‖doc_id) and
+    the k smallest per lang are the sample — distributionally identical
+    to Algorithm R's uniform k-of-n (a uniform random priority order is
+    a uniform random permutation) but, unlike the sequential reservoir,
+    MERGEABLE: bottom-k is a monoid (bottom-k of a union = bottom-k of
+    concatenated partial bottom-k's), so every partition keeps k rows,
+    partials combine associatively, and the same rows come out on any
+    engine, any partitioning, any rerun — what `df.sample()` can never
+    promise. At 100 TB this is a map-side partial top-k per partition
+    (Spark's window TopK pushes the limit into the sort), shuffling
+    only |groups|·k candidate rows. Parity is EXACT: priorities are
+    bigints (no float key, no transcendental), ties cannot occur within
+    a lang (the priority is a function of doc_id; equal hashes break on
+    doc_id anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "lang",
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("-", F.lit(_RES_SALT), F.col("doc_id"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("priority"),
+    )
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.select(
+            "lang",
+            "doc_id",
+            "priority",
+            F.row_number().over(w).alias("position"),
+        )
+        .filter(F.col("position") <= _RES_K)
+        .select(
+            "lang",
+            F.col("position").cast("bigint").alias("position"),
+            "doc_id",
+            "priority",
+        )
+        .orderBy("lang", "position")
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog regime audit: linear-counting vs raw estimate vs exact
+# --------------------------------------------------------------------------
+
+_HLL_P = 6                      # 2^6 = 64 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.709              # Flajolet et al. bias constant for m = 64
+_HLL_WBITS = 52 - _HLL_P        # hash bits left after the bucket index
+_HLL_SALT = "hll9"
+
+_HLL_ORACLE = f"""
+    with keys as (
+        select event_type, metric, key from (
+            select event_type, 'users' as metric,
+                   cast(user_id as varchar) as key from events
+            union all
+            select event_type, 'events' as metric,
+                   cast(event_id as varchar) as key from events
+        )
+    ), hashed as (
+        select event_type, metric, key,
+               ('0x' || substr(md5('{_HLL_SALT}-' || metric || '-' || key),
+                               1, 13))::bigint as h
+        from keys
+    ), regs as (
+        select event_type, metric,
+               h % {_HLL_M} as bucket,
+               max(case when h // {_HLL_M} = 0 then {_HLL_WBITS + 1}
+                        else {_HLL_WBITS} + 1
+                             - length(printf('%b', h // {_HLL_M}))
+                   end) as rho,
+               count(distinct key) as nd
+        from hashed
+        group by 1, 2, 3
+    ), agg as (
+        select event_type, metric,
+               sum(nd) as n_exact,
+               count(*) as n_buckets,
+               sum(1.0 / (1::bigint << rho)) as z_present
+        from regs
+        group by 1, 2
+    ), est as (
+        select event_type, metric, n_exact,
+               {_HLL_M} - n_buckets as v_zero,
+               ({_HLL_ALPHA}::double) * {_HLL_M} * {_HLL_M}
+                   / (({_HLL_M} - n_buckets) + z_present) as e_raw
+        from agg
+    ), picked as (
+        select event_type, metric, n_exact, v_zero,
+               round(e_raw, 2) as est_raw,
+               case when e_raw <= 2.5 * {_HLL_M} and v_zero > 0
+                    then 'linear_counting' else 'raw' end as mode,
+               round(case when e_raw <= 2.5 * {_HLL_M} and v_zero > 0
+                          then {_HLL_M} * ln({_HLL_M} / cast(v_zero as double))
+                          else e_raw end, 2) as est
+        from est
+    )
+    select event_type, metric, cast(n_exact as bigint) as n_exact,
+           cast(v_zero as bigint) as v_zero, est_raw, mode, est,
+           round((est - n_exact) / n_exact, 4) as rel_err
+    from picked
+    order by event_type, metric
+"""
+
+
+@register("user_hll_sparse_audit", _HLL_ORACLE)
+def user_hll_sparse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ regime audit, built from scratch on an md5-derived
+    52-bit hash so BOTH engines can restate it exactly (unlike the
+    engine-native `approx_distinct_users`, which is pinned by a local
+    accuracy test because Spark's internal xxhash is not
+    SQL-reproducible). Per (event_type, metric) — metric 'users'
+    (~10²·distinct: the small-cardinality side) and 'events' (every row
+    distinct: the dense side) — the 64-register sketch, the raw
+    harmonic-mean estimate, the HLL++ regime decision (linear counting
+    m·ln(m/V) when E_raw ≤ 2.5m and zero registers remain, else raw),
+    and the relative error against the exact count. The audit exercises
+    BOTH branches of the rule in one relation, which is the
+    "sparse/small-range equivalence" claim HLL++ makes: below the
+    threshold the sketch falls back to an (asymptotically exact)
+    occupancy estimate.
+
+    Exactness discipline: bucket/rho are integer ops on the md5 bigint
+    (bit-length via the binary-string length, identical in both
+    engines); the register sum Σ2^(−ρ) adds ≤64 dyadic terms spanning
+    2⁰…2^−47 — under the 53-bit mantissa, so the sum is EXACT and
+    order-independent, making the regime decision (a comparison on
+    E_raw) bit-identical cross-engine, not a rounding hope. Σ_buckets
+    count(distinct key) = exact distinct total because the bucket is a
+    function of the key — one groupBy yields sketch AND ground truth.
+    At 100 TB: registers are a (type, metric, 64)-bounded aggregate
+    with map-side combine; only the exact-count column is expensive —
+    and it exists only because this is an AUDIT."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("users").alias("metric"),
+                    F.col("user_id").cast("string").alias("key"),
+                ),
+                F.struct(
+                    F.lit("events").alias("metric"),
+                    F.col("event_id").cast("string").alias("key"),
+                ),
+            )
+        ).alias("mk"),
+    ).select("event_type", "mk.metric", "mk.key")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("-", F.lit(_HLL_SALT), F.col("metric"), F.col("key"))
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = keys.select("event_type", "metric", "key", h.alias("h"))
+    w_col = F.floor(F.col("h") / F.lit(_HLL_M)).cast("bigint")
+    rho = F.when(w_col == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w_col))
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            "metric",
+            "key",
+            (F.col("h") % _HLL_M).alias("bucket"),
+            rho.alias("rho0"),
+        )
+        .groupBy("event_type", "metric", "bucket")
+        .agg(
+            F.max("rho0").alias("rho"),
+            F.countDistinct("key").alias("nd"),
+        )
+    )
+    agg = regs.groupBy("event_type", "metric").agg(
+        F.sum("nd").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.lit(1.0)
+            / F.expr("shiftleft(1L, cast(rho as int))").cast("double")
+        ).alias("z_present"),
+    )
+    v_zero = F.lit(_HLL_M) - F.col("n_buckets")
+    e_raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        / (v_zero.cast("double") + F.col("z_present"))
+    )
+    est = agg.select(
+        "event_type",
+        "metric",
+        "n_exact",
+        v_zero.alias("v_zero"),
+        F.round(e_raw, 2).alias("est_raw"),
+        F.when(
+            (e_raw <= 2.5 * _HLL_M) & (v_zero > 0), F.lit("linear_counting")
+        )
+        .otherwise(F.lit("raw"))
+        .alias("mode"),
+        F.round(
+            F.when(
+                (e_raw <= 2.5 * _HLL_M) & (v_zero > 0),
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / v_zero.cast("double")),
+            ).otherwise(e_raw),
+            2,
+        ).alias("est"),
+    )
+    return est.select(
+        "event_type",
+        "metric",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("v_zero").cast("bigint").alias("v_zero"),
+        "est_raw",
+        "mode",
+        "est",
+        F.round(
+            (F.col("est") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    ).orderBy("event_type", "metric")
+
+
+# --------------------------------------------------------------------------
+# streaming PSI ledger: mergeable (period, bin) counts + final PSI
+# --------------------------------------------------------------------------
+
+_SPSI_BINW = 50.0
+_SPSI_NBINS = 10
+
+_SPSI_ORACLE = f"""
+    with ev as (
+        select cast(ts as date) as day, value from events
+    ), span as (
+        select min(day) as lo, max(day) as hi from ev
+    ), lab as (
+        select least(cast(floor(value / {_SPSI_BINW}) as int),
+                     {_SPSI_NBINS - 1}) as bin,
+               case when date_diff('day', lo, day) * 2
+                         < date_diff('day', lo, hi)
+                    then 'ref' else 'cur' end as period
+        from ev, span
+    ), cnt as (
+        select bin,
+               sum(case when period = 'ref' then 1 else 0 end) as n_ref,
+               sum(case when period = 'cur' then 1 else 0 end) as n_cur
+        from lab group by bin
+    ), spine as (
+        select unnest(generate_series(0, {_SPSI_NBINS - 1})) as bin
+    ), grid as (
+        select spine.bin,
+               coalesce(n_ref, 0) as n_ref, coalesce(n_cur, 0) as n_cur
+        from spine left join cnt on cnt.bin = spine.bin
+    ), tot as (
+        select sum(n_ref) as tr, sum(n_cur) as tc from grid
+    )
+    select cast(bin as bigint) as bin,
+           cast(n_ref as bigint) as n_ref, cast(n_cur as bigint) as n_cur,
+           round((n_ref + 1) / (tr + {_SPSI_NBINS}.0), 6) as p_ref,
+           round((n_cur + 1) / (tc + {_SPSI_NBINS}.0), 6) as p_cur,
+           round(((n_cur + 1) / (tc + {_SPSI_NBINS}.0)
+                  - (n_ref + 1) / (tr + {_SPSI_NBINS}.0))
+                 * ln(((n_cur + 1) / (tc + {_SPSI_NBINS}.0))
+                      / ((n_ref + 1) / (tr + {_SPSI_NBINS}.0))), 6)
+               as psi_term
+    from grid, tot
+    order by bin
+"""
+
+
+@register("event_psi_stream_ledger", _SPSI_ORACLE)
+def event_psi_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_value_psi_drift` (the drift triad's
+    third streaming face, beside the CUSUM ledger): events arrive in 3
+    chronological microbatches and ``foreachBatch`` maintains the
+    (period, bin) state as plain INTEGER COUNTS over FIXED value bins —
+    the production posture, where reference bins are config, not a
+    stream-side quantile (quantiles don't merge exactly; counts over
+    fixed bins do, under any batch split). The maintained state equals
+    a from-scratch aggregate bit-for-bit, then the Laplace-smoothed PSI
+    runs over it exactly as the batch entry does; the oracle restates
+    the whole thing in one SQL pass. State is ≤ 2·{nbins} rows — runs
+    forever; no per-event state, no watermark needed for append-only
+    counts. Unlike the batch PSI's reference-decile bins, bin edges
+    here are fixed-width (value/{binw} capped) so the stream never
+    needs a two-pass quantile."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    total = (lohi.hi - lohi.lo).days
+    mid = lohi.lo + timedelta(days=(total + 1) // 2)
+    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
+    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+
+    work = tempfile.mkdtemp(prefix="psi_stream_")
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    waves = [
+        ev.filter(F.to_date("ts") < F.lit(cut1)),
+        ev.filter(
+            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
+        ),
+        ev.filter(F.to_date("ts") >= F.lit(cut2)),
+    ]
+    t0 = 1_700_000_000
+    for i, wave in enumerate(waves):
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{i:03d}.parquet")
+                os.symlink(os.path.join(bdir, f), dst)
+                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
+
+    state_versions: list[str | None] = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        inc = batch.groupBy(
+            F.least(
+                F.floor(F.col("value") / _SPSI_BINW).cast("int"),
+                F.lit(_SPSI_NBINS - 1),
+            ).alias("bin"),
+            F.when(F.to_date("ts") < F.lit(mid), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("period"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if state_versions[-1] is not None:
+            old = spark.read.parquet(state_versions[-1])
+            inc = (
+                old.unionByName(inc)
+                .groupBy("bin", "period")
+                .agg(F.sum("n").alias("n"))
+            )
+        nxt = os.path.join(work, f"state_v{len(state_versions)}")
+        inc.write.mode("overwrite").parquet(nxt)
+        state_versions.append(nxt)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(state_versions[-1])
+    cnt = state.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", F.col("n")).otherwise(0)).alias(
+            "n_ref"
+        ),
+        F.sum(F.when(F.col("period") == "cur", F.col("n")).otherwise(0)).alias(
+            "n_cur"
+        ),
+    )
+    spine = spark.range(0, _SPSI_NBINS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = spine.join(cnt, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = grid.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p_ref = (F.col("n_ref") + 1) / (F.col("tr") + float(_SPSI_NBINS))
+    p_cur = (F.col("n_cur") + 1) / (F.col("tc") + float(_SPSI_NBINS))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+event_psi_stream_ledger.__doc__ = event_psi_stream_ledger.__doc__.format(
+    nbins=_SPSI_NBINS, binw=int(_SPSI_BINW)
+)

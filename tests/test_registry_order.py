@@ -107,7 +107,13 @@ def test_unique_operator_coverage_pinned():
 
 # entries registered AFTER the round-9 window froze (they become rotation
 # candidates for round 10; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    # battery_r9 (registered post-freeze): the round-8 verdict's
+    # directive-7 trio
+    "doc_reservoir_sample",
+    "user_hll_sparse_audit",
+    "event_psi_stream_ledger",
+}
 
 
 def test_round9_window_composition():
