@@ -149,6 +149,7 @@ def _registry():
         battery_r8d,
         battery_r8e,
         battery_r9,
+        battery_r9b,
         battery_temporal,
         battery_text,
     )

@@ -113,6 +113,13 @@ POST_FREEZE: set[str] = {
     "doc_reservoir_sample",
     "user_hll_sparse_audit",
     "event_psi_stream_ledger",
+    # battery_r9b (registered post-freeze): classic customer/series
+    # analytics families
+    "order_rfm_segments",
+    "customer_order_gini",
+    "event_type_autocorr",
+    "customer_cohort_retention",
+    "event_value_page_hinkley",
 }
 
 
