@@ -150,6 +150,7 @@ def _registry():
         battery_r8e,
         battery_r9,
         battery_r9b,
+        battery_r9c,
         battery_temporal,
         battery_text,
     )

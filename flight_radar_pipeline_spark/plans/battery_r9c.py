@@ -1,0 +1,515 @@
+"""Round-9c battery additions — combinatorial / basket / forecast-QA
+families, each with exact-arithmetic cross-engine parity:
+
+- greedy set cover of parts by suppliers (k driver-side steps, one
+  anti-join + aggregate per step — the IRLS unrolled-materialized-CTE
+  oracle discipline);
+- event-type co-occurrence lift (support / confidence / lift over
+  distinct user-type pairs, integer cross-multiplication);
+- seasonal-naive forecast backtest over the daily order series (MAE /
+  RMSE / MASE with integer error sums; MASE as one bigint cross-ratio);
+- Kadane maximum-subarray "hottest streak" per nation over mean-centered
+  daily order totals (the prefix-sum restatement on exact bigints).
+
+All oracle-paired; registered into the shared REGISTRY on import.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# greedy set cover: suppliers covering the part universe
+# --------------------------------------------------------------------------
+
+_COVER_STEPS = 5
+
+# unrolled greedy steps; each CTE is materialized (the chained-CTE rule —
+# back-references must not inline the whole chain)
+_COVER_ORACLE_PARTS = ["""
+    with pairs as materialized (
+        select distinct l_suppkey, l_partkey from lineitem
+    ), universe as materialized (
+        select count(distinct l_partkey) as total from pairs
+    )"""]
+for _i in range(1, _COVER_STEPS + 1):
+    _not_cov = (
+        f"and l_partkey not in (select l_partkey from cov{_i - 1})"
+        if _i > 1
+        else ""
+    )
+    _prev_union = (
+        f"select l_partkey from cov{_i - 1} union " if _i > 1 else ""
+    )
+    _COVER_ORACLE_PARTS.append(f""", pick{_i} as materialized (
+        select l_suppkey, count(*) as gain
+        from pairs where 1=1 {_not_cov}
+        group by l_suppkey
+        order by gain desc, l_suppkey
+        limit 1
+    ), cov{_i} as materialized (
+        {_prev_union}
+        select distinct l_partkey from pairs
+        where l_suppkey = (select l_suppkey from pick{_i})
+    )""")
+_COVER_SELECTS = [
+    f"""select {i} as step,
+           (select l_suppkey from pick{i}) as s_suppkey,
+           (select gain from pick{i}) as gain,
+           (select count(*) from cov{i}) as covered,
+           round((select count(*) from cov{i})
+                 / (1.0 * (select total from universe)), 6) as coverage
+    where (select l_suppkey from pick{i}) is not null
+    """
+    for i in range(1, _COVER_STEPS + 1)
+]
+_COVER_ORACLE = (
+    "".join(_COVER_ORACLE_PARTS)
+    + "\n    select cast(step as int) as step, s_suppkey,"
+    + " cast(gain as bigint) as gain, cast(covered as bigint) as covered,"
+    + " coverage from ("
+    + " union all ".join(
+        f"select * from ({s})" for s in _COVER_SELECTS
+    )
+    + ") order by step"
+)
+
+
+@register("supplier_part_coverage", _COVER_ORACLE)
+def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover: which {k} suppliers cover the most parts?
+    Each step picks the supplier with the largest count of NOT-yet-
+    covered parts (ties on the smaller s_suppkey), adds its parts to
+    the covered set, and reports the marginal gain plus cumulative
+    coverage — the classic (1−1/e)-approximation, and the shape of
+    every "minimum vendors for assortment / minimum probes for
+    coverage" question. Spark runs the loop driver-side with one
+    anti-join + one aggregate + one 1-row collect per step (O(k) driver
+    state — the IRLS discipline, `operators/mining.py` precedent); the
+    covered set stays distributed and localCheckpoint()s per step so
+    step i+1's plan doesn't re-derive steps 1..i. The oracle unrolls
+    the same {k} steps as materialized CTEs. All counts are exact
+    integers; the one division (coverage fraction) rounds at 6dp.
+    At 100 TB the per-step cost is one shuffle of the (supp, part)
+    distinct pairs — greedy set cover is inherently sequential in k,
+    but k is small and each step is a full-parallel aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_suppkey", "l_partkey").distinct().localCheckpoint()
+    total = pairs.select("l_partkey").distinct().count()
+    covered = None
+    rows = []
+    cum = 0
+    for step in range(1, _COVER_STEPS + 1):
+        cand = pairs
+        if covered is not None:
+            cand = pairs.join(covered, "l_partkey", "left_anti")
+        picked = (
+            cand.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("l_suppkey"))
+            .limit(1)
+            .collect()
+        )
+        if not picked:  # universe exhausted before k steps (small SFs)
+            break
+        best = picked[0]
+        newly = cand.filter(F.col("l_suppkey") == best.l_suppkey).select(
+            "l_partkey"
+        )
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly)
+        ).localCheckpoint()
+        cum += best.gain
+        rows.append((step, int(best.l_suppkey), int(best.gain), cum))
+    out = spark.createDataFrame(
+        rows, "step int, s_suppkey bigint, gain bigint, covered bigint"
+    )
+    return out.select(
+        "step",
+        "s_suppkey",
+        "gain",
+        "covered",
+        F.round(F.col("covered") / (1.0 * F.lit(total)), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("step")
+
+
+supplier_part_coverage.__doc__ = supplier_part_coverage.__doc__.format(
+    k=_COVER_STEPS
+)
+
+
+# --------------------------------------------------------------------------
+# event-type co-occurrence lift
+# --------------------------------------------------------------------------
+
+_LIFT_ORACLE = """
+    with ut as (
+        select distinct user_id, event_type from events
+    ), n as (
+        select count(distinct user_id) as nu from ut
+    ), per as (
+        select event_type, count(*) as cnt from ut group by event_type
+    ), co as (
+        select a.event_type as type_a, b.event_type as type_b,
+               count(*) as n_both
+        from ut a join ut b
+          on a.user_id = b.user_id and a.event_type < b.event_type
+        group by 1, 2
+    )
+    select co.type_a, co.type_b,
+           cast(pa.cnt as bigint) as n_a, cast(pb.cnt as bigint) as n_b,
+           cast(co.n_both as bigint) as n_both,
+           ((2000000 * co.n_both + nu) // (2 * nu)) / 1000000
+               as support,
+           round(co.n_both * nu / (1.0 * pa.cnt * pb.cnt), 6) as lift
+    from co
+    join per pa on pa.event_type = co.type_a
+    join per pb on pb.event_type = co.type_b
+    cross join n
+    order by type_a, type_b
+"""
+
+
+@register("event_type_lift_pairs", _LIFT_ORACLE)
+def event_type_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types at user grain: for each
+    type pair (a < b), the distinct-user co-occurrence count, support
+    n_both/N (integer half-up at 6dp), and lift = n_both·N/(n_a·n_b)
+    (exact bigint cross-multiplication, one final division) — lift > 1
+    means the behaviors attract, < 1 they repel. The self-join runs on
+    the DISTINCT (user, type) relation — |users|·|types| rows, never
+    the fact table — and the per-type counts broadcast. At 100 TB the
+    pair grain is |types|² ≤ tiny; the only real shuffle is the
+    distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    nu = ut.agg(F.countDistinct("user_id").alias("nu"))
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"), F.col("cnt").alias("n_a")
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"), F.col("cnt").alias("n_b")
+    )
+    return (
+        co.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr("((2000000 * n_both + nu) div (2 * nu)) / 1000000").alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both") * F.col("nu") / (1.0 * F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# seasonal-naive forecast backtest over the daily order series
+# --------------------------------------------------------------------------
+
+_SNAIVE_ORACLE = """
+    with daily0 as (
+        select date_diff('day',
+                   (select min(cast(o_orderdate as date)) from orders),
+                   cast(o_orderdate as date)) as t,
+               count(*) as x
+        from orders group by 1
+    ), spine as (
+        select unnest(generate_series(0, (select max(t) from daily0))) as t
+    ), daily as materialized (
+        select spine.t, coalesce(daily0.x, 0) as x
+        from spine left join daily0 on daily0.t = spine.t
+    ), lagged as materialized (
+        select t, x,
+               lag(x, 7) over (order by t) as x7,
+               lag(x, 1) over (order by t) as x1
+        from daily
+    ), err as (
+        select count(x7) as n7,
+               sum(abs(x - x7)) as ae7,
+               sum((x - x7) * (x - x7)) as se7,
+               count(x1) as n1,
+               sum(abs(x - x1)) as ae1
+        from lagged
+    )
+    select cast(n7 as bigint) as n_pairs,
+           ((20000 * ae7 + n7) // (2 * n7)) / 10000 as mae_seasonal,
+           round(sqrt(se7 / (1.0 * n7)), 4) as rmse_seasonal,
+           round(ae7 * n1 / (1.0 * ae1 * n7), 6) as mase
+    from err
+"""
+
+
+@register("orders_seasonal_naive_backtest", _SNAIVE_ORACLE)
+def orders_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast-QA backtest of the SEASONAL-NAIVE model (x̂ₜ = xₜ₋₇) on
+    the zero-filled daily order-count series: MAE (integer error sum,
+    half-up at 4dp via the (2s+n) div (2n) device), RMSE (integer
+    squared-error sum; the one sqrt is an IEEE correctly-rounded op, so
+    it's bit-identical on the identical quotient), and MASE — the
+    scale-free forecast score: seasonal MAE over the lag-1 naive MAE,
+    restated as ONE bigint cross-ratio ae7·n1/(ae1·n7) so no
+    intermediate float divides. MASE < 1 beats the naive carry-forward.
+    Plan: one fact scan → daily aggregate → spine zero-fill → two lag()
+    windows over |days| rows → 1-row summary. The backtest pattern
+    (train-free model, walk-forward errors) is what a 100 TB demand
+    series actually gets gated on."""
+    orders = load_table(spark, sf_dir, "orders")
+    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+    idx = orders.crossJoin(F.broadcast(lo)).select(
+        F.datediff(F.to_date("o_orderdate"), F.col("lo")).alias("t")
+    )
+    cnt = idx.groupBy("t").agg(F.count(F.lit(1)).alias("x"))
+    span = idx.agg(F.max("t").alias("tmax"))
+    spine = span.select(
+        F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
+    )
+    daily = spine.join(cnt, "t", "left").select(
+        "t", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = Window.orderBy("t")
+    lagged = daily.select(
+        "t",
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    err = lagged.agg(
+        F.count("x7").alias("n7"),
+        F.sum(F.abs(F.col("x") - F.col("x7"))).alias("ae7"),
+        F.sum(
+            (F.col("x") - F.col("x7")) * (F.col("x") - F.col("x7"))
+        ).alias("se7"),
+        F.count("x1").alias("n1"),
+        F.sum(F.abs(F.col("x") - F.col("x1"))).alias("ae1"),
+    )
+    return err.select(
+        F.col("n7").cast("bigint").alias("n_pairs"),
+        F.expr("((20000 * ae7 + n7) div (2 * n7)) / 10000").alias(
+            "mae_seasonal"
+        ),
+        F.round(F.sqrt(F.col("se7") / (1.0 * F.col("n7"))), 4).alias(
+            "rmse_seasonal"
+        ),
+        F.round(
+            F.col("ae7") * F.col("n1") / (1.0 * F.col("ae1") * F.col("n7")),
+            6,
+        ).alias("mase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kadane hottest streak per nation (max subarray of centered dailies)
+# --------------------------------------------------------------------------
+
+_KADANE_ORACLE = """
+    with ord as (
+        select c.c_nationkey,
+               date_diff('day',
+                   (select min(cast(o_orderdate as date)) from orders),
+                   cast(o_orderdate as date)) as t,
+               cast(round(o.o_totalprice * 100) as bigint) as cents
+        from orders o join customer c on o.o_custkey = c.c_custkey
+    ), spine as (
+        select n.n_nationkey, n.n_name, gs.t
+        from nation n
+        cross join (select unnest(generate_series(0,
+                        (select max(t) from ord))) as t) gs
+    ), daily as materialized (
+        select spine.n_name, spine.t, coalesce(sum(ord.cents), 0) as x
+        from spine left join ord
+          on ord.c_nationkey = spine.n_nationkey and ord.t = spine.t
+        group by 1, 2
+    ), stats as (
+        select n_name, count(*) as tt, sum(x) as s from daily group by 1
+    ), pre as materialized (
+        select d.n_name, d.t,
+               sum(st.tt * d.x - st.s) over (partition by d.n_name
+                   order by d.t rows between unbounded preceding
+                   and current row) as p
+        from daily d join stats st using (n_name)
+    ), best as materialized (
+        select n_name, t, p,
+               p - least(coalesce(min(p) over (partition by n_name
+                       order by t rows between unbounded preceding
+                       and 1 preceding), 0), 0) as gain
+        from pre
+    ), top as materialized (
+        select n_name, t as end_t, gain,
+               p - gain as floor_p
+        from best
+        qualify row_number() over (partition by n_name
+                                   order by gain desc, t) = 1
+    ), start as (
+        select top.n_name, top.end_t, top.gain,
+               coalesce(min(pre.t) + 1, 0) as start_t
+        from top left join pre
+          on pre.n_name = top.n_name and pre.t < top.end_t
+             and pre.p = top.floor_p
+        group by 1, 2, 3
+    )
+    select n_name,
+           cast(start_t as bigint) as start_t,
+           cast(end_t as bigint) as end_t,
+           cast(end_t - start_t + 1 as bigint) as streak_days,
+           cast(gain as bigint) as scaled_gain
+    from start
+    order by n_name
+"""
+
+
+@register("customer_kadane_window", _KADANE_ORACLE)
+def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest revenue streak per nation — Kadane's maximum-subarray
+    over the MEAN-CENTERED daily order totals, restated for SQL as the
+    prefix-sum identity: best window ending at t = Pₜ − min(0, min_{j<t}
+    Pⱼ). Centering reuses the bigint device from the autocorrelation
+    entry (yₜ = T·xₜ − S clears the mean's division, so every prefix
+    sum is an exact integer and the argmax has no float in it); ties
+    pin on the earliest end day, and the streak start is the earliest
+    prefix row attaining the floor (0 rows ⇒ the series start). The
+    answer is the contiguous run of days most above the nation's own
+    average — "when was this market hottest, and for how long". Plan:
+    fact scan → (nation, day) aggregate zero-filled on a dyadic-free
+    dense spine → one per-nation cumulative window → argmax → a
+    |nations|-row join back for the start index."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+    ords = (
+        orders.crossJoin(F.broadcast(lo))
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.datediff(F.to_date("o_orderdate"), F.col("lo")).alias("t"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    span = ords.agg(F.max("t").alias("tmax"))
+    spine = (
+        nation.crossJoin(F.broadcast(span))
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+        )
+    )
+    cnt = ords.groupBy("c_nationkey", "t").agg(F.sum("cents").alias("xs"))
+    daily = (
+        spine.join(
+            cnt,
+            (spine["n_nationkey"] == cnt["c_nationkey"])
+            & (spine["t"] == cnt["t"]),
+            "left",
+        )
+        .select(
+            "n_name",
+            spine["t"].alias("t"),
+            F.coalesce("xs", F.lit(0)).alias("x"),
+        )
+    )
+    stats = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("tt"), F.sum("x").alias("s")
+    )
+    w_cum = Window.partitionBy("n_name").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.partitionBy("n_name").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = daily.join(F.broadcast(stats), "n_name").select(
+        "n_name",
+        "t",
+        F.sum(F.col("tt") * F.col("x") - F.col("s")).over(w_cum).alias("p"),
+    )
+    best = pre.select(
+        "n_name",
+        "t",
+        "p",
+        (
+            F.col("p")
+            - F.least(F.coalesce(F.min("p").over(w_prev), F.lit(0)), F.lit(0))
+        ).alias("gain"),
+    )
+    top = (
+        best.select(
+            "n_name",
+            "t",
+            "gain",
+            (F.col("p") - F.col("gain")).alias("floor_p"),
+            F.row_number()
+            .over(
+                Window.partitionBy("n_name").orderBy(
+                    F.col("gain").desc(), F.col("t")
+                )
+            )
+            .alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("n_name", F.col("t").alias("end_t"), "gain", "floor_p")
+    )
+    start = (
+        top.join(
+            pre.select(
+                F.col("n_name").alias("pn"),
+                F.col("t").alias("pt"),
+                F.col("p").alias("pp"),
+            ),
+            (F.col("pn") == F.col("n_name"))
+            & (F.col("pt") < F.col("end_t"))
+            & (F.col("pp") == F.col("floor_p")),
+            "left",
+        )
+        .groupBy("n_name", "end_t", "gain")
+        .agg(F.coalesce(F.min("pt") + 1, F.lit(0)).alias("start_t"))
+    )
+    return start.select(
+        "n_name",
+        F.col("start_t").cast("bigint").alias("start_t"),
+        F.col("end_t").cast("bigint").alias("end_t"),
+        (F.col("end_t") - F.col("start_t") + 1)
+        .cast("bigint")
+        .alias("streak_days"),
+        F.col("gain").cast("bigint").alias("scaled_gain"),
+    ).orderBy("n_name")

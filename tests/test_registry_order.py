@@ -120,6 +120,12 @@ POST_FREEZE: set[str] = {
     "event_type_autocorr",
     "customer_cohort_retention",
     "event_value_page_hinkley",
+    # battery_r9c (registered post-freeze): combinatorial / basket /
+    # forecast-QA families
+    "supplier_part_coverage",
+    "event_type_lift_pairs",
+    "orders_seasonal_naive_backtest",
+    "customer_kadane_window",
 }
 
 
