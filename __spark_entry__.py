@@ -151,6 +151,7 @@ def _registry():
         battery_r9,
         battery_r9b,
         battery_r9c,
+        battery_r9d,
         battery_temporal,
         battery_text,
     )

@@ -126,6 +126,10 @@ POST_FREEZE: set[str] = {
     "event_type_lift_pairs",
     "orders_seasonal_naive_backtest",
     "customer_kadane_window",
+    # battery_r9d (registered post-freeze): SPC / survival / Pareto
+    "event_value_ewma_bands",
+    "user_survival_kaplan_meier",
+    "customer_pareto_vital_few",
 }
 
 
