@@ -1,16 +1,17 @@
-"""Round-9b battery additions — five classic customer/series analytics
+"""Round-9b battery additions — classic series/product analytics
 families the battery had not yet covered, each with exact-arithmetic
 cross-engine parity:
 
-- RFM quintile segmentation (ntile ranks with pinned tiebreaks, integer
-  cents, rule-based segment labels);
-- per-nation Gini concentration of customer spend (the sorted-rank
-  closed form — all bigint until one final division);
 - lag-k autocorrelation of the daily event series (numerator/denominator
   cross-multiplied into exact bigints — no per-row float deviations);
 - weekly cohort retention triangle (first-seen cohorts × week offsets);
 - Page–Hinkley drift alarm over micro-exact daily means (running-mean
   deviations folded in t-order — the sequential-fold parity device).
+
+(An RFM and a Gini entry drafted for this module were DROPPED before
+registration review — `customer_rfm_segments` (battery_quality.py) and
+`customer_revenue_gini` (battery_mining.py) already cover those
+families; duplicating them would be registry padding.)
 
 All oracle-paired; registered into the shared REGISTRY on import.
 """
@@ -22,217 +23,6 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
-
-# --------------------------------------------------------------------------
-# RFM quintile segmentation
-# --------------------------------------------------------------------------
-
-_RFM_LABEL_SQL = """
-    case when r_q >= 4 and f_q >= 4 and m_q >= 4 then 'champion'
-         when r_q >= 4 and f_q <= 2 then 'new'
-         when r_q <= 2 and f_q >= 4 then 'at_risk'
-         when r_q <= 1 and f_q <= 1 then 'lost'
-         else 'regular' end
-"""
-
-_RFM_ORACLE = f"""
-    with cust as (
-        select o_custkey,
-               count(*) as frequency,
-               sum(cast(round(o_totalprice * 100) as bigint)) as cents,
-               max(cast(o_orderdate as date)) as last_day
-        from orders group by o_custkey
-    ), anchor as (
-        select max(last_day) as hi from cust
-    ), scored as (
-        select o_custkey, frequency, cents,
-               date_diff('day', last_day, hi) as recency,
-               ntile(5) over (order by date_diff('day', last_day, hi) desc,
-                              o_custkey) as r_q,
-               ntile(5) over (order by frequency, o_custkey) as f_q,
-               ntile(5) over (order by cents, o_custkey) as m_q
-        from cust, anchor
-    )
-    select r_q, f_q, m_q, {_RFM_LABEL_SQL} as segment,
-           cast(count(*) as bigint) as n_customers,
-           ((2 * sum(cents) + count(*)) // (2 * count(*))) / 100
-               as avg_monetary,
-           ((200 * sum(recency) + count(*)) // (2 * count(*))) / 100
-               as avg_recency_days
-    from scored
-    group by r_q, f_q, m_q
-    order by r_q, f_q, m_q
-"""
-
-
-@register("order_rfm_segments", _RFM_ORACLE)
-def order_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM (recency / frequency / monetary) quintile segmentation — THE
-    retention-marketing workhorse: per customer, days since last order
-    (against the dataset's max order day), order count, and lifetime
-    cents; each ranked into quintiles by ``ntile(5)`` with tiebreaks
-    pinned on c_custkey (ntile is purely order+count-determined, so
-    pinned order ⇒ identical buckets cross-engine); rule-based segment
-    labels (champion / new / at_risk / lost) over the (r,f,m) cube.
-    Integer cents keep monetary sums exact; the only floats are the
-    final per-segment averages (exact-rational divisions, rounded).
-    Plan: one orders aggregate (map-side combinable), a 1-row anchor
-    broadcast, three |customers|-row window ranks, one ≤125-row
-    aggregate. At 100 TB the windows are global sorts over the
-    CUSTOMER aggregate (not the fact table) — ntile needs a total
-    order; if even that aggregate outgrew a sort, the quintile
-    boundaries would come from approx percentiles instead (the
-    documented trade)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = orders.groupBy("o_custkey").agg(
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "cents"
-        ),
-        F.max(F.to_date("o_orderdate")).alias("last_day"),
-    )
-    anchor = cust.agg(F.max("last_day").alias("hi"))
-    rec = F.datediff(F.col("hi"), F.col("last_day"))
-    scored = cust.crossJoin(F.broadcast(anchor)).select(
-        "o_custkey",
-        "frequency",
-        "cents",
-        rec.alias("recency"),
-        F.ntile(5)
-        .over(Window.orderBy(rec.desc(), F.col("o_custkey")))
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "o_custkey"))
-        .alias("f_q"),
-        F.ntile(5).over(Window.orderBy("cents", "o_custkey")).alias("m_q"),
-    )
-    seg = (
-        F.when(
-            (F.col("r_q") >= 4) & (F.col("f_q") >= 4) & (F.col("m_q") >= 4),
-            "champion",
-        )
-        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "new")
-        .when((F.col("r_q") <= 2) & (F.col("f_q") >= 4), "at_risk")
-        .when((F.col("r_q") <= 1) & (F.col("f_q") <= 1), "lost")
-        .otherwise("regular")
-    )
-    return (
-        scored.groupBy("r_q", "f_q", "m_q")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            F.sum("cents").alias("s_cents"),
-            F.sum("recency").alias("s_rec"),
-        )
-        # integer half-up rounding ((2s+n) div (2n)) sidesteps the
-        # round-a-double .xx5 divergence (Spark rounds the shortest
-        # decimal string, DuckDB the true double — they disagree exactly
-        # at the boundary an exact-rational average loves to land on)
-        .withColumn(
-            "avg_monetary",
-            F.expr(
-                "((2 * s_cents + n_customers) div (2 * n_customers)) / 100"
-            ),
-        )
-        .withColumn(
-            "avg_recency_days",
-            F.expr(
-                "((200 * s_rec + n_customers) div (2 * n_customers)) / 100"
-            ),
-        )
-        .select(
-            "r_q",
-            "f_q",
-            "m_q",
-            seg.alias("segment"),
-            "n_customers",
-            "avg_monetary",
-            "avg_recency_days",
-        )
-        .orderBy("r_q", "f_q", "m_q")
-    )
-
-
-# --------------------------------------------------------------------------
-# per-nation Gini concentration of customer spend
-# --------------------------------------------------------------------------
-
-_GINI_ORACLE = """
-    with spend as (
-        select o_custkey,
-               sum(cast(round(o_totalprice * 100) as bigint)) as cents
-        from orders group by o_custkey
-    ), nat as (
-        select n.n_name, s.o_custkey, s.cents,
-               row_number() over (partition by n.n_name
-                                  order by s.cents, s.o_custkey) as rk
-        from spend s
-        join customer c on s.o_custkey = c.c_custkey
-        join nation n on c.c_nationkey = n.n_nationkey
-    )
-    select n_name,
-           cast(count(*) as bigint) as n_customers,
-           round(sum(cents) / 100.0, 2) as total_spend,
-           round((2.0 * sum(rk * cents) - (count(*) + 1) * sum(cents))
-                 / (1.0 * count(*) * sum(cents)), 6) as gini
-    from nat
-    group by n_name
-    order by n_name
-"""
-
-
-@register("customer_order_gini", _GINI_ORACLE)
-def customer_order_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of customer-spend concentration per nation —
-    the inequality staple (0 = everyone spends alike, →1 = one whale):
-    sorted-rank closed form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) with xᵢ
-    ascending. Every term is bigint (cents × row_number — at 1000× the
-    data Σ i·xᵢ ≈ 10¹⁸·…/nation still inside int64 for realistic
-    nations; the two divisions happen once per nation at the end), so
-    parity is exact to the final rounding. Rank ties pin on c_custkey.
-    Plan: fact aggregate → two broadcast dim joins → one |customers|
-    window rank partitioned by nation → |nations|-row aggregate."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "cents"
-        )
-    )
-    nat = (
-        spend.join(F.broadcast(cust), spend["o_custkey"] == cust["c_custkey"])
-        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
-        .select("n_name", "o_custkey", "cents")
-    )
-    ranked = nat.select(
-        "n_name",
-        "cents",
-        F.row_number()
-        .over(Window.partitionBy("n_name").orderBy("cents", "o_custkey"))
-        .alias("rk"),
-    )
-    n = F.count(F.lit(1))
-    return (
-        ranked.groupBy("n_name")
-        .agg(
-            n.cast("bigint").alias("n_customers"),
-            F.round(F.sum("cents") / 100.0, 2).alias("total_spend"),
-            F.round(
-                (
-                    2.0 * F.sum(F.col("rk") * F.col("cents"))
-                    - (n + 1) * F.sum("cents")
-                )
-                / (1.0 * n * F.sum("cents")),
-                6,
-            ).alias("gini"),
-        )
-        .orderBy("n_name")
-    )
-
 
 # --------------------------------------------------------------------------
 # lag-k autocorrelation of the daily event series (exact bigint)
@@ -390,7 +180,10 @@ _COHORT_ORACLE = """
 @register("customer_cohort_retention", _COHORT_ORACLE)
 def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle — the product-analytics
-    companion to `user_growth_accounting`: users are cohorted by their
+    companion to `user_growth_accounting` (stocks/flows of the whole
+    base) and `cohort_cumulative_ltv` (money accumulation by cohort
+    age); this one is the ACTIVITY share per cell: users are cohorted
+    by their
     first-seen week, and each (cohort, week-offset) cell counts the
     cohort members active that week over the cohort size. Counts are
     exact integers; the single division rounds at the end. Plan: one

@@ -4,8 +4,6 @@ families, each with exact-arithmetic cross-engine parity:
 - greedy set cover of parts by suppliers (k driver-side steps, one
   anti-join + aggregate per step — the IRLS unrolled-materialized-CTE
   oracle discipline);
-- event-type co-occurrence lift (support / confidence / lift over
-  distinct user-type pairs, integer cross-multiplication);
 - seasonal-naive forecast backtest over the daily order series (MAE /
   RMSE / MASE with integer error sums; MASE as one bigint cross-ratio);
 - Kadane maximum-subarray "hottest streak" per nation over mean-centered
@@ -144,95 +142,6 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 supplier_part_coverage.__doc__ = supplier_part_coverage.__doc__.format(
     k=_COVER_STEPS
 )
-
-
-# --------------------------------------------------------------------------
-# event-type co-occurrence lift
-# --------------------------------------------------------------------------
-
-_LIFT_ORACLE = """
-    with ut as (
-        select distinct user_id, event_type from events
-    ), n as (
-        select count(distinct user_id) as nu from ut
-    ), per as (
-        select event_type, count(*) as cnt from ut group by event_type
-    ), co as (
-        select a.event_type as type_a, b.event_type as type_b,
-               count(*) as n_both
-        from ut a join ut b
-          on a.user_id = b.user_id and a.event_type < b.event_type
-        group by 1, 2
-    )
-    select co.type_a, co.type_b,
-           cast(pa.cnt as bigint) as n_a, cast(pb.cnt as bigint) as n_b,
-           cast(co.n_both as bigint) as n_both,
-           ((2000000 * co.n_both + nu) // (2 * nu)) / 1000000
-               as support,
-           round(co.n_both * nu / (1.0 * pa.cnt * pb.cnt), 6) as lift
-    from co
-    join per pa on pa.event_type = co.type_a
-    join per pb on pb.event_type = co.type_b
-    cross join n
-    order by type_a, type_b
-"""
-
-
-@register("event_type_lift_pairs", _LIFT_ORACLE)
-def event_type_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket lift between event types at user grain: for each
-    type pair (a < b), the distinct-user co-occurrence count, support
-    n_both/N (integer half-up at 6dp), and lift = n_both·N/(n_a·n_b)
-    (exact bigint cross-multiplication, one final division) — lift > 1
-    means the behaviors attract, < 1 they repel. The self-join runs on
-    the DISTINCT (user, type) relation — |users|·|types| rows, never
-    the fact table — and the per-type counts broadcast. At 100 TB the
-    pair grain is |types|² ≤ tiny; the only real shuffle is the
-    distinct."""
-    ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
-    nu = ut.agg(F.countDistinct("user_id").alias("nu"))
-    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    a = ut.alias("a")
-    b = ut.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
-        )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
-    pa = per.select(
-        F.col("event_type").alias("type_a"), F.col("cnt").alias("n_a")
-    )
-    pb = per.select(
-        F.col("event_type").alias("type_b"), F.col("cnt").alias("n_b")
-    )
-    return (
-        co.join(F.broadcast(pa), "type_a")
-        .join(F.broadcast(pb), "type_b")
-        .crossJoin(F.broadcast(nu))
-        .select(
-            "type_a",
-            "type_b",
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            F.col("n_both").cast("bigint").alias("n_both"),
-            F.expr("((2000000 * n_both + nu) div (2 * nu)) / 1000000").alias(
-                "support"
-            ),
-            F.round(
-                F.col("n_both") * F.col("nu") / (1.0 * F.col("n_a") * F.col("n_b")),
-                6,
-            ).alias("lift"),
-        )
-        .orderBy("type_a", "type_b")
-    )
 
 
 # --------------------------------------------------------------------------

@@ -6,13 +6,14 @@ exact or fold-exact cross-engine parity:
   step-for-step by a Spark ``F.aggregate`` lambda and a DuckDB recursive
   CTE — identical IEEE op sequence, so every smoothed value and every
   band-breach comparison is bit-identical;
-- Kaplan–Meier survival of time-to-first-purchase (right-censored at
-  end of observation): risk sets are exact integer cumulations and the
-  survival curve is a t-ordered cumulative PRODUCT window (both engines
-  left-fold the identical factors in the identical order);
 - Pareto "vital few" revenue concentration per nation (the smallest
   head of customers holding ≥80% of spend, decided by the exact integer
   inequality 5·cum ≥ 4·total).
+
+(A Kaplan–Meier entry drafted for this module was DROPPED before
+registration review — `order_gap_survival` (battery_mining.py) already
+covers censored product-limit survival; duplicating the family would be
+registry padding.)
 
 All oracle-paired; registered into the shared REGISTRY on import.
 """
@@ -76,7 +77,10 @@ def event_value_ewma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA control chart (the SPC staple between the Shewhart-style
     anomaly entry and CUSUM/Page–Hinkley): eₜ = λxₜ + (1−λ)eₜ₋₁ over
     the per-type daily micro-exact means, with ±3σ·√(λ/(2−λ)) control
-    bands around the series mean. Parity discipline: λ = 0.25 and both
+    bands around the series mean. Distinct from `user_value_ewma`
+    (battery_ext.py): that entry is the per-user trailing-20-row
+    SMOOTHING transform; this is the monitoring CHART — full-history
+    recursion, variance-matched control limits, and the breach verdict. Parity discipline: λ = 0.25 and both
     engines execute the SAME recurrence step-for-step — Spark as an
     ``F.aggregate`` left-fold over the day-sorted series array, DuckDB
     as a recursive CTE walking rn+1 — two multiplies and an add per
@@ -158,121 +162,6 @@ def event_value_ewma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Kaplan–Meier survival of time-to-first-purchase
-# --------------------------------------------------------------------------
-
-_KM_ORACLE = """
-    with per_user as (
-        select user_id,
-               min(cast(ts as date)) as first_day,
-               min(case when event_type = 'purchase'
-                        then cast(ts as date) end) as purch_day
-        from events group by user_id
-    ), horizon as (
-        select max(cast(ts as date)) as hi from events
-    ), obs as (
-        select user_id,
-               case when purch_day is not null
-                    then date_diff('day', first_day, purch_day)
-                    else date_diff('day', first_day, hi) end as t,
-               case when purch_day is not null then 1 else 0 end as ev
-        from per_user, horizon
-    ), tab as (
-        select t,
-               sum(ev) as d,
-               sum(1 - ev) as c
-        from obs group by t
-    ), risk as materialized (
-        select t, d, c,
-               (select count(*) from obs)
-                 - coalesce(sum(d + c) over (order by t
-                       rows between unbounded preceding and 1 preceding), 0)
-                 as n
-        from tab
-    )
-    select cast(t as bigint) as t,
-           cast(n as bigint) as n_risk,
-           cast(d as bigint) as n_events,
-           cast(c as bigint) as n_censored,
-           round(product(1 - d / cast(n as double))
-                     over (order by t rows between unbounded preceding
-                           and current row), 6) as survival
-    from risk
-    order by t
-"""
-
-
-@register("user_survival_kaplan_meier", _KM_ORACLE)
-def user_survival_kaplan_meier(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Kaplan–Meier survival curve of days-to-first-purchase per user,
-    right-censored at the end of observation for users who never
-    purchase — the survival-analysis staple the battery lacked (time-
-    to-event with censoring is NOT a quantile of observed latencies;
-    `signup_purchase_latency_quantiles` conditions on conversion, KM
-    does not). Risk sets are exact integers (n_t = N − Σ_{s<t}(d+c) via
-    one cumulative window over the ≤|days| distinct-time table) and
-    Ŝ(t) = Π_{s≤t}(1 − dₛ/nₛ) is a t-ordered cumulative PRODUCT window
-    — both engines left-fold the identical (1 − d/n) doubles in the
-    identical order (each factor an exact-rational IEEE division), so
-    the curve is bit-identical before the final display rounding.
-    Censor-only times keep their row (factor 1) so the n_risk ledger is
-    audit-complete. One fact scan → per-user min aggregate → bounded
-    time table; nothing fact-sized enters a window."""
-    ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("first_day"),
-        F.min(
-            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
-        ).alias("purch_day"),
-    )
-    horizon = ev.agg(F.max(F.to_date("ts")).alias("hi"))
-    obs = per_user.crossJoin(F.broadcast(horizon)).select(
-        F.when(
-            F.col("purch_day").isNotNull(),
-            F.datediff("purch_day", "first_day"),
-        )
-        .otherwise(F.datediff("hi", "first_day"))
-        .alias("t"),
-        F.when(F.col("purch_day").isNotNull(), 1).otherwise(0).alias("ev"),
-    )
-    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
-    tab = obs.groupBy("t").agg(
-        F.sum("ev").alias("d"), F.sum(1 - F.col("ev")).alias("c")
-    )
-    w_prev = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_cum = Window.orderBy("t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    risk = tab.crossJoin(F.broadcast(n_total)).select(
-        "t",
-        "d",
-        "c",
-        (
-            F.col("n_total")
-            - F.coalesce(
-                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
-            )
-        ).alias("n"),
-    )
-    return risk.select(
-        F.col("t").cast("bigint").alias("t"),
-        F.col("n").cast("bigint").alias("n_risk"),
-        F.col("d").cast("bigint").alias("n_events"),
-        F.col("c").cast("bigint").alias("n_censored"),
-        F.round(
-            F.product(1 - F.col("d") / F.col("n").cast("double")).over(
-                w_cum
-            ),
-            6,
-        ).alias("survival"),
-    ).orderBy("t")
-
-
-# --------------------------------------------------------------------------
 # Pareto vital-few revenue concentration per nation
 # --------------------------------------------------------------------------
 
@@ -314,8 +203,10 @@ def customer_pareto_vital_few(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-spending customers holding ≥ 80% of national revenue, the
     fraction of the customer base they are, and the single-largest
     customer's share — the 80/20 audit every account-management review
-    runs, and the concentration dual of the Gini entry (Gini summarizes
-    the whole curve; this names the head). The ≥80% decision is the
+    runs, and the inverse Lorenz read to `customer_revenue_gini`
+    (battery_mining.py): that entry summarizes the whole curve (Gini)
+    and reports the top-DECILE's share; this one inverts the question —
+    how small is the head that holds 80% — per nation. The ≥80% decision is the
     EXACT integer inequality 5·cum ≥ 4·total on cents (no float share
     crosses the threshold), ranks pin ties on c_custkey, and the vital
     fraction rounds by the integer half-up device. Plan: fact aggregate

@@ -113,22 +113,17 @@ POST_FREEZE: set[str] = {
     "doc_reservoir_sample",
     "user_hll_sparse_audit",
     "event_psi_stream_ledger",
-    # battery_r9b (registered post-freeze): classic customer/series
+    # battery_r9b (registered post-freeze): classic series/product
     # analytics families
-    "order_rfm_segments",
-    "customer_order_gini",
     "event_type_autocorr",
     "customer_cohort_retention",
     "event_value_page_hinkley",
-    # battery_r9c (registered post-freeze): combinatorial / basket /
-    # forecast-QA families
+    # battery_r9c (registered post-freeze): combinatorial / forecast-QA
     "supplier_part_coverage",
-    "event_type_lift_pairs",
     "orders_seasonal_naive_backtest",
     "customer_kadane_window",
-    # battery_r9d (registered post-freeze): SPC / survival / Pareto
+    # battery_r9d (registered post-freeze): SPC / Pareto
     "event_value_ewma_bands",
-    "user_survival_kaplan_meier",
     "customer_pareto_vital_few",
 }
 
