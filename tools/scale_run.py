@@ -220,6 +220,22 @@ EXTRA_FAMILIES_R8 = [
 ]
 
 
+# round-9 additions, measured separately (--extras-r9), appended as r9_*
+EXTRA_FAMILIES_R9 = [
+    "doc_reservoir_sample",           # one window top-k per lang
+    "user_hll_sparse_audit",          # exploded 2x scan, 64-register agg
+    "event_psi_stream_ledger",        # 3-batch foreachBatch count merge
+    "event_type_autocorr",            # (type, day) pre-agg + lead windows
+    "customer_cohort_retention",      # per-user min + distinct (cohort, wk)
+    "event_value_page_hinkley",       # (type, day) pre-agg + window chain
+    "supplier_part_coverage",         # 5 greedy anti-join + agg steps
+    "orders_seasonal_naive_backtest",  # daily agg + 2 lag windows
+    "customer_kadane_window",         # (nation, day) agg + prefix windows
+    "event_value_ewma_bands",         # per-type fold over |days| array
+    "customer_pareto_vital_few",      # per-nation ranked window
+]
+
+
 def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
                families: list[str] | None = None, prefix: str = "r6_") -> int:
     """Time an extras family list at both SFs, merge into SCALE_RUN.json."""
@@ -253,7 +269,9 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 
 
 def main() -> int:
-    if len(sys.argv) > 1 and sys.argv[1] in ("--extras", "--extras-r7", "--extras-r8"):
+    if len(sys.argv) > 1 and sys.argv[1] in (
+        "--extras", "--extras-r7", "--extras-r8", "--extras-r9"
+    ):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
         only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
@@ -263,6 +281,9 @@ def main() -> int:
         if sys.argv[1] == "--extras-r8":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R8, prefix="r8_")
+        if sys.argv[1] == "--extras-r9":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R9, prefix="r9_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
