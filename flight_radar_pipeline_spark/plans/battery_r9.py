@@ -1,8 +1,6 @@
-"""Round-9 battery additions — the round-8 verdict's directive-7 trio:
+"""Round-9 battery additions — from the round-8 verdict's directive-7
+candidates:
 
-- `doc_reservoir_sample`: uniform k-per-group reservoir sampling restated
-  as mergeable bottom-k priority sampling (52-bit md5 priority) — exact
-  integer ordering, zero floats, same rows on any engine/partitioning;
 - `user_hll_sparse_audit`: a from-scratch HyperLogLog over an
   md5-derived hash with the HLL++ regime rule (linear counting vs raw
   harmonic estimate) audited against exact distinct counts on BOTH
@@ -12,6 +10,13 @@
   foreachBatch maintains (period, bin) integer counts across
   chronological microbatches (exact under any merge order), then the
   Laplace-smoothed PSI runs over the maintained state.
+
+(The verdict's third candidate — a deterministic md5 reservoir sample —
+was drafted and DROPPED before registration review: the registry already
+holds the family twice, `doc_stratified_sample` (exact per-stratum
+quotas via md5-rank top-N — the same bottom-k-priority mechanism) and
+`doc_weighted_sample` (Efraimidis–Spirakis A-Res); a third variant would
+be padding.)
 
 All oracle-paired; registered into the shared REGISTRY on import.
 """
@@ -23,83 +28,6 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
-
-# --------------------------------------------------------------------------
-# uniform k-per-group reservoir via mergeable bottom-k md5 priorities
-# --------------------------------------------------------------------------
-
-_RES_K = 10
-_RES_SALT = "res9"
-
-_RES_ORACLE = f"""
-    with pri as (
-        select lang, doc_id,
-               ('0x' || substr(md5('{_RES_SALT}-' || doc_id::varchar), 1, 13))::bigint
-                   as priority
-        from documents
-    ), ranked as (
-        select lang, doc_id, priority,
-               row_number() over (partition by lang
-                                  order by priority, doc_id) as position
-        from pri
-    )
-    select lang, cast(position as bigint) as position, doc_id, priority
-    from ranked where position <= {_RES_K}
-    order by lang, position
-"""
-
-
-@register("doc_reservoir_sample", _RES_ORACLE)
-def doc_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uniform k-per-group reservoir sample as BOTTOM-K PRIORITY
-    sampling: each doc gets a 52-bit priority from md5(salt‖doc_id) and
-    the k smallest per lang are the sample — distributionally identical
-    to Algorithm R's uniform k-of-n (a uniform random priority order is
-    a uniform random permutation) but, unlike the sequential reservoir,
-    MERGEABLE: bottom-k is a monoid (bottom-k of a union = bottom-k of
-    concatenated partial bottom-k's), so every partition keeps k rows,
-    partials combine associatively, and the same rows come out on any
-    engine, any partitioning, any rerun — what `df.sample()` can never
-    promise. At 100 TB this is a map-side partial top-k per partition
-    (Spark's window TopK pushes the limit into the sort), shuffling
-    only |groups|·k candidate rows. Parity is EXACT: priorities are
-    bigints (no float key, no transcendental), ties cannot occur within
-    a lang (the priority is a function of doc_id; equal hashes break on
-    doc_id anyway)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pri = docs.select(
-        "lang",
-        "doc_id",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("-", F.lit(_RES_SALT), F.col("doc_id"))),
-                1,
-                13,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("priority"),
-    )
-    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
-    return (
-        pri.select(
-            "lang",
-            "doc_id",
-            "priority",
-            F.row_number().over(w).alias("position"),
-        )
-        .filter(F.col("position") <= _RES_K)
-        .select(
-            "lang",
-            F.col("position").cast("bigint").alias("position"),
-            "doc_id",
-            "priority",
-        )
-        .orderBy("lang", "position")
-    )
-
 
 # --------------------------------------------------------------------------
 # HyperLogLog regime audit: linear-counting vs raw estimate vs exact

@@ -1,13 +1,17 @@
-"""Round-9c battery additions — combinatorial / basket / forecast-QA
-families, each with exact-arithmetic cross-engine parity:
+"""Round-9c battery additions — combinatorial / series families with
+exact-arithmetic cross-engine parity:
 
 - greedy set cover of parts by suppliers (k driver-side steps, one
   anti-join + aggregate per step — the IRLS unrolled-materialized-CTE
   oracle discipline);
-- seasonal-naive forecast backtest over the daily order series (MAE /
-  RMSE / MASE with integer error sums; MASE as one bigint cross-ratio);
 - Kadane maximum-subarray "hottest streak" per nation over mean-centered
   daily order totals (the prefix-sum restatement on exact bigints).
+
+(Two entries drafted for this module were DROPPED before registration
+review because the registry already covers their families —
+`session_event_type_lift` (battery_ext.py) and `event_seasonal_baseline`
+(battery_mining.py: the seasonal-profile holdout backtest); duplicating
+them would be registry padding.)
 
 All oracle-paired; registered into the shared REGISTRY on import.
 """
@@ -142,103 +146,6 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 supplier_part_coverage.__doc__ = supplier_part_coverage.__doc__.format(
     k=_COVER_STEPS
 )
-
-
-# --------------------------------------------------------------------------
-# seasonal-naive forecast backtest over the daily order series
-# --------------------------------------------------------------------------
-
-_SNAIVE_ORACLE = """
-    with daily0 as (
-        select date_diff('day',
-                   (select min(cast(o_orderdate as date)) from orders),
-                   cast(o_orderdate as date)) as t,
-               count(*) as x
-        from orders group by 1
-    ), spine as (
-        select unnest(generate_series(0, (select max(t) from daily0))) as t
-    ), daily as materialized (
-        select spine.t, coalesce(daily0.x, 0) as x
-        from spine left join daily0 on daily0.t = spine.t
-    ), lagged as materialized (
-        select t, x,
-               lag(x, 7) over (order by t) as x7,
-               lag(x, 1) over (order by t) as x1
-        from daily
-    ), err as (
-        select count(x7) as n7,
-               sum(abs(x - x7)) as ae7,
-               sum((x - x7) * (x - x7)) as se7,
-               count(x1) as n1,
-               sum(abs(x - x1)) as ae1
-        from lagged
-    )
-    select cast(n7 as bigint) as n_pairs,
-           ((20000 * ae7 + n7) // (2 * n7)) / 10000 as mae_seasonal,
-           round(sqrt(se7 / (1.0 * n7)), 4) as rmse_seasonal,
-           round(ae7 * n1 / (1.0 * ae1 * n7), 6) as mase
-    from err
-"""
-
-
-@register("orders_seasonal_naive_backtest", _SNAIVE_ORACLE)
-def orders_seasonal_naive_backtest(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Forecast-QA backtest of the SEASONAL-NAIVE model (x̂ₜ = xₜ₋₇) on
-    the zero-filled daily order-count series: MAE (integer error sum,
-    half-up at 4dp via the (2s+n) div (2n) device), RMSE (integer
-    squared-error sum; the one sqrt is an IEEE correctly-rounded op, so
-    it's bit-identical on the identical quotient), and MASE — the
-    scale-free forecast score: seasonal MAE over the lag-1 naive MAE,
-    restated as ONE bigint cross-ratio ae7·n1/(ae1·n7) so no
-    intermediate float divides. MASE < 1 beats the naive carry-forward.
-    Plan: one fact scan → daily aggregate → spine zero-fill → two lag()
-    windows over |days| rows → 1-row summary. The backtest pattern
-    (train-free model, walk-forward errors) is what a 100 TB demand
-    series actually gets gated on."""
-    orders = load_table(spark, sf_dir, "orders")
-    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
-    idx = orders.crossJoin(F.broadcast(lo)).select(
-        F.datediff(F.to_date("o_orderdate"), F.col("lo")).alias("t")
-    )
-    cnt = idx.groupBy("t").agg(F.count(F.lit(1)).alias("x"))
-    span = idx.agg(F.max("t").alias("tmax"))
-    spine = span.select(
-        F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t")
-    )
-    daily = spine.join(cnt, "t", "left").select(
-        "t", F.coalesce("x", F.lit(0)).alias("x")
-    )
-    w = Window.orderBy("t")
-    lagged = daily.select(
-        "t",
-        "x",
-        F.lag("x", 7).over(w).alias("x7"),
-        F.lag("x", 1).over(w).alias("x1"),
-    )
-    err = lagged.agg(
-        F.count("x7").alias("n7"),
-        F.sum(F.abs(F.col("x") - F.col("x7"))).alias("ae7"),
-        F.sum(
-            (F.col("x") - F.col("x7")) * (F.col("x") - F.col("x7"))
-        ).alias("se7"),
-        F.count("x1").alias("n1"),
-        F.sum(F.abs(F.col("x") - F.col("x1"))).alias("ae1"),
-    )
-    return err.select(
-        F.col("n7").cast("bigint").alias("n_pairs"),
-        F.expr("((20000 * ae7 + n7) div (2 * n7)) / 10000").alias(
-            "mae_seasonal"
-        ),
-        F.round(F.sqrt(F.col("se7") / (1.0 * F.col("n7"))), 4).alias(
-            "rmse_seasonal"
-        ),
-        F.round(
-            F.col("ae7") * F.col("n1") / (1.0 * F.col("ae1") * F.col("n7")),
-            6,
-        ).alias("mase"),
-    )
 
 
 # --------------------------------------------------------------------------

@@ -81,9 +81,6 @@ ALLOWED_BNLJ = {
     "event_value_wasserstein_drift",  # 1-row span broadcast (period split)
     # round-9 additions: all 1-row anchor/span/total broadcasts
     "event_psi_stream_ledger",    # 1-row (tr, tc) totals broadcast
-    "event_type_autocorr",        # 1-row min-day + 1-row max-t broadcasts
-    "customer_cohort_retention",  # 1-row min-day + 1-row N broadcasts
-    "orders_seasonal_naive_backtest",  # 1-row min-day broadcast
     "customer_kadane_window",     # 1-row min-day + 1-row max-t broadcasts
 }
 

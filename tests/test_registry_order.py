@@ -109,18 +109,14 @@ def test_unique_operator_coverage_pinned():
 # candidates for round 10; append here when adding queries mid-round)
 POST_FREEZE: set[str] = {
     # battery_r9 (registered post-freeze): the round-8 verdict's
-    # directive-7 trio
-    "doc_reservoir_sample",
+    # directive-7 candidates (the reservoir one was dropped — the
+    # registry already holds doc_stratified_sample/doc_weighted_sample)
     "user_hll_sparse_audit",
     "event_psi_stream_ledger",
-    # battery_r9b (registered post-freeze): classic series/product
-    # analytics families
-    "event_type_autocorr",
-    "customer_cohort_retention",
+    # battery_r9b (registered post-freeze)
     "event_value_page_hinkley",
-    # battery_r9c (registered post-freeze): combinatorial / forecast-QA
+    # battery_r9c (registered post-freeze): combinatorial / series
     "supplier_part_coverage",
-    "orders_seasonal_naive_backtest",
     "customer_kadane_window",
     # battery_r9d (registered post-freeze): SPC / Pareto
     "event_value_ewma_bands",

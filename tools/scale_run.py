@@ -222,14 +222,10 @@ EXTRA_FAMILIES_R8 = [
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
 EXTRA_FAMILIES_R9 = [
-    "doc_reservoir_sample",           # one window top-k per lang
     "user_hll_sparse_audit",          # exploded 2x scan, 64-register agg
     "event_psi_stream_ledger",        # 3-batch foreachBatch count merge
-    "event_type_autocorr",            # (type, day) pre-agg + lead windows
-    "customer_cohort_retention",      # per-user min + distinct (cohort, wk)
     "event_value_page_hinkley",       # (type, day) pre-agg + window chain
     "supplier_part_coverage",         # 5 greedy anti-join + agg steps
-    "orders_seasonal_naive_backtest",  # daily agg + 2 lag windows
     "customer_kadane_window",         # (nation, day) agg + prefix windows
     "event_value_ewma_bands",         # per-type fold over |days| array
     "customer_pareto_vital_few",      # per-nation ranked window
