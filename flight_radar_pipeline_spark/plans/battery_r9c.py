@@ -219,10 +219,20 @@ def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin on the earliest end day, and the streak start is the earliest
     prefix row attaining the floor (0 rows ⇒ the series start). The
     answer is the contiguous run of days most above the nation's own
-    average — "when was this market hottest, and for how long". Plan:
-    fact scan → (nation, day) aggregate zero-filled on a dyadic-free
-    dense spine → one per-nation cumulative window → argmax → a
-    |nations|-row join back for the start index."""
+    average — "when was this market hottest, and for how long".
+
+    Plan: fact scan → (nation, day) aggregate zero-filled on a dense
+    spine → ONE per-nation window pass. The streak start needs the
+    ARGMIN of the prefix minimum, which a join-back would recompute the
+    whole upstream for (the first cut of this entry did exactly that —
+    50 exchanges); instead the running ``min(struct(p, t))`` carries
+    (floor value, earliest index attaining it) through the same sorted
+    window, so the argmin is free and the plan is a single
+    exchange-on-nation window chain. The per-nation totals (T, S) also
+    come from windows over the same partitioning — Spark reuses the one
+    exchange+sort for all of them. The oracle keeps the join-back
+    formulation; identical bigints make the two restatements
+    hash-equal."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
@@ -230,9 +240,12 @@ def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
-    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+    anchor = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
     ords = (
-        orders.crossJoin(F.broadcast(lo))
+        orders.crossJoin(F.broadcast(anchor))
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_nationkey",
@@ -242,13 +255,14 @@ def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    span = ords.agg(F.max("t").alias("tmax"))
     spine = (
-        nation.crossJoin(F.broadcast(span))
+        nation.crossJoin(F.broadcast(anchor))
         .select(
             "n_nationkey",
             "n_name",
-            F.explode(F.sequence(F.lit(0), F.col("tmax"))).alias("t"),
+            F.explode(
+                F.sequence(F.lit(0), F.datediff(F.col("hi"), F.col("lo")))
+            ).alias("t"),
         )
     )
     cnt = ords.groupBy("c_nationkey", "t").agg(F.sum("cents").alias("xs"))
@@ -265,35 +279,49 @@ def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("xs", F.lit(0)).alias("x"),
         )
     )
-    stats = daily.groupBy("n_name").agg(
-        F.count(F.lit(1)).alias("tt"), F.sum("x").alias("s")
-    )
+    w_nat = Window.partitionBy("n_name")
     w_cum = Window.partitionBy("n_name").orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w_prev = Window.partitionBy("n_name").orderBy("t").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    pre = daily.join(F.broadcast(stats), "n_name").select(
+    stats = daily.select(
+        "n_name",
+        "t",
+        "x",
+        F.count(F.lit(1)).over(w_nat).alias("tt"),
+        F.sum("x").over(w_nat).alias("s"),
+    )
+    pre = stats.select(
         "n_name",
         "t",
         F.sum(F.col("tt") * F.col("x") - F.col("s")).over(w_cum).alias("p"),
     )
+    # running min(struct(p, t)) = (floor value, EARLIEST index attaining
+    # it) — lexicographic struct ordering gives the argmin tiebreak the
+    # oracle's join-back + min(t) expresses
+    mprev = F.min(F.struct(F.col("p"), F.col("t"))).over(w_prev)
     best = pre.select(
         "n_name",
         "t",
         "p",
         (
             F.col("p")
-            - F.least(F.coalesce(F.min("p").over(w_prev), F.lit(0)), F.lit(0))
+            - F.least(F.coalesce(mprev["p"], F.lit(0)), F.lit(0))
         ).alias("gain"),
+        F.when(
+            mprev["p"].isNull() | (mprev["p"] > 0), F.lit(0)
+        )
+        .otherwise(mprev["t"] + 1)
+        .alias("start_t"),
     )
     top = (
         best.select(
             "n_name",
             "t",
             "gain",
-            (F.col("p") - F.col("gain")).alias("floor_p"),
+            "start_t",
             F.row_number()
             .over(
                 Window.partitionBy("n_name").orderBy(
@@ -303,28 +331,12 @@ def customer_kadane_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__rn"),
         )
         .filter(F.col("__rn") == 1)
-        .select("n_name", F.col("t").alias("end_t"), "gain", "floor_p")
     )
-    start = (
-        top.join(
-            pre.select(
-                F.col("n_name").alias("pn"),
-                F.col("t").alias("pt"),
-                F.col("p").alias("pp"),
-            ),
-            (F.col("pn") == F.col("n_name"))
-            & (F.col("pt") < F.col("end_t"))
-            & (F.col("pp") == F.col("floor_p")),
-            "left",
-        )
-        .groupBy("n_name", "end_t", "gain")
-        .agg(F.coalesce(F.min("pt") + 1, F.lit(0)).alias("start_t"))
-    )
-    return start.select(
+    return top.select(
         "n_name",
         F.col("start_t").cast("bigint").alias("start_t"),
-        F.col("end_t").cast("bigint").alias("end_t"),
-        (F.col("end_t") - F.col("start_t") + 1)
+        F.col("t").cast("bigint").alias("end_t"),
+        (F.col("t") - F.col("start_t") + 1)
         .cast("bigint")
         .alias("streak_days"),
         F.col("gain").cast("bigint").alias("scaled_gain"),
