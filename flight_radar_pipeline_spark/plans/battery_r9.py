@@ -9,7 +9,12 @@ candidates:
 - `event_psi_stream_ledger`: the streaming face of the PSI drift entry —
   foreachBatch maintains (period, bin) integer counts across
   chronological microbatches (exact under any merge order), then the
-  Laplace-smoothed PSI runs over the maintained state.
+  Laplace-smoothed PSI runs over the maintained state;
+- `event_wasserstein_stream_ledger`: the exact-W₁ twin of the same
+  pattern — (value, period) count partials merge exactly, the
+  closed-form earth-mover distance runs over the ledger, and the oracle
+  is the batch entry's verbatim. With the r8 CUSUM ledger this
+  completes ALL THREE drift metrics' streaming faces.
 
 (The verdict's third candidate — a deterministic md5 reservoir sample —
 was drafted and DROPPED before registration review: the registry already
@@ -385,3 +390,150 @@ def event_psi_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 event_psi_stream_ledger.__doc__ = event_psi_stream_ledger.__doc__.format(
     nbins=_SPSI_NBINS, binw=int(_SPSI_BINW)
 )
+
+
+# --------------------------------------------------------------------------
+# streaming Wasserstein-1 ledger: (value, period) count partials + final EMD
+# --------------------------------------------------------------------------
+
+_SW1_ORACLE = """
+    with ev as (
+        select cast(ts as date) as day, value from events
+    ), span as (
+        select min(day) as lo, max(day) as hi from ev
+    ), lab as (
+        select value,
+               case when date_diff('day', lo, day) * 2
+                         < date_diff('day', lo, hi)
+                    then 1 else 0 end as is_ref
+        from ev, span
+    ), d as (
+        select value, sum(is_ref) as cr, sum(1 - is_ref) as cc
+        from lab group by value
+    ), c as (
+        select value,
+               sum(cr) over (order by value
+                   rows between unbounded preceding and current row) as crt,
+               sum(cc) over (order by value
+                   rows between unbounded preceding and current row) as cct,
+               sum(cr) over () as nr, sum(cc) over () as nc,
+               lead(value) over (order by value) as nxt
+        from d
+    )
+    select cast(max(nr) as bigint) as n_ref, cast(max(nc) as bigint) as n_cur,
+           round(sum(abs(crt * nc - cct * nr) * (nxt - value))
+                 / (max(nr) * 1.0 * max(nc)), 6) as wasserstein_1
+    from c where nxt is not null
+"""
+
+
+@register("event_wasserstein_stream_ledger", _SW1_ORACLE)
+def event_wasserstein_stream_ledger(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of `event_value_wasserstein_drift` — the last of
+    the drift triad's streaming faces (CUSUM ledger r8, PSI ledger
+    above): events arrive in 3 chronological microbatches and
+    ``foreachBatch`` maintains (value, cr, cc) INTEGER count partials —
+    counts keyed by distinct value and period merge exactly under any
+    batch split, so the maintained ledger equals the batch entry's
+    distinct-value pre-aggregate bit-for-bit. The closed-form
+    earth-mover distance then runs over the ledger exactly as the batch
+    entry does (bigint CDF cross-products, one final division); the
+    oracle is the batch oracle verbatim. State is |distinct values| × 2
+    rows — the same grain the batch entry's windows already run at, and
+    the honest cost of an EXACT W₁ (an approximate stream would keep a
+    quantile sketch instead; the battery keeps both postures —
+    `event_value_hist_quantiles` is the sketched face). The period
+    split (reference = first half of the observed span) is fixed config
+    at stream start, the production posture."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    ev = load_table(spark, sf_dir, "events")
+    lohi = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).collect()[0]
+    total = (lohi.hi - lohi.lo).days
+    mid = lohi.lo + timedelta(days=(total + 1) // 2)
+    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
+    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+
+    work = tempfile.mkdtemp(prefix="w1_stream_")
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    waves = [
+        ev.filter(F.to_date("ts") < F.lit(cut1)),
+        ev.filter(
+            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
+        ),
+        ev.filter(F.to_date("ts") >= F.lit(cut2)),
+    ]
+    t0 = 1_700_000_000
+    for i, wave in enumerate(waves):
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{i:03d}.parquet")
+                os.symlink(os.path.join(bdir, f), dst)
+                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
+
+    state_versions: list[str | None] = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        is_ref = F.when(F.to_date("ts") < F.lit(mid), 1).otherwise(0)
+        inc = batch.groupBy("value").agg(
+            F.sum(is_ref).cast("bigint").alias("cr"),
+            F.sum(1 - is_ref).cast("bigint").alias("cc"),
+        )
+        if state_versions[-1] is not None:
+            old = spark.read.parquet(state_versions[-1])
+            inc = (
+                old.unionByName(inc)
+                .groupBy("value")
+                .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+            )
+        nxt = os.path.join(work, f"state_v{len(state_versions)}")
+        inc.write.mode("overwrite").parquet(nxt)
+        state_versions.append(nxt)
+
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    d = spark.read.parquet(state_versions[-1])
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    w_lead = Window.orderBy("value")
+    c = d.select(
+        "value",
+        F.sum("cr").over(w_cum).alias("crt"),
+        F.sum("cc").over(w_cum).alias("cct"),
+        F.sum("cr").over(w_all).alias("nr"),
+        F.sum("cc").over(w_all).alias("nc"),
+        F.lead("value").over(w_lead).alias("nxt"),
+    )
+    return c.filter(F.col("nxt").isNotNull()).agg(
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+        F.round(
+            F.sum(
+                F.abs(F.col("crt") * F.col("nc") - F.col("cct") * F.col("nr"))
+                * (F.col("nxt") - F.col("value"))
+            )
+            / (F.max("nr") * 1.0 * F.max("nc")),
+            6,
+        ).alias("wasserstein_1"),
+    )

@@ -113,6 +113,7 @@ POST_FREEZE: set[str] = {
     # registry already holds doc_stratified_sample/doc_weighted_sample)
     "user_hll_sparse_audit",
     "event_psi_stream_ledger",
+    "event_wasserstein_stream_ledger",
     # battery_r9b (registered post-freeze)
     "event_value_page_hinkley",
     # battery_r9c (registered post-freeze): combinatorial / series

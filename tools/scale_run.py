@@ -224,6 +224,7 @@ EXTRA_FAMILIES_R8 = [
 EXTRA_FAMILIES_R9 = [
     "user_hll_sparse_audit",          # exploded 2x scan, 64-register agg
     "event_psi_stream_ledger",        # 3-batch foreachBatch count merge
+    "event_wasserstein_stream_ledger",  # 3-batch (value, period) ledger
     "event_value_page_hinkley",       # (type, day) pre-agg + window chain
     "supplier_part_coverage",         # 5 greedy anti-join + agg steps
     "customer_kadane_window",         # (nation, day) agg + prefix windows
