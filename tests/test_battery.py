@@ -66,6 +66,15 @@ def test_battery_query(name, spark, duck):
         "embedding_jl_distortion",
         "orders_window_builtins",
         "event_value_cusum_changepoint",
+        # round-9 order-sensitive additions: argmax-with-struct-min-argmin
+        # (Kadane), ranked 80%-threshold head (Pareto), greedy per-step
+        # argmin-tiebreak collect (set cover), day-sorted sequential fold
+        # (EWMA), and the PH first-alarm min-over-ordered-days
+        "customer_kadane_window",
+        "customer_pareto_vital_few",
+        "supplier_part_coverage",
+        "event_value_ewma_bands",
+        "event_value_page_hinkley",
     ],
 )
 def test_battery_partition_determinism(name, spark):
