@@ -467,7 +467,9 @@ def jl_project(
     df: DataFrame,
     n_dims: int,
     out_dims: int,
-    id_col: str = "vec_id",
+    id_col: str = "vec_id",  # retained for signature compatibility only:
+    # since the all-columns-preserving rewrite, the id column needs no
+    # special handling and the parameter is unused
     vec_col: str = "embedding",
     salt: str = "jl",
     out_col: str = "jl_vec",

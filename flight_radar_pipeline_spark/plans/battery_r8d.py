@@ -345,47 +345,24 @@ def event_cusum_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch entry does; the oracle restates the whole thing with the same
     micro-exact daily means. State is (types × days) rows — the bounded
     shape that runs forever; no per-event state, no watermark needed
-    for an append-only daily series."""
-    import os
-    import tempfile
-    from datetime import timedelta
-
+    for an append-only daily series. Replay machinery is the shared
+    `streaming.ledger` harness (extracted round 9 — it also fixes a
+    latent schema bug: the stream schema must be the WRITTEN waves',
+    not the physical source parquet's, or the int64-nanos timestamp
+    generation the loader normalizes would break the replay)."""
     from flight_radar_pipeline_spark.operators.temporal import (
         cusum_changepoint,
     )
+    from flight_radar_pipeline_spark.streaming.ledger import (
+        chronological_thirds,
+        fold_chronological_waves,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    lohi = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    ).collect()[0]
-    total = (lohi.hi - lohi.lo).days + 1
-    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
-    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+    waves, _mid = chronological_thirds(ev)
 
-    work = tempfile.mkdtemp(prefix="cusum_stream_")
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
-    waves = [
-        ev.filter(F.to_date("ts") < F.lit(cut1)),
-        ev.filter(
-            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
-        ),
-        ev.filter(F.to_date("ts") >= F.lit(cut2)),
-    ]
-    t0 = 1_700_000_000
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{i:03d}.parquet")
-                os.symlink(os.path.join(bdir, f), dst)
-                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
-
-    state_versions: list[str | None] = [None]
-
-    def fold(batch: DataFrame, _bid: int) -> None:
-        inc = batch.groupBy(
+    def increment(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
             "event_type", F.to_date("ts").alias("day")
         ).agg(
             F.sum(
@@ -393,33 +370,20 @@ def event_cusum_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_micros"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
-        if state_versions[-1] is not None:
-            old = spark.read.parquet(state_versions[-1])
-            inc = (
-                old.unionByName(inc)
-                .groupBy("event_type", "day")
-                .agg(
-                    F.sum("sum_micros").alias("sum_micros"),
-                    F.sum("n").alias("n"),
-                )
+
+    def merge(old: DataFrame, inc: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(inc)
+            .groupBy("event_type", "day")
+            .agg(
+                F.sum("sum_micros").alias("sum_micros"),
+                F.sum("n").alias("n"),
             )
-        nxt = os.path.join(work, f"state_v{len(state_versions)}")
-        inc.write.mode("overwrite").parquet(nxt)
-        state_versions.append(nxt)
+        )
 
-    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    q = (
-        spark.readStream.schema(physical)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    state = fold_chronological_waves(
+        spark, waves, increment, merge, prefix="cusum_stream_"
     )
-    q.awaitTermination()
-
-    state = spark.read.parquet(state_versions[-1])
     series = state.select(
         "event_type",
         "day",

@@ -143,10 +143,18 @@ def user_hll_sparse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mk"),
     ).select("event_type", "mk.metric", "mk.key")
+    # F.concat (NULL-propagating, like the oracle's ||), NOT concat_ws
+    # (which silently SKIPS null args and would hash a NULL key into a
+    # real bucket the oracle never sees)
     h = F.conv(
         F.substring(
             F.md5(
-                F.concat_ws("-", F.lit(_HLL_SALT), F.col("metric"), F.col("key"))
+                F.concat(
+                    F.lit(_HLL_SALT + "-"),
+                    F.col("metric"),
+                    F.lit("-"),
+                    F.col("key"),
+                )
             ),
             1,
             13,
@@ -282,44 +290,19 @@ def event_psi_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever; no per-event state, no watermark needed for append-only
     counts. Unlike the batch PSI's reference-decile bins, bin edges
     here are fixed-width (value/{binw} capped) so the stream never
-    needs a two-pass quantile."""
-    import os
-    import tempfile
-    from datetime import timedelta
+    needs a two-pass quantile. Replay machinery is the shared
+    `streaming.ledger` harness (one file per microbatch, versioned
+    mergeable state)."""
+    from flight_radar_pipeline_spark.streaming.ledger import (
+        chronological_thirds,
+        fold_chronological_waves,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    lohi = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    ).collect()[0]
-    total = (lohi.hi - lohi.lo).days
-    mid = lohi.lo + timedelta(days=(total + 1) // 2)
-    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
-    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+    waves, mid = chronological_thirds(ev)
 
-    work = tempfile.mkdtemp(prefix="psi_stream_")
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
-    waves = [
-        ev.filter(F.to_date("ts") < F.lit(cut1)),
-        ev.filter(
-            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
-        ),
-        ev.filter(F.to_date("ts") >= F.lit(cut2)),
-    ]
-    t0 = 1_700_000_000
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{i:03d}.parquet")
-                os.symlink(os.path.join(bdir, f), dst)
-                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
-
-    state_versions: list[str | None] = [None]
-
-    def fold(batch: DataFrame, _bid: int) -> None:
-        inc = batch.groupBy(
+    def increment(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(
             F.least(
                 F.floor(F.col("value") / _SPSI_BINW).cast("int"),
                 F.lit(_SPSI_NBINS - 1),
@@ -328,30 +311,17 @@ def event_psi_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("cur"))
             .alias("period"),
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        if state_versions[-1] is not None:
-            old = spark.read.parquet(state_versions[-1])
-            inc = (
-                old.unionByName(inc)
-                .groupBy("bin", "period")
-                .agg(F.sum("n").alias("n"))
-            )
-        nxt = os.path.join(work, f"state_v{len(state_versions)}")
-        inc.write.mode("overwrite").parquet(nxt)
-        state_versions.append(nxt)
 
-    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    q = (
-        spark.readStream.schema(physical)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    def merge(old: DataFrame, inc: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(inc)
+            .groupBy("bin", "period")
+            .agg(F.sum("n").alias("n"))
+        )
+
+    state = fold_chronological_waves(
+        spark, waves, increment, merge, prefix="psi_stream_"
     )
-    q.awaitTermination()
-
-    state = spark.read.parquet(state_versions[-1])
     cnt = state.groupBy("bin").agg(
         F.sum(F.when(F.col("period") == "ref", F.col("n")).otherwise(0)).alias(
             "n_ref"
@@ -396,35 +366,11 @@ event_psi_stream_ledger.__doc__ = event_psi_stream_ledger.__doc__.format(
 # streaming Wasserstein-1 ledger: (value, period) count partials + final EMD
 # --------------------------------------------------------------------------
 
-_SW1_ORACLE = """
-    with ev as (
-        select cast(ts as date) as day, value from events
-    ), span as (
-        select min(day) as lo, max(day) as hi from ev
-    ), lab as (
-        select value,
-               case when date_diff('day', lo, day) * 2
-                         < date_diff('day', lo, hi)
-                    then 1 else 0 end as is_ref
-        from ev, span
-    ), d as (
-        select value, sum(is_ref) as cr, sum(1 - is_ref) as cc
-        from lab group by value
-    ), c as (
-        select value,
-               sum(cr) over (order by value
-                   rows between unbounded preceding and current row) as crt,
-               sum(cc) over (order by value
-                   rows between unbounded preceding and current row) as cct,
-               sum(cr) over () as nr, sum(cc) over () as nc,
-               lead(value) over (order by value) as nxt
-        from d
-    )
-    select cast(max(nr) as bigint) as n_ref, cast(max(nc) as bigint) as n_cur,
-           round(sum(abs(crt * nc - cct * nr) * (nxt - value))
-                 / (max(nr) * 1.0 * max(nc)), 6) as wasserstein_1
-    from c where nxt is not null
-"""
+# the oracle IS the batch entry's, by import — the ledger must equal the
+# from-scratch aggregate bit-for-bit, so the same SQL decides both
+from flight_radar_pipeline_spark.plans.battery_r8e import _W1_ORACLE
+
+_SW1_ORACLE = _W1_ORACLE
 
 
 @register("event_wasserstein_stream_ledger", _SW1_ORACLE)
@@ -446,72 +392,33 @@ def event_wasserstein_stream_ledger(
     quantile sketch instead; the battery keeps both postures —
     `event_value_hist_quantiles` is the sketched face). The period
     split (reference = first half of the observed span) is fixed config
-    at stream start, the production posture."""
-    import os
-    import tempfile
-    from datetime import timedelta
+    at stream start, the production posture. Replay machinery is the
+    shared `streaming.ledger` harness."""
+    from flight_radar_pipeline_spark.streaming.ledger import (
+        chronological_thirds,
+        fold_chronological_waves,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    lohi = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
-    ).collect()[0]
-    total = (lohi.hi - lohi.lo).days
-    mid = lohi.lo + timedelta(days=(total + 1) // 2)
-    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
-    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+    waves, mid = chronological_thirds(ev)
 
-    work = tempfile.mkdtemp(prefix="w1_stream_")
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
-    waves = [
-        ev.filter(F.to_date("ts") < F.lit(cut1)),
-        ev.filter(
-            (F.to_date("ts") >= F.lit(cut1)) & (F.to_date("ts") < F.lit(cut2))
-        ),
-        ev.filter(F.to_date("ts") >= F.lit(cut2)),
-    ]
-    t0 = 1_700_000_000
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{i:03d}.parquet")
-                os.symlink(os.path.join(bdir, f), dst)
-                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
-
-    state_versions: list[str | None] = [None]
-
-    def fold(batch: DataFrame, _bid: int) -> None:
+    def increment(batch: DataFrame) -> DataFrame:
         is_ref = F.when(F.to_date("ts") < F.lit(mid), 1).otherwise(0)
-        inc = batch.groupBy("value").agg(
+        return batch.groupBy("value").agg(
             F.sum(is_ref).cast("bigint").alias("cr"),
             F.sum(1 - is_ref).cast("bigint").alias("cc"),
         )
-        if state_versions[-1] is not None:
-            old = spark.read.parquet(state_versions[-1])
-            inc = (
-                old.unionByName(inc)
-                .groupBy("value")
-                .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
-            )
-        nxt = os.path.join(work, f"state_v{len(state_versions)}")
-        inc.write.mode("overwrite").parquet(nxt)
-        state_versions.append(nxt)
 
-    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    q = (
-        spark.readStream.schema(physical)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    def merge(old: DataFrame, inc: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(inc)
+            .groupBy("value")
+            .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
+        )
+
+    d = fold_chronological_waves(
+        spark, waves, increment, merge, prefix="w1_stream_"
     )
-    q.awaitTermination()
-
-    d = spark.read.parquet(state_versions[-1])
     w_cum = Window.orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

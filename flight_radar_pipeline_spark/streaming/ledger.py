@@ -1,0 +1,117 @@
+"""Chronological-microbatch ledger harness shared by the streaming
+drift entries (`event_cusum_stream_ledger`, `event_psi_stream_ledger`,
+`event_wasserstein_stream_ledger`).
+
+Pattern: a batch relation is split into chronological waves, each wave
+lands as one file in a staging dir, and a file-source stream replays
+them one-file-per-microbatch through ``foreachBatch``, whose fold
+maintains a versioned MERGEABLE state table (integer partials — exact
+under any merge order). The caller reads the final state version and
+runs its retrospective query over it.
+
+Extracted in round 9 after a review found the ~60-line scaffold
+copy-pasted three times — including a latent schema bug patched here
+once: the stream schema MUST be the schema of the frames actually
+WRITTEN (the load_table-normalized view), not the physical source
+parquet's. Under the int64-nanos timestamp generation that
+``readers.load_table`` exists to normalize, the two disagree and a
+physical-schema readStream would fail on the re-written waves.
+
+File ordering: Spark's FileStreamSource takes new files by modification
+time with path as the tiebreak. The waves are written sequentially and
+named ``000.parquet``/``001.parquet``/…, so replay order is
+chronological without any mtime stamping (an earlier version stamped
+symlink mtimes via ``os.utime(..., follow_symlinks=False)``, which the
+JVM's stat — it follows symlinks — never saw; the stamps were dead
+code). The ledgers' correctness never depended on it: integer partials
+merge to the same state under ANY batch order.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fold_chronological_waves(
+    spark: SparkSession,
+    waves: list[DataFrame],
+    fold_increment: Callable[[DataFrame], DataFrame],
+    merge_states: Callable[[DataFrame, DataFrame], DataFrame],
+    prefix: str = "ledger_",
+) -> DataFrame:
+    """Replay ``waves`` as one-file microbatches; ``foreachBatch``
+    maintains versioned state parquet: for each batch, state ←
+    ``merge_states(old_state, fold_increment(batch))`` (first batch:
+    just the increment). Returns the FINAL state as a DataFrame.
+
+    ``fold_increment`` must produce a mergeable partial relation
+    (integer counts/sums keyed by the state grain); ``merge_states``
+    re-aggregates the union of two such relations to the same grain.
+    """
+    work = tempfile.mkdtemp(prefix=prefix)
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    schema = waves[0].schema  # the schema actually written below
+    for i, wave in enumerate(waves):
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f),
+                    os.path.join(flat, f"{i:03d}.parquet"),
+                )
+
+    state_versions: list[str | None] = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        inc = fold_increment(batch)
+        if state_versions[-1] is not None:
+            old = spark.read.parquet(state_versions[-1])
+            inc = merge_states(old, inc)
+        nxt = os.path.join(work, f"state_v{len(state_versions)}")
+        inc.write.mode("overwrite").parquet(nxt)
+        state_versions.append(nxt)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state_versions[-1])
+
+
+def chronological_thirds(ev: DataFrame, ts_col: str = "ts"):
+    """Split a batch relation into 3 chronological waves on day
+    boundaries (the replay shape all three drift ledgers use) and
+    return ``(waves, mid)`` where ``mid`` is the reference-period cut
+    (first half of the observed span, the batch entries' split rule:
+    ref ⟺ 2·(day − lo) < (hi − lo), i.e. day < lo + (span+1)//2)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    lohi = ev.agg(
+        F.min(F.to_date(ts_col)).alias("lo"),
+        F.max(F.to_date(ts_col)).alias("hi"),
+    ).collect()[0]
+    total = (lohi.hi - lohi.lo).days
+    mid = lohi.lo + timedelta(days=(total + 1) // 2)
+    cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
+    cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
+    d = F.to_date(ts_col)
+    waves = [
+        ev.filter(d < F.lit(cut1)),
+        ev.filter((d >= F.lit(cut1)) & (d < F.lit(cut2))),
+        ev.filter(d >= F.lit(cut2)),
+    ]
+    return waves, mid

@@ -157,9 +157,8 @@ def test_round9_window_covers_all_never_checked_oracled_entries():
     round-9 window (or the explicit POST_FREEZE slate for round 10) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
-    checked_ever = _driver_checked("CORRECTNESS_r0[1-8].json")
-    # _driver_checked collects hash-green rows; for backlog purposes any
-    # recorded row counts, so recompute with plain membership
+    # backlog membership counts ANY recorded row (not just hash-green),
+    # so build the set from plain membership
     seen: set[str] = set()
     for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-8].json")):
         d = json.loads(p.read_text())
@@ -170,7 +169,6 @@ def test_round9_window_covers_all_never_checked_oracled_entries():
     never = [n for n in entrymod._registry() if n not in seen and n in oracles]
     out = [n for n in never if n not in set(entrymod._WINDOW) | POST_FREEZE]
     assert not out, f"never-driver-checked oracled entries outside window: {out}"
-    del checked_ever
 
 
 def test_tail_entries_are_outside_window():

@@ -129,15 +129,24 @@ def main() -> int:
         print(f"\nremoved ({len(removed)}): " + ", ".join(removed))
 
     if gate:
-        if med is not None and med > GATE_MEDIAN_RATIO:
+        if med is None:
+            # a vacuous comparison (no shared positive entries — wrong
+            # files, empty record) must not pass the gate silently
             print(
-                f"\nGATE: REFUSED — median shared-entry ratio {med:.3f} > "
+                "\nGATE: REFUSED — no shared entries to compare; check the "
+                "record paths.",
+                file=sys.stderr,
+            )
+            return 1
+        if med >= GATE_MEDIAN_RATIO:
+            print(
+                f"\nGATE: REFUSED — median shared-entry ratio {med:.3f} >= "
                 f"{GATE_MEDIAN_RATIO}. Re-run on a quiet box, or commit with "
                 "an explicit machine-state note.",
                 file=sys.stderr,
             )
             return 1
-        print(f"\nGATE: ok (median ratio {med if med is None else round(med, 3)})")
+        print(f"\nGATE: ok (median ratio {round(med, 3)})")
     return 0
 
 
