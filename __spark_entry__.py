@@ -37,29 +37,24 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-9 rotation — the standing pre-agreed rotation contract
-# (tests/test_registry_order.py), composed exactly as the round-8 verdict
+# Round-10 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py), composed exactly as the round-9 verdict
 # directive 1 prescribed:
-#   (a) the 20-entry round-8 POST_FREEZE slate (every oracled entry
-#       registered after the round-8 window froze — none has ever held a
+#   (a) `pricing_summary` as the proven spine.
+#   (b) the 8-entry round-9 POST_FREEZE slate (every oracled entry
+#       registered after the round-9 window froze — none has ever held a
 #       driver correctness row). A green round takes cumulative driver
-#       coverage to ALL 272 oracled entries — the never-checked backlog
-#       drains to zero for the first time.
-#   (b) `pricing_summary` as the proven spine.
-#   (c) the 4 MUST_BE_CHECKED only-coverage operators
-#       (click_view_attribution / event_window_density /
-#       event_value_percentiles / multimodal_features) — promised
-#       "first in line for the round-9 window" two rounds running;
-#       their last driver rows are CORRECTNESS_r06.
-#   (d) 25 re-checks of the STALEST green rows: every oracled entry whose
-#       last green driver row is r1 (4) or r3 (11), then the 10 oldest-of
-#       the r4 cohort in registry order (deterministic tiebreak). Plans
-#       are drift-audited (tools/audit_compare.py), but a driver-side
-#       re-check of r1/r3-era rows is the cheapest possible insurance.
-# 1 + 20 + 4 + 25 = 50 exactly.
+#       coverage to ALL 280 oracled entries.
+#   (c) 41 re-checks of the STALEST green rows by (last green driver
+#       round across CORRECTNESS_r01–r09, registry order) — the deepest
+#       re-verification budget the rotation has ever had: the whole r4
+#       cohort's remaining 35 rows plus the 6 oldest r5 rows. Plans are
+#       drift-audited (tools/audit_compare.py), but a driver-side
+#       re-check of r4/r5-era rows is the cheapest possible insurance.
+# 1 + 8 + 41 = 50 exactly.
 #
-# Demoted entries (the whole round-8 window minus the spine) all hold
-# green rows in CORRECTNESS_r08.json; tests/test_battery.py's
+# Demoted entries (the whole round-9 window minus the spine) all hold
+# green rows in CORRECTNESS_r09.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -67,60 +62,59 @@ def _configure(spark: SparkSession) -> None:
 # non-SQL-expressible; each pinned by a dedicated local test —
 # tests/test_opq.py, test_approx_percentile.py, test_hll_accuracy.py).
 _WINDOW = [
-    # proven spine
+    # (a) proven spine
     "pricing_summary",
-    # (a) the round-8 POST_FREEZE slate, wholesale (20 — never driver-checked)
-    "user_sessions_capped",
-    "lineitem_benford_second_digit",
-    "event_score_calibration",
-    "doc_mixture_reweight",
-    "orders_window_builtins",
-    "event_value_irls_logistic",
-    "event_hour_pinball_p90",
-    "customer_geo_dbscan",
-    "part_golden_records",
-    "multimodal_bmp_decode",
-    "event_value_cusum_changepoint",
-    "embedding_jl_distortion",
-    "event_value_psi_drift",
-    "event_score_ks_separation",
-    "doc_mixture_schedule",
-    "event_cusum_stream_ledger",
-    "nation_order_jackknife",
-    "event_hourly_haar_energy",
-    "ab_power_mde",
-    "event_value_wasserstein_drift",
-    # (c) the MUST_BE_CHECKED only-coverage operators (last rows: r06)
-    "click_view_attribution",
-    "event_window_density",
-    "event_value_percentiles",
-    "multimodal_features",
-    # (d) 25 stalest-green re-checks (last green round in comment)
-    "region_nation_rollup",          # r1
-    "closed_sessions_stream",        # r1
-    "hourly_event_counts_stream",    # r1
-    "nations_with_customers",        # r1
-    "customer_running_total",        # r3
-    "hourly_event_counts",           # r3
-    "doc_text_stats",                # r3
-    "edit_distance_near_dup",        # r3
-    "doc_simhash",                   # r3
-    "top_bigrams_per_lang",          # r3
-    "embedding_topk_lsh",            # r3
-    "doc_token_classes",             # r3
-    "doc_rolling_fingerprint",       # r3
-    "doc_deterministic_sample",      # r3
-    "event_value_anomalies",         # r3
-    "revenue_by_nation",             # r4
-    "shipping_priority",             # r4
-    "order_priority_count",          # r4
-    "top3_parts_per_brand",          # r4
-    "user_click_view_gap",           # r4
-    "latest_order_per_customer",     # r4
-    "segment_set_ops",               # r4
-    "customer_haversine",            # r4
-    "event_props_json",              # r4
-    "most_valuable_order",           # r4
+    # (b) the round-9 POST_FREEZE slate, wholesale (8 — never driver-checked)
+    "user_hll_sparse_audit",
+    "event_psi_stream_ledger",
+    "event_wasserstein_stream_ledger",
+    "event_value_page_hinkley",
+    "supplier_part_coverage",
+    "customer_kadane_window",
+    "event_value_ewma_bands",
+    "customer_pareto_vital_few",
+    # (c) 41 stalest-green re-checks (last green round in comment)
+    "supplier_nation_enrich",        # r4
+    "doc_lang_id",                   # r4
+    "doc_exact_dedup",               # r4
+    "minhash_near_dup_pairs",        # r4
+    "near_dup_clusters",             # r4
+    "simhash_near_dup_pairs",        # r4
+    "top_pmi_collocations",          # r4
+    "embedding_topk_bruteforce",     # r4
+    "doc_quality_score",             # r4
+    "ngram_jaccard_pairs",           # r4
+    "doc_bm25_query",                # r4
+    "embedding_topk_ivf",            # r4
+    "embedding_kmeans_clusters",     # r4
+    "embedding_semantic_dedup",      # r4
+    "click_view_pairs_stream",       # r4
+    "orders_scd2_history",           # r4
+    "orders_scd1_merge",             # r4
+    "lineitem_price_stats",          # r4
+    "weekly_cohort_retention",       # r4
+    "hourly_timeline_dense",         # r4
+    "user_event_type_pivot",         # r4
+    "customer_7d_order_sum",         # r4
+    "customers_without_orders",      # r4
+    "order_status_cube",             # r4
+    "priority_weighted_price",       # r4
+    "segment_revenue_salted_join",   # r4
+    "user_sessions",                 # r4
+    "snapshot_diff",                 # r4
+    "orders_bloom_semi_join",        # r4
+    "doc_train_eval_split",          # r4
+    "doc_lm_perplexity",             # r4
+    "doc_pii_redaction",             # r4
+    "entity_pagerank",               # r4
+    "embedding_top_component",       # r4
+    "doc_boilerplate_spans",         # r5
+    "doc_repetition_ratio",          # r5
+    "doc_tfidf_top_terms",           # r5
+    "doc_pack_assignments",          # r5
+    "event_zorder_keys",             # r5
+    "doc_stratified_sample",         # r5
+    "embedding_pq_audit",            # r5
 ]
 CHECKED_WINDOW = 50
 

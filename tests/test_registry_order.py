@@ -4,14 +4,13 @@ entry inside the window carries an oracle and that the rotation contract
 holds: no oracled entry stays driver-unchecked for more than one round
 after registration.
 
-Round-9 window policy (the round-8 verdict directive 1, verbatim): the
-20-entry round-8 POST_FREEZE slate rotated in wholesale, plus
-``pricing_summary`` as the proven spine, plus the 4 MUST_BE_CHECKED
-only-coverage operators (their last driver rows are CORRECTNESS_r06),
-plus 25 re-checks of the stalest green rows (every r1/r3-era entry, then
-the oldest r4 cohort in registry order). 1 + 20 + 4 + 25 = 50 exactly.
-A green round-9 driver check takes cumulative driver coverage to ALL 272
-oracled entries — the never-checked backlog drains to zero.
+Round-10 window policy (the round-9 verdict directive 1, verbatim): the
+8-entry round-9 POST_FREEZE slate rotated in wholesale, plus
+``pricing_summary`` as the proven spine, plus 41 re-checks of the stalest
+green rows by (last green driver round across CORRECTNESS_r01–r09,
+registry order) — the whole remaining r4 cohort plus the oldest r5 rows.
+1 + 8 + 41 = 50 exactly. A green round-10 driver check takes cumulative
+driver coverage to ALL 280 oracled entries.
 """
 
 from __future__ import annotations
@@ -21,36 +20,28 @@ import pathlib
 
 import __spark_entry__ as entrymod
 
-MUST_BE_CHECKED = [
-    "click_view_attribution",   # only battery coverage of the as-of join
-    "event_window_density",     # only battery coverage of the range join
+# the four only-coverage operators (as-of join, range join, exact
+# percentiles, multimodal plumbing). They rode the round-9 window and hold
+# fresh green rows in CORRECTNESS_r09; the standing contract is that they
+# are never allowed to go stale past the re-check horizon.
+ONLY_COVERAGE = [
+    "click_view_attribution",
+    "event_window_density",
     "event_value_percentiles",
     "multimodal_features",
 ]
 
-# the 20-entry round-8 POST_FREEZE slate (rotated into the round-9 window)
-R8_SLATE = {
-    "user_sessions_capped",
-    "lineitem_benford_second_digit",
-    "event_score_calibration",
-    "doc_mixture_reweight",
-    "orders_window_builtins",
-    "event_value_irls_logistic",
-    "event_hour_pinball_p90",
-    "customer_geo_dbscan",
-    "part_golden_records",
-    "multimodal_bmp_decode",
-    "event_value_cusum_changepoint",
-    "embedding_jl_distortion",
-    "event_value_psi_drift",
-    "event_score_ks_separation",
-    "doc_mixture_schedule",
-    "event_cusum_stream_ledger",
-    "nation_order_jackknife",
-    "event_hourly_haar_energy",
-    "ab_power_mde",
-    "event_value_wasserstein_drift",
-}
+# the 8-entry round-9 POST_FREEZE slate (rotated into the round-10 window)
+R9_SLATE = [
+    "user_hll_sparse_audit",
+    "event_psi_stream_ledger",
+    "event_wasserstein_stream_ledger",
+    "event_value_page_hinkley",
+    "supplier_part_coverage",
+    "customer_kadane_window",
+    "event_value_ewma_bands",
+    "customer_pareto_vital_few",
+]
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
 
@@ -69,9 +60,9 @@ def _driver_checked(glob: str) -> set[str]:
 
 
 def _last_green() -> dict[str, int]:
-    """Per-entry newest round holding a fully-green driver row (r1-r8)."""
+    """Per-entry newest round holding a fully-green driver row (r1-r9)."""
     last: dict[str, int] = {}
-    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-8].json")):
+    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-9].json")):
         rnd = int(p.stem.split("_r")[1])
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
@@ -97,70 +88,58 @@ def test_window_is_exactly_the_explicit_list():
     assert len(set(entrymod._WINDOW)) == entrymod.CHECKED_WINDOW
 
 
-def test_unique_operator_coverage_pinned():
-    """Round-9 form: all four only-coverage operators are IN the window
-    (the round-8 verdict made them part of the round-9 spine)."""
+def test_only_coverage_operators_recently_checked():
+    """The four only-coverage operators must hold a green driver row no
+    older than the previous round (they rode the round-9 window) — or be
+    in the current window."""
+    last = _last_green()
     window = set(entrymod._WINDOW)
-    out = [n for n in MUST_BE_CHECKED if n not in window]
-    assert not out, f"only-coverage queries missing from the round-9 window: {out}"
+    stale = [
+        n for n in ONLY_COVERAGE if n not in window and last.get(n, 0) < 9
+    ]
+    assert not stale, f"only-coverage operators gone stale: {stale}"
 
 
-# entries registered AFTER the round-9 window froze (they become rotation
-# candidates for round 10; append here when adding queries mid-round)
-POST_FREEZE: set[str] = {
-    # battery_r9 (registered post-freeze): the round-8 verdict's
-    # directive-7 candidates (the reservoir one was dropped — the
-    # registry already holds doc_stratified_sample/doc_weighted_sample)
-    "user_hll_sparse_audit",
-    "event_psi_stream_ledger",
-    "event_wasserstein_stream_ledger",
-    # battery_r9b (registered post-freeze)
-    "event_value_page_hinkley",
-    # battery_r9c (registered post-freeze): combinatorial / series
-    "supplier_part_coverage",
-    "customer_kadane_window",
-    # battery_r9d (registered post-freeze): SPC / Pareto
-    "event_value_ewma_bands",
-    "customer_pareto_vital_few",
-}
+# entries registered AFTER the round-10 window froze (they become rotation
+# candidates for round 11; append here when adding queries mid-round)
+POST_FREEZE: set[str] = set()
 
 
-def test_round9_window_composition():
-    """The round-9 window is exactly: spine + 20-entry r8 slate + 4
-    MUST_BE_CHECKED + 25 stalest-green re-checks (r8 verdict directive 1)."""
+def test_round10_window_composition():
+    """The round-10 window is exactly: spine + 8-entry r9 slate + 41
+    stalest-green re-checks (r9 verdict directive 1)."""
     window = entrymod._WINDOW
     assert window[0] == "pricing_summary"
-    assert set(window[1:21]) == R8_SLATE
-    assert window[21:25] == MUST_BE_CHECKED
-    # the slate had never held a driver row before round 9
-    checked_r18 = _driver_checked("CORRECTNESS_r0[1-8].json")
-    assert not (R8_SLATE & checked_r18)
+    assert window[1:9] == R9_SLATE
+    # the slate had never held a driver row before round 10
+    checked_r19 = _driver_checked("CORRECTNESS_r0[1-9].json")
+    assert not (set(R9_SLATE) & checked_r19)
     # every re-check slot holds a green row already (it IS a re-check)
-    rechecks = window[25:]
-    assert len(rechecks) == 25
-    missing = [n for n in rechecks if n not in checked_r18]
+    rechecks = window[9:]
+    assert len(rechecks) == 41
+    missing = [n for n in rechecks if n not in checked_r19]
     assert not missing, f"re-check entries without prior green rows: {missing}"
-    # staleness rule: rechecks are the pool's 25 oldest by
+    # staleness rule: rechecks are the pool's 41 oldest by
     # (last-green round, registry order) — deterministic, no cherry-picking
     last = _last_green()
     names = list(entrymod._registry())
     order = {n: i for i, n in enumerate(names)}
     oracles = entrymod.oracle_sql()
-    excluded = R8_SLATE | set(MUST_BE_CHECKED) | {"pricing_summary"}
+    excluded = set(R9_SLATE) | {"pricing_summary"}
     pool = [n for n in names if n in oracles and n in last and n not in excluded]
     pool.sort(key=lambda n: (last[n], order[n]))
-    assert rechecks == pool[:25]
+    assert rechecks == pool[:41]
 
 
-def test_round9_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01-r08 must be in the
-    round-9 window (or the explicit POST_FREEZE slate for round 10) —
+def test_round10_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01-r09 must be in the
+    round-10 window (or the explicit POST_FREEZE slate for round 11) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
     # backlog membership counts ANY recorded row (not just hash-green),
     # so build the set from plain membership
     seen: set[str] = set()
-    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-8].json")):
+    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-9].json")):
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
