@@ -47,10 +47,18 @@ _EWMA_ORACLE = f"""
                                   order by cast(ts as date)) as rn
         from events group by event_type, cast(ts as date)
     ), bands as materialized (
+        -- order-pinned mean/σ: x is 6dp-rounded, so x·10⁶ is an exact
+        -- integer; the sums are exact (hugeint), the one divide happens
+        -- last — no summation-order sensitivity cross-engine
         select event_type,
-               round(avg(x), 6) as center,
-               round(stddev_pop(x), 6) as sd
-        from s group by event_type
+               round(cast(sum(xm) as double) / count(*) / 1000000.0, 6)
+                   as center,
+               round(sqrt(cast(count(*) * sum(cast(xm as hugeint) * xm)
+                               - sum(xm) * sum(xm) as double))
+                     / count(*) / 1000000.0, 6) as sd
+        from (select event_type, cast(round(x * 1000000) as bigint) as xm
+              from s)
+        group by event_type
     ), walk as (
         select event_type, day, rn, x, x as e from s where rn = 1
         union all
@@ -84,11 +92,15 @@ def event_value_ewma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines execute the SAME recurrence step-for-step — Spark as an
     ``F.aggregate`` left-fold over the day-sorted series array, DuckDB
     as a recursive CTE walking rn+1 — two multiplies and an add per
-    step on identical doubles, so eₜ (and therefore the breach
-    comparison against bands built from in-engine-rounded mean/σ) is
-    bit-identical, no rounding grace needed. The band factor √(λ/(2−λ))
-    is precomputed once in Python and injected as the same literal into
-    both plans. Per-type series are bounded (|days| rows), so the
+    step on identical doubles, so eₜ is bit-identical. The band
+    center/σ are order-pinned too (round-10 ADVICE fix): x is
+    6dp-rounded so x·10⁶ is an exact integer — both engines sum those
+    integers exactly (decimal(38,0) ↔ hugeint), take σ from the exact
+    integer n·Σxm²−(Σxm)², and divide once in the same op order, so
+    the breach comparison runs on identical doubles end-to-end (avg/
+    stddev_pop would have been summation-order-sensitive). The band
+    factor √(λ/(2−λ)) is precomputed once in Python and injected as
+    the same literal into both plans. Per-type series are bounded (|days| rows), so the
     collected fold array is a few hundred elements — the same shape the
     IRLS/pinball trainers pinned; everything before it is one scan and
     a (type, day) aggregate."""
@@ -101,9 +113,35 @@ def event_value_ewma_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("x")
     )
-    bands = s.groupBy("event_type").agg(
-        F.round(F.avg("x"), 6).alias("center"),
-        F.round(F.stddev_pop("x"), 6).alias("sd"),
+    # order-pinned band inputs (round-10 ADVICE fix): avg/stddev_pop over
+    # doubles are summation-order-sensitive; x is 6dp-rounded so x·10⁶ is
+    # an exact integer — sum exactly (decimal(38,0) ↔ hugeint), divide
+    # once, and the popσ comes from the exact integer n·Σxm²−(Σxm)²
+    xm = F.round(F.col("x") * 1_000_000).cast("bigint")
+    bands = (
+        s.select("event_type", xm.alias("xm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xm").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            F.round(
+                F.col("s1").cast("double") / F.col("n") / 1_000_000.0, 6
+            ).alias("center"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                )
+                / F.col("n")
+                / 1_000_000.0,
+                6,
+            ).alias("sd"),
+        )
     )
     series = s.groupBy("event_type").agg(
         F.sort_array(F.collect_list(F.struct("day", "x"))).alias("seq")
@@ -253,8 +291,13 @@ def customer_pareto_vital_few(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             F.col("n_cust").cast("bigint").alias("n_customers"),
             F.col("vc").cast("bigint").alias("vital_count"),
+            # vc is IntegerType (row_number); widen BEFORE multiplying —
+            # 2000000 * int overflows 32 bits once vital_count ≥ 1074
+            # (ANSI throw / silent wrap divergence from the oracle's
+            # bigint evaluation). round-10 ADVICE fix.
             F.expr(
-                "((2000000 * vc + n_cust) div (2 * n_cust)) / 1000000"
+                "((2000000L * cast(vc as bigint) + n_cust)"
+                " div (2 * n_cust)) / 1000000"
             ).alias("vital_frac"),
             F.round(
                 F.col("top1") / F.col("tot").cast("double"), 6

@@ -111,22 +111,23 @@ def test_kadane_vs_brute_force(spark):
                 xs[t] = int(s)
         tt, tot = len(xs), sum(xs)
         ys = [tt * x - tot for x in xs]
-        best = None  # (gain, end, start) with earliest-end/earliest-start ties
+
+        def _key(cand):
+            # plan tie-break (round-10 ADVICE fix): max gain, earliest
+            # end; then the VIRTUAL empty-prefix start (start=0 via
+            # p₋₁=0) loses ties to any explicit prefix row attaining
+            # the same floor (start = argmin_t + 1); among explicit
+            # starts, earliest wins
+            gain, end, start = cand
+            return (-gain, end, start == 0, start)
+
+        best = None  # (gain, end, start)
         for i in range(len(ys)):
             run = 0
             for j in range(i, len(ys)):
                 run += ys[j]
                 cand = (run, j, i)
-                if (
-                    best is None
-                    or cand[0] > best[0]
-                    or (cand[0] == best[0] and cand[1] < best[1])
-                    or (
-                        cand[0] == best[0]
-                        and cand[1] == best[1]
-                        and cand[2] < best[2]
-                    )
-                ):
+                if best is None or _key(cand) < _key(best):
                     best = cand
         gain, end, start = best
         r = got[nn]
@@ -214,13 +215,15 @@ def test_ewma_bands_vs_pure_recurrence(spark, events):
         }
         ordered = sorted(xs)
         series = [xs[d] for d in ordered]
-        mean = _r(sum(series) / len(series), 6)
+        # order-pinned band inputs, mirroring both engines (round-10
+        # ADVICE fix): x is 6dp-rounded so x·10⁶ is an exact integer;
+        # exact integer sums, one divide, popσ from n·Σxm²−(Σxm)²
+        xm = [round(x * 1_000_000) for x in series]
+        n_days = len(xm)
+        s1, s2 = sum(xm), sum(v * v for v in xm)
+        mean = _r(s1 / n_days / 1_000_000.0, 6)
         sd = _r(
-            math.sqrt(
-                sum((x - sum(series) / len(series)) ** 2 for x in series)
-                / len(series)
-            ),
-            6,
+            math.sqrt(n_days * s2 - s1 * s1) / n_days / 1_000_000.0, 6
         )
         half = 3.0 * math.sqrt(0.25 / 1.75) * sd
         e = series[0]
