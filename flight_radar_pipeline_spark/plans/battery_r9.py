@@ -28,9 +28,10 @@ All oracle-paired; registered into the shared REGISTRY on import.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -419,18 +420,20 @@ def event_wasserstein_stream_ledger(
     d = fold_chronological_waves(
         spark, waves, increment, merge, prefix="w1_stream_"
     )
-    w_cum = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    w_lead = Window.orderBy("value")
-    c = d.select(
+    # range-partitioned CDF (round-9 judge directive 2): the distinct-
+    # value grid grows with the data, so the previous global
+    # Window.orderBy("value") was a one-task sort at 100×; the bucket-
+    # partials + broadcast-offsets rewrite is an identity on the exact
+    # bigint counts — oracle unchanged (still the batch oracle verbatim)
+    c = ranged_cumulative(
+        d, "value", ["cr", "cc"], with_lead=True, with_totals=True
+    ).select(
         "value",
-        F.sum("cr").over(w_cum).alias("crt"),
-        F.sum("cc").over(w_cum).alias("cct"),
-        F.sum("cr").over(w_all).alias("nr"),
-        F.sum("cc").over(w_all).alias("nc"),
-        F.lead("value").over(w_lead).alias("nxt"),
+        F.col("cr_cum").alias("crt"),
+        F.col("cc_cum").alias("cct"),
+        F.col("cr_tot").alias("nr"),
+        F.col("cc_tot").alias("nc"),
+        F.col("value_next").alias("nxt"),
     )
     return c.filter(F.col("nxt").isNotNull()).agg(
         F.max("nr").cast("bigint").alias("n_ref"),

@@ -75,6 +75,9 @@ def test_battery_query(name, spark, duck):
         "supplier_part_coverage",
         "event_value_ewma_bands",
         "event_value_page_hinkley",
+        # round-10: the range-partitioned exact-W₁ CDF rewrite — global
+        # running sums must be identical for any bucket/shuffle layout
+        "event_value_wasserstein_drift",
     ],
 )
 def test_battery_partition_determinism(name, spark):

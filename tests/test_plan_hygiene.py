@@ -78,10 +78,12 @@ ALLOWED_BNLJ = {
     "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
     "nation_order_jackknife",     # 1-row totals + 1-row theta-bar broadcasts
     "event_hourly_haar_energy",   # 1-row min-ts broadcast (hour-index anchor)
-    "event_value_wasserstein_drift",  # 1-row span broadcast (period split)
+    "event_value_wasserstein_drift",  # 1-row span/bucket-bounds/totals bcasts
     # round-9 additions: all 1-row anchor/span/total broadcasts
     "event_psi_stream_ledger",    # 1-row (tr, tc) totals broadcast
     "customer_kadane_window",     # 1-row min-day + 1-row max-t broadcasts
+    # round-10: the ranged-cumulative CDF rewrite's bounds/totals bcasts
+    "event_wasserstein_stream_ledger",  # 1-row bucket-bounds + totals bcasts
 }
 
 
