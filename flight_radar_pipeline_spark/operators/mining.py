@@ -282,17 +282,31 @@ def gini_coefficient(
 ) -> DataFrame:
     """Gini coefficient + Lorenz top-share of a non-negative value
     column, via the rank formula G = 2·Σ(i·vᵢ)/(n·Σv) − (n+1)/n under
-    the total (value, id) order. One global rank window (a
-    range-partitioned sort — Spark's window sort) and one aggregate;
-    two-level aggregation keeps the final ratios nested-aggregate-free."""
-    w_rank = Window.orderBy(F.asc(value_col), F.asc(id_col))
-    w_all = Window.partitionBy()
-    s = values.select(
-        F.col(value_col).alias("v"),
-        F.row_number().over(w_rank).alias("i"),
-        F.count("*").over(w_all).alias("n"),
-        F.sum(value_col).over(w_all).alias("tot"),
+    the total (value, id) order. The global rank comes from
+    ``operators/prefix.ranged_cumulative`` (round-10: range-bucket
+    counts + broadcast offsets compose to exactly ``row_number() over
+    (order by v, id)`` without funneling the value frame through one
+    task); totals ride the same bucket partials. One bucket-parallel
+    rank pass and one aggregate."""
+    from flight_radar_pipeline_spark.operators.prefix import (
+        ranged_cumulative,
     )
+
+    # n = global row count: every row needs it for the top-decile fence,
+    # so it rides the same bucket partials via a ones column
+    vals = values.select(
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    s = ranged_cumulative(
+        vals,
+        "v",
+        ["v", "one"],
+        tiebreakers=["k"],
+        with_rank="i",
+        with_totals=True,
+    ).select("v", "i", F.col("one_tot").alias("n"), F.col("v_tot").alias("tot"))
     is_top = F.col("i") > F.col("n") - F.floor(
         F.col("n") * F.lit(top_fraction)
     ).cast("bigint")

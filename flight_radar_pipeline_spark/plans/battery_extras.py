@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from flight_radar_pipeline_spark.operators.graph import bounded_min_cost, n_hop_reach
 from flight_radar_pipeline_spark.operators.spatial import geo_cell_pairs
 from flight_radar_pipeline_spark.operators.temporal import interval_overlap_pairs
+from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -2754,10 +2755,10 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     class A = the head covering 80% of cumulative revenue, B to 95%, C
     the tail — the classic working-capital report. Revenue is summed in
     integer CENTS so the running sum is exact and the class boundary
-    can't flip on float summation order. The running-sum window runs
-    over the PRE-AGGREGATED |parts| frame (the dimension, not the
-    lineitem fact); its single-partition cost is the documented
-    pre-aggregate-then-window discipline (`nation_revenue_share`)."""
+    can't flip on float summation order. The running sum runs over the
+    PRE-AGGREGATED |parts| frame via the range-partitioned prefix-sum
+    device (`operators/prefix.ranged_cumulative`) - the |parts| grid
+    grows with the data, so no single-partition window (round 10)."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(
@@ -2766,16 +2767,21 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint")
         ).alias("rev_cents")
     )
-    cum_w = (
-        Window.orderBy(F.desc("rev_cents"), F.asc("partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tot_w = Window.partitionBy()
-    ranked = rev.select(
+    # range-partitioned running sum (round-10: the |parts| frame grows
+    # with the data; bucket partials + broadcast offsets replace the
+    # single-partition Window.orderBy) - identity on exact cents
+    ranked = ranged_cumulative(
+        rev,
+        "rev_cents",
+        ["rev_cents"],
+        ascending=False,
+        tiebreakers=["partkey"],
+        with_totals=True,
+    ).select(
         "partkey",
         "rev_cents",
-        F.sum("rev_cents").over(cum_w).alias("cum_cents"),
-        F.sum("rev_cents").over(tot_w).alias("total_cents"),
+        F.col("rev_cents_cum").alias("cum_cents"),
+        F.col("rev_cents_tot").alias("total_cents"),
     )
     classed = ranked.select(
         "rev_cents",

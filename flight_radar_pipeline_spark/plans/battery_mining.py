@@ -36,6 +36,7 @@ from flight_radar_pipeline_spark.operators.mining import (
     km_survival,
     lag_autocorr,
 )
+from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -625,9 +626,20 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum under the total (ts, delta desc) order IS the concurrency, its
     max the peak — no interval self-join, which would be quadratic in
     overlapping sessions. Closed-interval convention: starts sort before
-    ends at equal ts. Single lineage: the peak resolves as a global
-    window max and n_sessions as boundary-count/2, so one aggregate
-    emits all three outputs (no 1-row re-join, no BNLJ)."""
+    ends at equal ts.
+
+    Round-10 scale rewrite: the sweep runs at the DISTINCT-TS grain via
+    ``operators/prefix.ranged_cumulative`` (bucket partials + broadcast
+    offsets) instead of a global ``Window.orderBy`` one-task sort that
+    grows with the session count. The oracle's RANGE-frame peer
+    semantics collapse exactly onto that grain: at each boundary ts the
+    running value after the tied starts is cum_before + n_starts (the
+    only conc level a new maximum can appear at — an ends-only tick
+    strictly decreases the sum), so the peak and its earliest ts come
+    from one aggregate over the distinct-ts rows: max(struct(conc_at_
+    starts, −epoch)) carries the earliest-ts tiebreak through the max.
+    All values are exact integers — identical to the row-level sweep
+    and to the oracle."""
     ev = load_table(spark, sf_dir, "events")
     sess = ev.groupBy(
         "user_id", F.session_window("ts", "30 minutes").alias("w")
@@ -635,15 +647,32 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sess.select(F.col("st").alias("ts"), F.lit(1).alias("delta")).unionByName(
         sess.select(F.col("en").alias("ts"), F.lit(-1).alias("delta"))
     )
-    w_sweep = Window.orderBy(F.asc("ts"), F.desc("delta"))
-    r = b.withColumn("conc", F.sum("delta").over(w_sweep)).withColumn(
-        "peak", F.max("conc").over(Window.partitionBy())
+    g = b.groupBy("ts").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("s_cnt"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("e_cnt"),
+        F.sum("delta").alias("net"),
+    ).select(F.unix_micros("ts").alias("tse"), "ts", "s_cnt", "e_cnt", "net")
+    cum = ranged_cumulative(g, "tse", ["net"])
+    # conc after this tick's tied starts (before its ends) — the RANGE
+    # frame's peer value on the +1 rows
+    conc_s = (F.col("net_cum") - F.col("net") + F.col("s_cnt")).alias(
+        "conc_s"
+    )
+    r = cum.select("ts", "tse", "s_cnt", "e_cnt", conc_s)
+    best = F.max(
+        F.when(
+            F.col("s_cnt") > 0,
+            F.struct(
+                F.col("conc_s").alias("c"), (-F.col("tse")).alias("negt")
+            ),
+        )
     )
     return r.agg(
-        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
-        F.max("peak").cast("bigint").alias("peak_concurrent"),
+        ((F.sum("s_cnt") + F.sum("e_cnt")) / 2)
+        .cast("bigint")
+        .alias("n_sessions"),
+        best["c"].cast("bigint").alias("peak_concurrent"),
         F.date_format(
-            F.min(F.when(F.col("conc") == F.col("peak"), F.col("ts"))),
-            "yyyy-MM-dd HH:mm:ss",
+            F.timestamp_micros(-best["negt"]), "yyyy-MM-dd HH:mm:ss"
         ).alias("peak_ts"),
     )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.operators.similarity import mmr_rerank
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_prep import _unit_hash_sql
@@ -81,14 +82,14 @@ def event_value_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt1"
         ),
     )
-    w = Window.partitionBy().orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = v.select(
+    # range-partitioned running count (round-10: the distinct-value grid
+    # grows with the data; the global Window.orderBy was a one-task sort
+    # at 100x) - identity on the exact bigint counts, oracle unchanged
+    r = ranged_cumulative(v, "value", ["cnt"]).select(
         "cnt",
         "cnt1",
         (
-            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+            F.col("cnt_cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
         ).alias("midrank"),
     )
     s = r.agg(
@@ -157,14 +158,13 @@ def event_type_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|-sized aggregate."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     v = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy().orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    r = v.select(
+    # range-partitioned running count - same round-10 treatment as the
+    # Mann-Whitney entry above; identity on exact counts
+    r = ranged_cumulative(v, "value", ["cnt"]).select(
         "value",
         "cnt",
         (
-            F.sum("cnt").over(w) - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+            F.col("cnt_cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
         ).alias("midrank"),
     )
     g = (

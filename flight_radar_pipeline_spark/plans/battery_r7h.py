@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
+from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_prep import _unit_hash_sql
 from flight_radar_pipeline_spark.sources.readers import load_table
@@ -198,17 +199,11 @@ def event_value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one (user)-grain aggregate then one row."""
     ev = load_table(spark, sf_dir, "events")
     dist = ev.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = Window.partitionBy().orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
+    # range-partitioned running count for the median (round-10: the
+    # distinct-value grid grows with the data) - identity on exact counts
     med_df = (
-        dist.select(
-            "value",
-            F.sum("cnt").over(w_cum).alias("cum"),
-            F.sum("cnt").over(w_all).alias("n"),
-        )
-        .filter(F.col("cum") * 2 >= F.col("n"))
+        ranged_cumulative(dist, "value", ["cnt"], with_totals=True)
+        .filter(F.col("cnt_cum") * 2 >= F.col("cnt_tot"))
         .agg(F.min("value").alias("m"))
     )
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -78,6 +78,15 @@ def test_battery_query(name, spark, duck):
         # round-10: the range-partitioned exact-W₁ CDF rewrite — global
         # running sums must be identical for any bucket/shuffle layout
         "event_value_wasserstein_drift",
+        # round-10: every other global-ordered running sum/rank moved to
+        # the same bucket-partials device — same invariance obligation
+        "event_value_mann_whitney",
+        "event_type_kruskal_wallis",
+        "event_value_runs_test",
+        "event_score_ks_separation",
+        "peak_concurrent_sessions",
+        "customer_revenue_gini",
+        "part_revenue_abc",
     ],
 )
 def test_battery_partition_determinism(name, spark):

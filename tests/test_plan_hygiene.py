@@ -82,8 +82,15 @@ ALLOWED_BNLJ = {
     # round-9 additions: all 1-row anchor/span/total broadcasts
     "event_psi_stream_ledger",    # 1-row (tr, tc) totals broadcast
     "customer_kadane_window",     # 1-row min-day + 1-row max-t broadcasts
-    # round-10: the ranged-cumulative CDF rewrite's bounds/totals bcasts
+    # round-10: the ranged-cumulative rewrite's 1-row bucket-bounds /
+    # totals broadcasts (operators/prefix.py — every global-ordered
+    # running sum/rank now goes through bucket partials)
     "event_wasserstein_stream_ledger",  # 1-row bucket-bounds + totals bcasts
+    "event_value_mann_whitney",    # 1-row bucket-bounds bcast
+    "event_score_ks_separation",   # 1-row bucket-bounds + totals bcasts
+    "peak_concurrent_sessions",    # 1-row bucket-bounds bcast
+    "customer_revenue_gini",       # 1-row bucket-bounds + totals bcasts
+    "part_revenue_abc",            # 1-row bucket-bounds + totals bcasts
 }
 
 

@@ -107,6 +107,67 @@ def test_shuffle_width_invariance(spark):
             assert rows == base
 
 
+def test_descending_with_tiebreak_and_rank(spark):
+    """ABC/Lorenz shape: cumulative revenue + dense rank under
+    (value desc, id asc) — vs the naive global window."""
+    rng = random.Random(12)
+    data = [
+        Row(id=i, v=rng.randrange(0, 40))  # heavy ties
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(data)
+    got = _rows(
+        ranged_cumulative(
+            df,
+            "v",
+            ["v"],
+            buckets=16,
+            ascending=False,
+            tiebreakers=["id"],
+            with_rank="rk",
+            with_totals=True,
+        ).select("id", "v", "v_cum", "rk", "v_tot")
+    )
+    w_cum = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_row = Window.orderBy(F.desc("v"), F.asc("id"))
+    w_all = Window.partitionBy()
+    want = _rows(
+        df.select(
+            "id",
+            "v",
+            F.sum("v").over(w_cum).alias("v_cum"),
+            F.row_number().over(w_row).cast("bigint").alias("rk"),
+            F.sum("v").over(w_all).alias("v_tot"),
+        )
+    )
+    assert got == want
+
+
+def test_ascending_rank_matches_row_number(spark):
+    rng = random.Random(13)
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(rng.randrange(0, 25))) for i in range(200)]
+    )
+    got = _rows(
+        ranged_cumulative(
+            df, "v", [], buckets=8, tiebreakers=["id"], with_rank="i"
+        ).select("id", "v", "i")
+    )
+    want = _rows(
+        df.select(
+            "id",
+            "v",
+            F.row_number()
+            .over(Window.orderBy("v", "id"))
+            .cast("bigint")
+            .alias("i"),
+        )
+    )
+    assert got == want
+
+
 def test_no_unpartitioned_data_window(spark):
     """The only ordered-unpartitioned window may run over the ≤buckets-row
     partials — the data-sized windows must all be partitioned by bucket."""
