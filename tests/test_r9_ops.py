@@ -274,3 +274,42 @@ def test_pareto_vital_few_vs_pure_python(spark):
         assert r.top1_share == pytest.approx(
             round(lst[0][0] / tot, 6), abs=1e-12
         )
+
+
+def test_set_cover_exhaustion_path_matches_oracle(spark, tmp_path):
+    """Round-9 verdict directive 5: pin the early-exit semantics when the
+    part universe is exhausted before the k-th greedy step. The Spark
+    loop breaks on an empty pick; the unrolled oracle filters steps whose
+    pick is NULL via `where ... is not null` — both must emit exactly
+    the realized steps, nothing for the phantom ones."""
+    from flight_radar_pipeline_spark.plans.battery_r9c import (
+        _COVER_ORACLE,
+        _COVER_STEPS,
+    )
+
+    # 4 parts, exhausted at step 2 (< _COVER_STEPS): supp 10 covers
+    # {1,2,3}; supp 20 covers {3,4}; supp 30 covers {1} (never picked —
+    # its only part is covered at step 1)
+    pairs = [(10, 1), (10, 2), (10, 3), (20, 3), (20, 4), (30, 1)]
+    spark.createDataFrame(
+        [(s, p) for s, p in pairs], "l_suppkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = [
+        tuple(r)
+        for r in QUERIES["supplier_part_coverage"](spark, str(tmp_path))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.sql(
+        "create view lineitem as select * from "
+        f"parquet_scan('{tmp_path}/lineitem.parquet/*.parquet')"
+    )
+    want = con.execute(_COVER_ORACLE).fetchall()
+    assert got == want
+    # the exhaustion actually happened: fewer realized steps than k,
+    # full coverage on the last one
+    assert len(got) == 2 < _COVER_STEPS
+    assert got[0] == (1, 10, 3, 3, 0.75)
+    assert got[1] == (2, 20, 1, 4, 1.0)
