@@ -652,7 +652,10 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("e_cnt"),
         F.sum("delta").alias("net"),
     ).select(F.unix_micros("ts").alias("tse"), "ts", "s_cnt", "e_cnt", "net")
-    cum = ranged_cumulative(g, "tse", ["net"])
+    # materialize: the session_window aggregate above is expensive and
+    # feeds the helper's three branches through a union (not
+    # exchange-reusable); the lazy checkpoint measured 2.8 s → 2.0 s
+    cum = ranged_cumulative(g, "tse", ["net"], materialize_input=True)
     # conc after this tick's tied starts (before its ends) — the RANGE
     # frame's peer value on the +1 rows
     conc_s = (F.col("net_cum") - F.col("net") + F.col("s_cnt")).alias(
