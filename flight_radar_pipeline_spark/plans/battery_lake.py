@@ -437,39 +437,49 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the audit reports how many rows a hard delete would purge from
     each fact table keyed by that user — the pre-flight report a GDPR
     erasure job publishes before rewriting files. The tombstone build is
-    one groupBy at user cardinality; each table audit is a broadcast
-    LEFT SEMI join counted against the table total (tombstones are
-    always ≪ facts — at 100 TB they stay broadcast-sized or become a
-    bloom semi-join exactly like ``orders_bloom_semi_join``)."""
+    one groupBy at user cardinality; each table audit is ONE scan — a
+    broadcast left join against the (distinct) tombstones marks
+    membership, and a single aggregate emits total + to-delete counts
+    together (round-10 compression: the first cut counted the semi-join
+    and the table total as separate scans glued by crossJoins — 24
+    exchanges for two numbers per table). Tombstones are always ≪ facts
+    — at 100 TB they stay broadcast-sized or become a bloom semi-join
+    exactly like ``orders_bloom_semi_join``."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    mx = ev.agg(F.max("ts").alias("m"))
+    # two bounded driver actions (1-row max, 1-row count — the
+    # set-cover/markov sanctioned class) replace the round-9 form's
+    # mx/n_tomb crossJoin broadcasts: 6 BNLJ → 0
+    m = ev.agg(F.max("ts").alias("m")).collect()[0].m
     tomb = (
-        ev.crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            F.max("ts").alias("__last"),
-            F.first("m").alias("__m"),
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("__last"))
+        .filter(
+            F.col("__last")
+            < F.lit(m) - F.expr(f"INTERVAL {_ERASE_DAYS} DAYS")
         )
-        .filter(F.col("__last") < F.col("__m") - F.expr(f"INTERVAL {_ERASE_DAYS} DAYS"))
         .select("user_id")
     )
-    n_tomb = tomb.agg(F.count(F.lit(1)).alias("n_users"))
+    n_users = tomb.count()
+
+    marked_tomb = tomb.withColumn("__hit", F.lit(1))
 
     def audit(df: DataFrame, key: str, label: str) -> DataFrame:
-        hit = df.join(
-            F.broadcast(tomb), df[key] == tomb["user_id"], "left_semi"
+        # tomb is distinct on user_id, so the left join never fans out
+        # and count(__hit) ≡ the semi-join count — one scan, one agg
+        marked = df.join(
+            F.broadcast(marked_tomb),
+            df[key] == marked_tomb["user_id"],
+            "left",
         )
-        return (
-            df.agg(F.count(F.lit(1)).alias("rows_total"))
-            .crossJoin(hit.agg(F.count(F.lit(1)).alias("rows_to_delete")))
-            .crossJoin(F.broadcast(n_tomb))
-            .select(
-                F.lit(label).alias("table_name"),
-                "rows_total",
-                "rows_to_delete",
-                "n_users",
-            )
+        return marked.agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            F.count("__hit").alias("rows_to_delete"),
+        ).select(
+            F.lit(label).alias("table_name"),
+            "rows_total",
+            "rows_to_delete",
+            F.lit(n_users).cast("bigint").alias("n_users"),
         )
 
     return (

@@ -421,11 +421,16 @@ def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     finite-sample rank uses exact integer arithmetic
     (⌈9(n+1)/10⌉ = ⌊(9(n+1)+9)/10⌋) on both engines.
 
-    Scale: qhat comes from the distinct-residual pre-aggregate (the
-    Mann–Whitney shape — a cumulative window over (type, residual)
-    counts, never a fact-sized rank); the split predicate and coverage
-    check are row-local against broadcast (μ, qhat) tables. Residuals
-    round to 6 on both sides of the comparison, pinning parity."""
+    Scale (round-10 compression — the haar/kadane precedent): the fact
+    is scanned exactly TWICE — once for the train means, once to build
+    the (type, residual, split) COUNT GRID for calibration and eval
+    rows together; everything downstream (n_cal/k, the rank walk to
+    qhat, eval coverage) is windows and broadcast joins over that
+    bounded grid, which Spark's ReusedExchange computes once. The first
+    cut re-derived the calibration stream for each of nk/dist/q and the
+    eval stream separately — 26 exchanges for the same values. Residuals
+    round to 6 on both sides of the comparison, pinning parity; all
+    grid arithmetic is exact integers."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -437,63 +442,64 @@ def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.round(F.avg("value"), 6).alias("mu"))
     )
-    cal = (
-        e.filter((F.col("u") >= 0.5) & (F.col("u") < 0.75))
+    grid = (
+        e.filter(F.col("u") >= 0.5)
         .join(F.broadcast(mu), "event_type")
         .select(
             "event_type",
             F.round(F.abs(F.col("value") - F.col("mu")), 6).alias("r"),
+            (F.col("u") < 0.75).alias("is_cal"),
+        )
+        .groupBy("event_type", "r")
+        .agg(
+            F.sum(F.when(F.col("is_cal"), 1).otherwise(0)).alias("c_cal"),
+            F.sum(F.when(F.col("is_cal"), 0).otherwise(1)).alias("c_eval"),
         )
     )
-    nk = cal.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_cal"),
-        F.least(
-            F.floor((9 * (F.count(F.lit(1)) + 1) + 9) / 10.0),
-            F.count(F.lit(1)),
-        ).alias("k"),
-    )
-    dist = cal.groupBy("event_type", "r").agg(F.count(F.lit(1)).alias("cnt"))
+    w_nat = Window.partitionBy("event_type")
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dist.select(
-        "event_type", "r", F.sum("cnt").over(w_cum).alias("cum")
+    cum = grid.select(
+        "event_type",
+        "r",
+        "c_cal",
+        "c_eval",
+        F.sum("c_cal").over(w_cum).alias("cum_cal"),
+        F.sum("c_cal").over(w_nat).alias("n_cal"),
+    )
+    k = F.least(
+        F.floor((9 * (F.col("n_cal") + 1) + 9) / 10.0), F.col("n_cal")
     )
     q = (
-        cum.join(F.broadcast(nk), "event_type")
-        .filter(F.col("cum") >= F.col("k"))
+        cum.filter(F.col("cum_cal") >= k)
         .groupBy("event_type")
         .agg(F.min("r").alias("qhat"))
     )
-    evl = (
-        e.filter(F.col("u") >= 0.75)
-        .join(F.broadcast(mu), "event_type")
-        .join(F.broadcast(q), "event_type")
-        .select(
-            "event_type",
-            F.when(
-                F.round(F.abs(F.col("value") - F.col("mu")), 6)
-                <= F.col("qhat"),
-                1,
-            )
-            .otherwise(0)
-            .alias("cov"),
-        )
-    )
-    agg = evl.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
-        F.round(F.sum("cov") / (F.count(F.lit(1)) * F.lit(1.0)), 4).alias(
-            "coverage"
-        ),
-    )
     return (
-        agg.join(F.broadcast(nk), "event_type")
-        .join(F.broadcast(q), "event_type")
+        cum.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").cast("bigint").alias("n_calib"),
+            F.max("qhat").alias("qhat"),
+            F.sum("c_eval").cast("bigint").alias("n_eval"),
+            F.round(
+                F.sum(
+                    F.when(F.col("r") <= F.col("qhat"), F.col("c_eval"))
+                    .otherwise(0)
+                )
+                / (F.sum("c_eval") * F.lit(1.0)),
+                4,
+            ).alias("coverage"),
+        )
+        # the pre-compression form's inner joins dropped types with no
+        # calibration or no eval rows — keep that contract exactly
+        .filter((F.col("n_calib") > 0) & (F.col("n_eval") > 0))
         .select(
             "event_type",
-            F.col("n_cal").cast("bigint").alias("n_calib"),
+            "n_calib",
             "qhat",
             "n_eval",
             "coverage",

@@ -560,8 +560,24 @@ def event_type_markov_stationary(
 
     Scale: the only fact-sized work is the per-user lead window (the
     established sessionization cost); everything after runs on the
-    |types|² matrix. Transition probabilities are exact integer-count
-    ratios; each iterate rounds to 8, pinning the trajectory."""
+    |types|² matrix — which is O(k²) DRIVER state by house discipline
+    (round-10 compression, the mixture-reweight precedent: the first
+    cut ran the 8 power steps as distributed joins over a ≤25-row
+    relation, 21 exchanges of scheduling overhead for arithmetic that
+    has no business on the cluster). Transition counts collect once as
+    exact integers; probabilities divide on the driver with the same
+    double op the engines used; each iterate rounds to 8 half-up on
+    the shortest decimal repr (F.round semantics), pinning the
+    trajectory."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-8), rounding=ROUND_HALF_UP
+            )
+        )
+
     ev = load_table(spark, sf_dir, "events")
     w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -573,21 +589,23 @@ def event_type_markov_stationary(
         .groupBy("cur", "nxt")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w_row = Window.partitionBy("cur")
-    pm = trans.select(
-        "cur",
-        "nxt",
-        (F.col("cnt") / (F.sum("cnt").over(w_row) * F.lit(1.0))).alias("p"),
-    ).localCheckpoint(eager=True)
-    types = pm.select(F.col("cur").alias("t")).distinct()
-    n_types = types.count()  # |event types| — bounded driver action
-    v = types.select("t", F.lit(1.0 / n_types).alias("v"))
+    rows = trans.collect()  # ≤ |types|² integer counts — bounded
+    rowsum: dict[str, int] = {}
+    for r in rows:
+        rowsum[r.cur] = rowsum.get(r.cur, 0) + r.cnt
+    pm = sorted(
+        (r.nxt, r.cur, r.cnt / (rowsum[r.cur] * 1.0)) for r in rows
+    )
+    v = {t: 1.0 / len(rowsum) for t in rowsum}
     for _ in range(_MARKOV_ITERS):
-        v = (
-            pm.join(v.withColumnRenamed("t", "cur"), "cur")
-            .groupBy(F.col("nxt").alias("t"))
-            .agg(F.round(F.sum(F.col("v") * F.col("p")), 8).alias("v"))
-        )
+        acc: dict[str, float] = {}
+        for nxt, cur, p in pm:  # deterministic (nxt, cur) fold order
+            if cur in v:
+                acc[nxt] = acc.get(nxt, 0.0) + v[cur] * p
+        v = {t: _r8(s) for t, s in acc.items()}
+    v_df = spark.createDataFrame(
+        sorted(v.items()), "event_type string, v double"
+    )
     emp = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     w_all = Window.partitionBy()
     emp_share = emp.select(
@@ -597,8 +615,7 @@ def event_type_markov_stationary(
         ).alias("empirical_share"),
     )
     return (
-        v.withColumnRenamed("t", "event_type")
-        .join(F.broadcast(emp_share), "event_type")
+        emp_share.join(F.broadcast(v_df), "event_type")
         .select(
             "event_type",
             F.round("v", 6).alias("stationary_prob"),

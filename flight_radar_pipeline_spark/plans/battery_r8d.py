@@ -131,13 +131,15 @@ def event_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
         )
     )
-    tot = grid.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
-    p_ref = (F.col("n_ref") + 1) / (F.col("tr") + 10.0)
-    p_cur = (F.col("n_cur") + 1) / (F.col("tc") + 10.0)
+    # totals ride a window over the bounded 10-row grid (round-10
+    # compression: one fewer 1-row crossJoin/BNLJ and aggregate branch)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 1) / (F.sum("n_ref").over(w_all) + 10.0)
+    p_cur = (F.col("n_cur") + 1) / (F.sum("n_cur").over(w_all) + 10.0)
     return (
-        grid.crossJoin(F.broadcast(tot))
+        grid
         .select(
             F.col("bin").cast("bigint").alias("bin"),
             F.col("n_ref").cast("bigint").alias("n_ref"),

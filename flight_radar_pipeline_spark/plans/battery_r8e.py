@@ -65,8 +65,12 @@ def nation_order_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nations|-row partial table). Decimal-exact: sums run in integer
     cents, so θ₋ᵢ is the same rational in both engines before the one
     division; θ̄ averages |nations| values (1e-15 noise, rounded).
-    Plan: two broadcast dim joins, one |nations| aggregate, two tiny
-    cross joins — fact scanned once."""
+    Plan: two broadcast dim joins, one |nations| aggregate, then two
+    window passes over that bounded 25-row relation (round-10
+    compression: the first cut glued the totals and the jackknife mean
+    back with two 1-row crossJoins — 19 exchanges and 2 BNLJ for
+    arithmetic the window computes in place) — fact scanned once, zero
+    joins after the aggregate."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -91,35 +95,29 @@ def nation_order_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_i"),
         )
     )
-    tot = part.agg(
-        F.sum("s_cents").alias("s_all"),
-        F.sum("n_i").alias("n_all"),
-        F.count(F.lit(1)).alias("g"),
-    )
-    theta = part.crossJoin(F.broadcast(tot)).select(
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    theta = part.select(
         "n_name",
         "n_i",
-        "g",
+        F.count(F.lit(1)).over(w_all).alias("g"),
         (
-            (F.col("s_all") - F.col("s_cents"))
+            (F.sum("s_cents").over(w_all) - F.col("s_cents"))
             / 100.0
-            / (F.col("n_all") - F.col("n_i"))
+            / (F.sum("n_i").over(w_all) - F.col("n_i"))
         ).alias("theta_wo"),
     )
-    bar = theta.agg(F.avg("theta_wo").alias("theta_bar"))
-    return (
-        theta.crossJoin(F.broadcast(bar))
-        .select(
-            "n_name",
-            F.col("n_i").cast("bigint").alias("n_orders"),
-            F.round("theta_wo", 4).alias("theta_wo"),
-            F.round(
-                (F.col("g") - 1) * (F.col("theta_bar") - F.col("theta_wo")),
-                4,
-            ).alias("influence"),
-        )
-        .orderBy("n_name")
-    )
+    return theta.select(
+        "n_name",
+        F.col("n_i").cast("bigint").alias("n_orders"),
+        F.round("theta_wo", 4).alias("theta_wo"),
+        F.round(
+            (F.col("g") - 1)
+            * (F.avg("theta_wo").over(w_all) - F.col("theta_wo")),
+            4,
+        ).alias("influence"),
+    ).orderBy("n_name")
 
 
 # --------------------------------------------------------------------------

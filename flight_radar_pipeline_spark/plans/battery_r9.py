@@ -339,11 +339,19 @@ def event_psi_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
-    tot = grid.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
-    p_ref = (F.col("n_ref") + 1) / (F.col("tr") + float(_SPSI_NBINS))
-    p_cur = (F.col("n_cur") + 1) / (F.col("tc") + float(_SPSI_NBINS))
+    # totals ride a window over the bounded nbins-row grid (round-10
+    # compression, matching the batch PSI entry)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 1) / (
+        F.sum("n_ref").over(w_all) + float(_SPSI_NBINS)
+    )
+    p_cur = (F.col("n_cur") + 1) / (
+        F.sum("n_cur").over(w_all) + float(_SPSI_NBINS)
+    )
     return (
-        grid.crossJoin(F.broadcast(tot))
+        grid
         .select(
             F.col("bin").cast("bigint").alias("bin"),
             F.col("n_ref").cast("bigint").alias("n_ref"),

@@ -45,7 +45,6 @@ ALLOWED_BNLJ = {
     "event_value_interpolated",   # spine: tiny key-set × generated hour rows
     "event_value_woe_bins",       # 1-row decile-bounds + totals broadcasts
     "referential_integrity_audit",  # 1-row count × 1-row count per relation
-    "user_erasure_audit",         # 1-row max-ts / count broadcasts
     "session_event_type_lift",    # 1-row basket-total broadcast
     "event_type_hour_mutual_info",  # 1-row contingency-total broadcast
     "embedding_cosine_histogram",  # deliberate sampled pair join (< cond)
@@ -76,7 +75,6 @@ ALLOWED_BNLJ = {
     "event_hour_pinball_p90",     # 1-row standardization-stats broadcast
     "embedding_jl_distortion",    # audit baseline: 8-query broadcast, != cond
     "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
-    "nation_order_jackknife",     # 1-row totals + 1-row theta-bar broadcasts
     "event_hourly_haar_energy",   # 1-row min-ts broadcast (hour-index anchor)
     "event_value_wasserstein_drift",  # 1-row span/bucket-bounds/totals bcasts
     # round-9 additions: all 1-row anchor/span/total broadcasts
