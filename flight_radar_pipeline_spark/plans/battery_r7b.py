@@ -172,7 +172,10 @@ def event_type_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("midrank").alias("rg"), F.count(F.lit(1)).alias("ng"))
     )
-    tsum_df = r.agg(
+    # tie-correction needs only the tie counts, not the midranks —
+    # aggregate the PRE-helper grid so the ranked lineage isn't
+    # re-derived for one sum (round-10 exchange trim)
+    tsum_df = v.agg(
         F.sum(
             F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
         ).alias("tsum")
