@@ -146,6 +146,7 @@ def _registry():
         battery_r9b,
         battery_r9c,
         battery_r9d,
+        battery_r10,
         battery_temporal,
         battery_text,
     )

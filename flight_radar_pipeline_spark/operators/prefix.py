@@ -52,6 +52,7 @@ def ranged_cumulative(
     with_rank: str | None = None,
     ascending: bool = True,
     tiebreakers: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
     accuracy: int = 100,
     materialize_input: bool = False,
 ) -> DataFrame:
@@ -70,7 +71,11 @@ def ranged_cumulative(
     ``with_totals=True`` appends ``{c}_tot`` = the global sum of each
     column (from the bucket partials — no second scan of ``df``).
     ``with_rank="name"`` appends the global 1-based ``row_number`` under
-    the same order as column ``name``.
+    the same order as column ``name``. ``max_cols`` appends, for each
+    ``c``, the running MAX ``{c}_runmax`` (inclusive of the current row)
+    and ``{c}_runmax_prev`` (over strictly-preceding rows; null on the
+    global first row) — max is associative, so the bucket decomposition
+    is an identity for it with no exactness caveat.
 
     ``materialize_input`` lazily ``localCheckpoint``s ``df`` so the
     three consumers (boundary probe, bucket partials, the bucketed
@@ -92,10 +97,15 @@ def ranged_cumulative(
     """
     sum_cols = list(sum_cols)
     tiebreakers = list(tiebreakers)
+    max_cols = list(max_cols)
     if buckets is None:
         buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
         )
+    # buckets=1 would make the boundary-probe array EMPTY (percentile of
+    # zero probs → null → null bucket ids → rows silently dropped by the
+    # offsets join); two buckets is the degenerate floor
+    buckets = max(2, buckets)
     if materialize_input:
         df = df.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
@@ -114,6 +124,7 @@ def ranged_cumulative(
         first_val.alias("__bfirst"),
         F.count(F.lit(1)).alias("__bn"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        *[F.max(c).alias(f"__m_{c}") for c in max_cols],
     )
     bkt_dir = F.asc(_BKT) if ascending else F.desc(_BKT)
     w_off = Window.orderBy(bkt_dir).rowsBetween(Window.unboundedPreceding, -1)
@@ -135,6 +146,10 @@ def ranged_cumulative(
             if with_totals
             else []
         ),
+        *[
+            F.max(f"__m_{c}").over(w_off).alias(f"__moff_{c}")
+            for c in max_cols
+        ],
         F.lead("__bfirst").over(w_nxt).alias("__nxt_bfirst"),
     )
     order_exprs = [
@@ -147,11 +162,31 @@ def ranged_cumulative(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_row = Window.partitionBy(_BKT).orderBy(*order_exprs)
+    w_prev = (
+        Window.partitionBy(_BKT)
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     out_cols = [
         *cols,
         *[
             (F.col(f"__off_{c}") + F.sum(c).over(w_cum)).alias(f"{c}_cum")
             for c in sum_cols
+        ],
+        # F.greatest skips nulls, so the bucket-offset max (null for the
+        # first bucket) and the strictly-preceding in-bucket max (null
+        # on a bucket's first row) compose without special cases
+        *[
+            F.greatest(F.max(c).over(w_cum), F.col(f"__moff_{c}")).alias(
+                f"{c}_runmax"
+            )
+            for c in max_cols
+        ],
+        *[
+            F.greatest(F.max(c).over(w_prev), F.col(f"__moff_{c}")).alias(
+                f"{c}_runmax_prev"
+            )
+            for c in max_cols
         ],
     ]
     if with_totals:

@@ -87,6 +87,9 @@ def test_battery_query(name, spark, duck):
         "peak_concurrent_sessions",
         "customer_revenue_gini",
         "part_revenue_abc",
+        # round-10 new entries: ranked remainders + running-max frontier
+        "nation_seat_apportionment",
+        "part_price_size_skyline",
     ],
 )
 def test_battery_partition_determinism(name, spark):

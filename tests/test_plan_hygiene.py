@@ -89,6 +89,7 @@ ALLOWED_BNLJ = {
     "peak_concurrent_sessions",    # 1-row bucket-bounds bcast
     "customer_revenue_gini",       # 1-row bucket-bounds + totals bcasts
     "part_revenue_abc",            # 1-row bucket-bounds + totals bcasts
+    "part_price_size_skyline",     # 1-row bucket-bounds bcast (running max)
 }
 
 

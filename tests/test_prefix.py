@@ -83,6 +83,11 @@ def test_empty_buckets_and_tiny_frames(spark):
 
 
 def test_shuffle_width_invariance(spark):
+    """Identical output at widths 1 and 16 — BOTH with pinned buckets
+    and with the self-sized default (buckets = shuffle.partitions, so
+    width 1 exercises the degenerate ≤2-bucket floor: an empty
+    boundary-probe array would null the bucket ids and silently drop
+    every row through the offsets join)."""
     rng = random.Random(11)
     df = (
         spark.createDataFrame(
@@ -90,21 +95,24 @@ def test_shuffle_width_invariance(spark):
         )
         .repartition(13)
     )
-    base = None
-    for width in ("1", "16"):
-        spark.conf.set("spark.sql.shuffle.partitions", width)
-        try:
-            rows = _rows(
-                ranged_cumulative(
-                    df, "v", ["a"], buckets=16, with_lead=True
+    for buckets in (16, None):
+        base = None
+        for width in ("1", "16"):
+            spark.conf.set("spark.sql.shuffle.partitions", width)
+            try:
+                rows = _rows(
+                    ranged_cumulative(
+                        df, "v", ["a"], buckets=buckets, with_lead=True,
+                        with_totals=True,
+                    )
                 )
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
-        if base is None:
-            base = rows
-        else:
-            assert rows == base
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+            assert len(rows) == 300
+            if base is None:
+                base = rows
+            else:
+                assert rows == base
 
 
 def test_descending_with_tiebreak_and_rank(spark):
@@ -163,6 +171,33 @@ def test_ascending_rank_matches_row_number(spark):
             .over(Window.orderBy("v", "id"))
             .cast("bigint")
             .alias("i"),
+        )
+    )
+    assert got == want
+
+
+def test_running_max_matches_global_window(spark):
+    """max_cols: inclusive and strictly-preceding running maxima equal
+    the naive global-window spelling (incl. the null on the global
+    first row)."""
+    rng = random.Random(14)
+    df = spark.createDataFrame(
+        [Row(v=float(i), m=rng.randrange(-50, 50)) for i in range(300)]
+    )
+    got = _rows(
+        ranged_cumulative(
+            df, "v", [], buckets=7, max_cols=["m"]
+        ).select("v", "m_runmax", "m_runmax_prev")
+    )
+    w_inc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_exc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    want = _rows(
+        df.select(
+            "v",
+            F.max("m").over(w_inc).alias("m_runmax"),
+            F.max("m").over(w_exc).alias("m_runmax_prev"),
         )
     )
     assert got == want

@@ -102,7 +102,12 @@ def test_only_coverage_operators_recently_checked():
 
 # entries registered AFTER the round-10 window froze (they become rotation
 # candidates for round 11; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    # battery_r10 (registered post-freeze): discrete allocation +
+    # dominance query — both sweep-verified as uncovered families
+    "nation_seat_apportionment",
+    "part_price_size_skyline",
+}
 
 
 def test_round10_window_composition():

@@ -221,6 +221,29 @@ EXTRA_FAMILIES_R8 = [
 
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
+EXTRA_FAMILIES_R10 = [
+    # the two new round-10 families
+    "nation_seat_apportionment",      # fact agg + |nations| windows
+    "part_price_size_skyline",        # per-price grid + ranged running max
+    # the ranged-prefix-sum refits (directive-2 sweep) — re-measured so
+    # the constant-overhead adjudication in BASELINE.md has r10 ratios
+    "event_value_wasserstein_drift",
+    "event_wasserstein_stream_ledger",
+    "event_value_mann_whitney",
+    "event_type_kruskal_wallis",
+    "event_value_runs_test",
+    "event_score_ks_separation",
+    "peak_concurrent_sessions",
+    "customer_revenue_gini",
+    "part_revenue_abc",
+    # the exchange-compression rewrites (directive 4)
+    "event_value_conformal",
+    "event_type_markov_stationary",
+    "user_erasure_audit",
+    "nation_order_jackknife",
+    "event_value_psi_drift",
+]
+
 EXTRA_FAMILIES_R9 = [
     "user_hll_sparse_audit",          # exploded 2x scan, 64-register agg
     "event_psi_stream_ledger",        # 3-batch foreachBatch count merge
@@ -267,7 +290,8 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] in (
-        "--extras", "--extras-r7", "--extras-r8", "--extras-r9"
+        "--extras", "--extras-r7", "--extras-r8", "--extras-r9",
+        "--extras-r10",
     ):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
@@ -281,6 +305,9 @@ def main() -> int:
         if sys.argv[1] == "--extras-r9":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R9, prefix="r9_")
+        if sys.argv[1] == "--extras-r10":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R10, prefix="r10_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
