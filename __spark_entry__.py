@@ -147,6 +147,7 @@ def _registry():
         battery_r9c,
         battery_r9d,
         battery_r10,
+        battery_r10b,
         battery_temporal,
         battery_text,
     )

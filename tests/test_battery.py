@@ -90,6 +90,10 @@ def test_battery_query(name, spark, duck):
         # round-10 new entries: ranked remainders + running-max frontier
         "nation_seat_apportionment",
         "part_price_size_skyline",
+        # round-10b new entries: ranged running class counts + argmax
+        # struct (stump); driver PAVA from a collected grid (isotonic)
+        "order_price_stump_split",
+        "event_score_isotonic_fit",
     ],
 )
 def test_battery_partition_determinism(name, spark):

@@ -90,6 +90,7 @@ ALLOWED_BNLJ = {
     "customer_revenue_gini",       # 1-row bucket-bounds + totals bcasts
     "part_revenue_abc",            # 1-row bucket-bounds + totals bcasts
     "part_price_size_skyline",     # 1-row bucket-bounds bcast (running max)
+    "order_price_stump_split",     # 1-row bucket-bounds + totals bcasts
 }
 
 

@@ -107,6 +107,10 @@ POST_FREEZE: set[str] = {
     # dominance query — both sweep-verified as uncovered families
     "nation_seat_apportionment",
     "part_price_size_skyline",
+    # battery_r10b (registered post-freeze): CART split finding +
+    # isotonic calibration — both sweep-verified as uncovered families
+    "order_price_stump_split",
+    "event_score_isotonic_fit",
 }
 
 

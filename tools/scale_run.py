@@ -225,6 +225,9 @@ EXTRA_FAMILIES_R10 = [
     # the two new round-10 families
     "nation_seat_apportionment",      # fact agg + |nations| windows
     "part_price_size_skyline",        # per-price grid + ranged running max
+    # the two round-10b families
+    "order_price_stump_split",        # threshold grid + ranged class counts
+    "event_score_isotonic_fit",       # 20-bin grid + driver PAVA
     # the ranged-prefix-sum refits (directive-2 sweep) — re-measured so
     # the constant-overhead adjudication in BASELINE.md has r10 ratios
     "event_value_wasserstein_drift",
