@@ -148,6 +148,7 @@ def _registry():
         battery_r9d,
         battery_r10,
         battery_r10b,
+        battery_r10c,
         battery_temporal,
         battery_text,
     )

@@ -94,6 +94,8 @@ def test_battery_query(name, spark, duck):
         # struct (stump); driver PAVA from a collected grid (isotonic)
         "order_price_stump_split",
         "event_score_isotonic_fit",
+        # round-10c: Kruskal pick sequence from a collected bounded grid
+        "nation_profile_mst",
     ],
 )
 def test_battery_partition_determinism(name, spark):

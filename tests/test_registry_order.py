@@ -111,6 +111,9 @@ POST_FREEZE: set[str] = {
     # isotonic calibration — both sweep-verified as uncovered families
     "order_price_stump_split",
     "event_score_isotonic_fit",
+    # battery_r10c (registered post-freeze): the graph family's missing
+    # spanning-tree classic
+    "nation_profile_mst",
 }
 
 

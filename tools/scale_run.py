@@ -228,6 +228,8 @@ EXTRA_FAMILIES_R10 = [
     # the two round-10b families
     "order_price_stump_split",        # threshold grid + ranged class counts
     "event_score_isotonic_fit",       # 20-bin grid + driver PAVA
+    # round-10c
+    "nation_profile_mst",             # fact agg to 25 nodes + driver Kruskal
     # the ranged-prefix-sum refits (directive-2 sweep) — re-measured so
     # the constant-overhead adjudication in BASELINE.md has r10 ratios
     "event_value_wasserstein_drift",
