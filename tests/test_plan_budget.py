@@ -45,6 +45,10 @@ BUDGET = {
     "user_kmv_rolling_7d": 10,
     "doc_hybrid_rrf_search": 12,
     "event_value_stats_merged": 5,
+    # round-10b/c additions (audited static counts + 2 headroom)
+    "order_price_stump_split": 15,
+    "event_score_isotonic_fit": 5,
+    "nation_profile_mst": 3,
 }
 # deliberately NOT budgeted: entries consuming the shared sketch-pair
 # cache (ngram_jaccard_pairs, edit_distance_near_dup, ...) — their static
