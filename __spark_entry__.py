@@ -37,24 +37,25 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-10 rotation — the standing pre-agreed rotation contract
-# (tests/test_registry_order.py), composed exactly as the round-9 verdict
+# Round-11 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py), composed exactly as the round-10 verdict
 # directive 1 prescribed:
 #   (a) `pricing_summary` as the proven spine.
-#   (b) the 8-entry round-9 POST_FREEZE slate (every oracled entry
-#       registered after the round-9 window froze — none has ever held a
-#       driver correctness row). A green round takes cumulative driver
-#       coverage to ALL 280 oracled entries.
-#   (c) 41 re-checks of the STALEST green rows by (last green driver
-#       round across CORRECTNESS_r01–r09, registry order) — the deepest
-#       re-verification budget the rotation has ever had: the whole r4
-#       cohort's remaining 35 rows plus the 6 oldest r5 rows. Plans are
-#       drift-audited (tools/audit_compare.py), but a driver-side
-#       re-check of r4/r5-era rows is the cheapest possible insurance.
-# 1 + 8 + 41 = 50 exactly.
+#   (b) the 5-entry round-10 POST_FREEZE slate (every oracled entry
+#       registered after the round-10 window froze — none has ever held
+#       a driver correctness row). A green round takes cumulative driver
+#       coverage to ALL 285 oracled entries — full saturation for the
+#       first time.
+#   (c) 44 re-checks of the STALEST green rows by (last green driver
+#       round across CORRECTNESS_r01–r10, registry order) — the deepest
+#       re-verification budget yet: the remaining r5 cohort (38 rows)
+#       plus the 6 oldest r6 rows. Plans are drift-audited
+#       (tools/audit_compare.py), but a driver-side re-check of
+#       r5/r6-era rows is the cheapest possible insurance.
+# 1 + 5 + 44 = 50 exactly.
 #
-# Demoted entries (the whole round-9 window minus the spine) all hold
-# green rows in CORRECTNESS_r09.json; tests/test_battery.py's
+# Demoted entries (the whole round-10 window minus the spine) all hold
+# green rows in CORRECTNESS_r10.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -64,57 +65,57 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # (a) proven spine
     "pricing_summary",
-    # (b) the round-9 POST_FREEZE slate, wholesale (8 — never driver-checked)
-    "user_hll_sparse_audit",
-    "event_psi_stream_ledger",
-    "event_wasserstein_stream_ledger",
-    "event_value_page_hinkley",
-    "supplier_part_coverage",
-    "customer_kadane_window",
-    "event_value_ewma_bands",
-    "customer_pareto_vital_few",
-    # (c) 41 stalest-green re-checks (last green round in comment)
-    "supplier_nation_enrich",        # r4
-    "doc_lang_id",                   # r4
-    "doc_exact_dedup",               # r4
-    "minhash_near_dup_pairs",        # r4
-    "near_dup_clusters",             # r4
-    "simhash_near_dup_pairs",        # r4
-    "top_pmi_collocations",          # r4
-    "embedding_topk_bruteforce",     # r4
-    "doc_quality_score",             # r4
-    "ngram_jaccard_pairs",           # r4
-    "doc_bm25_query",                # r4
-    "embedding_topk_ivf",            # r4
-    "embedding_kmeans_clusters",     # r4
-    "embedding_semantic_dedup",      # r4
-    "click_view_pairs_stream",       # r4
-    "orders_scd2_history",           # r4
-    "orders_scd1_merge",             # r4
-    "lineitem_price_stats",          # r4
-    "weekly_cohort_retention",       # r4
-    "hourly_timeline_dense",         # r4
-    "user_event_type_pivot",         # r4
-    "customer_7d_order_sum",         # r4
-    "customers_without_orders",      # r4
-    "order_status_cube",             # r4
-    "priority_weighted_price",       # r4
-    "segment_revenue_salted_join",   # r4
-    "user_sessions",                 # r4
-    "snapshot_diff",                 # r4
-    "orders_bloom_semi_join",        # r4
-    "doc_train_eval_split",          # r4
-    "doc_lm_perplexity",             # r4
-    "doc_pii_redaction",             # r4
-    "entity_pagerank",               # r4
-    "embedding_top_component",       # r4
-    "doc_boilerplate_spans",         # r5
-    "doc_repetition_ratio",          # r5
-    "doc_tfidf_top_terms",           # r5
-    "doc_pack_assignments",          # r5
-    "event_zorder_keys",             # r5
-    "doc_stratified_sample",         # r5
-    "embedding_pq_audit",            # r5
+    # (b) the round-10 POST_FREEZE slate, wholesale (5 — never driver-checked)
+    "nation_seat_apportionment",
+    "part_price_size_skyline",
+    "order_price_stump_split",
+    "event_score_isotonic_fit",
+    "nation_profile_mst",
+    # (c) 44 stalest-green re-checks (last green round in comment)
+    "doc_bpe_merges",                     # r5
+    "closed_sessions_stream_native",      # r5
+    "distinct_user_event_types_stream",   # r5
+    "incremental_daily_rollup",           # r5
+    "customer_weighted_price_udaf",       # r5
+    "multimodal_modality_route",          # r5
+    "user_kmv_distinct",                  # r5
+    "hopping_event_counts",               # r5
+    "nation_year_widget_revenue",         # r5
+    "status_month_grouping_sets",         # r5
+    "event_type_transitions",             # r5
+    "event_value_hourly_trend",           # r5
+    "view_click_left_outer_stream",       # r5
+    "orders_scd1_stream_merge",           # r5
+    "doc_decontamination",                # r5
+    "doc_chunk_windows",                  # r5
+    "doc_weighted_sample",                # r5
+    "doc_oov_rate",                       # r5
+    "corpus_mixture_sample",              # r5
+    "doc_length_histogram",               # r5
+    "embedding_dim_stats",                # r5
+    "doc_token_ids",                      # r5
+    "near_dup_triangles",                 # r5
+    "multimodal_frame_sample",            # r5
+    "event_value_mad_outliers",           # r5
+    "embedding_int8_quant",               # r5
+    "event_key_skew_report",              # r5
+    "doc_incremental_dedup",              # r5
+    "signup_click_purchase_funnel",       # r5
+    "doc_contiguous_ids",                 # r5
+    "event_value_zscore",                 # r5
+    "order_price_deciles",                # r5
+    "table_quality_report",               # r5
+    "user_count_cms_estimates",           # r5
+    "enriched_events_stream",             # r5
+    "doc_dedup_decisions",                # r5
+    "doc_chunk_dedup_rate",               # r5
+    "doc_keep_best_dedup",                # r5
+    "doc_heavy_hitters",                  # r6
+    "doc_source_report",                  # r6
+    "doc_hashing_tf",                     # r6
+    "doc_topic_clusters",                 # r6
+    "embedding_near_dup_pairs",           # r6
+    "doc_bpe_encode",                     # r6
 ]
 CHECKED_WINDOW = 50
 

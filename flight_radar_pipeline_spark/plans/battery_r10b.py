@@ -97,11 +97,12 @@ def order_price_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice needs no per-candidate subtraction from the parent.
 
     Cross-engine exactness: class counts are bigint; pos², neg² and
-    their sums stay bigint (exact to ~3·10⁹ rows — beyond that the
-    sums move to decimal(38,0), same plan shape); each candidate's
-    score is then TWO correctly-rounded int→double casts and one IEEE
-    division per side — a fixed expression with no aggregation order,
-    so both engines produce bit-identical doubles and the
+    their sums are computed in decimal(38,0) (exact to ~10¹⁸ rows —
+    DuckDB's sum() is already hugeint, so both engines square exact
+    integers and never wrap); each candidate's score is then TWO
+    correctly-rounded exact-integer→double casts and one IEEE division
+    per side — a fixed expression with no aggregation order, so both
+    engines produce bit-identical doubles and the
     (score desc, threshold asc) argmax can never diverge. Ties in
     score break on the smaller threshold.
 
@@ -122,10 +123,17 @@ def order_price_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl, pl = F.col("cnt_cum"), F.col("pos_cum")
     n, p = F.col("cnt_tot"), F.col("pos_tot")
     nr, pr = n - nl, p - pl
+
+    # squared class counts in decimal(19,0) → products widen to
+    # decimal(38,0): exact (never wraps) to ~1e18 rows, matching the
+    # DuckDB oracle's hugeint sum() arithmetic
+    def _sq(x):
+        d = x.cast("decimal(19,0)")
+        return d * d
+
     score = (
-        (pl * pl + (nl - pl) * (nl - pl)).cast("double") / nl.cast("double")
-        + (pr * pr + (nr - pr) * (nr - pr)).cast("double")
-        / nr.cast("double")
+        (_sq(pl) + _sq(nl - pl)).cast("double") / nl.cast("double")
+        + (_sq(pr) + _sq(nr - pr)).cast("double") / nr.cast("double")
     )
     best = (
         c.filter(nl < n)
@@ -149,12 +157,11 @@ def order_price_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     parent = 1 - (
-        (F.col("p") * F.col("p") + (F.col("n") - F.col("p")) * (F.col("n") - F.col("p")))
-        .cast("double")
-        / (F.col("n") * F.col("n")).cast("double")
+        (_sq(F.col("p")) + _sq(F.col("n") - F.col("p"))).cast("double")
+        / _sq(F.col("n")).cast("double")
     )
     split = 1 - F.col("b.s") / F.col("n").cast("double")
-    return best.select(
+    return best.where(F.col("b").isNotNull()).select(
         F.round(F.col("b.thr"), 6).alias("threshold"),
         F.col("b.nl").cast("bigint").alias("n_left"),
         F.col("b.pl").cast("bigint").alias("pos_left"),
@@ -177,6 +184,7 @@ _ISO_ORACLE = f"""
         select round(1 / (1 + exp(-((value - 100.0) / 50.0))), 9) as sc,
                case when event_type = 'purchase' then 1 else 0 end as g
         from events
+        where value is not null
     ), b as (
         select least(cast(floor(sc * {_ISO_BINS}) as int), {_ISO_BINS - 1})
                    as bin,
@@ -241,7 +249,9 @@ def event_score_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     score column is inherently sequential — binning first is how
     production isotonic calibrators run at scale anyway (the fit is a
     step function; bins set its resolution)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()  # a NULL score has no bin; mirrored
+    )  # in the oracle's WHERE — keeps the driver-side sort total
     s = ev.select(
         F.round(
             1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0))), 9

@@ -4,26 +4,28 @@ entry inside the window carries an oracle and that the rotation contract
 holds: no oracled entry stays driver-unchecked for more than one round
 after registration.
 
-Round-10 window policy (the round-9 verdict directive 1, verbatim): the
-8-entry round-9 POST_FREEZE slate rotated in wholesale, plus
-``pricing_summary`` as the proven spine, plus 41 re-checks of the stalest
-green rows by (last green driver round across CORRECTNESS_r01–r09,
-registry order) — the whole remaining r4 cohort plus the oldest r5 rows.
-1 + 8 + 41 = 50 exactly. A green round-10 driver check takes cumulative
-driver coverage to ALL 280 oracled entries.
+Round-11 window policy (the round-10 verdict directive 1, verbatim): the
+5-entry round-10 POST_FREEZE slate rotated in wholesale, plus
+``pricing_summary`` as the proven spine, plus 44 re-checks of the stalest
+green rows by (last green driver round across CORRECTNESS_r01–r10,
+registry order) — the remaining r5 cohort plus the 6 oldest r6 rows.
+1 + 5 + 44 = 50 exactly. A green round-11 driver check takes cumulative
+driver coverage to ALL 285 oracled entries — full saturation.
 """
 
 from __future__ import annotations
 
 import json
 import pathlib
+import re
 
 import __spark_entry__ as entrymod
 
 # the four only-coverage operators (as-of join, range join, exact
 # percentiles, multimodal plumbing). They rode the round-9 window and hold
-# fresh green rows in CORRECTNESS_r09; the standing contract is that they
-# are never allowed to go stale past the re-check horizon.
+# green rows in CORRECTNESS_r09; the standing contract is that they are
+# never allowed to go stale past the re-check horizon (a green row within
+# the last two completed rounds, or a seat in the current window).
 ONLY_COVERAGE = [
     "click_view_attribution",
     "event_window_density",
@@ -31,25 +33,32 @@ ONLY_COVERAGE = [
     "multimodal_features",
 ]
 
-# the 8-entry round-9 POST_FREEZE slate (rotated into the round-10 window)
-R9_SLATE = [
-    "user_hll_sparse_audit",
-    "event_psi_stream_ledger",
-    "event_wasserstein_stream_ledger",
-    "event_value_page_hinkley",
-    "supplier_part_coverage",
-    "customer_kadane_window",
-    "event_value_ewma_bands",
-    "customer_pareto_vital_few",
+# the 5-entry round-10 POST_FREEZE slate (rotated into the round-11 window)
+R10_SLATE = [
+    "nation_seat_apportionment",
+    "part_price_size_skyline",
+    "order_price_stump_split",
+    "event_score_isotonic_fit",
+    "nation_profile_mst",
 ]
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
+_PRIOR_ROUNDS = "CORRECTNESS_r*.json"  # r01–r10 exist at round-11 build time
 
 
-def _driver_checked(glob: str) -> set[str]:
-    """Names holding a fully-green driver row in matching CORRECTNESS files."""
+def _prior_files():
+    out = []
+    for p in sorted(_ROOT.glob(_PRIOR_ROUNDS)):
+        rnd = int(re.search(r"_r(\d+)", p.stem).group(1))
+        if rnd <= 10:
+            out.append((rnd, p))
+    return out
+
+
+def _driver_checked() -> set[str]:
+    """Names holding a fully-green driver row in rounds 1-10."""
     checked: set[str] = set()
-    for p in sorted(_ROOT.glob(glob)):
+    for _rnd, p in _prior_files():
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
@@ -60,10 +69,9 @@ def _driver_checked(glob: str) -> set[str]:
 
 
 def _last_green() -> dict[str, int]:
-    """Per-entry newest round holding a fully-green driver row (r1-r9)."""
+    """Per-entry newest round holding a fully-green driver row (r1-r10)."""
     last: dict[str, int] = {}
-    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-9].json")):
-        rnd = int(p.stem.split("_r")[1])
+    for rnd, p in _prior_files():
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
@@ -90,8 +98,8 @@ def test_window_is_exactly_the_explicit_list():
 
 def test_only_coverage_operators_recently_checked():
     """The four only-coverage operators must hold a green driver row no
-    older than the previous round (they rode the round-9 window) — or be
-    in the current window."""
+    older than two completed rounds back (they rode the round-9 window)
+    — or be in the current window."""
     last = _last_green()
     window = set(entrymod._WINDOW)
     stale = [
@@ -100,58 +108,46 @@ def test_only_coverage_operators_recently_checked():
     assert not stale, f"only-coverage operators gone stale: {stale}"
 
 
-# entries registered AFTER the round-10 window froze (they become rotation
-# candidates for round 11; append here when adding queries mid-round)
-POST_FREEZE: set[str] = {
-    # battery_r10 (registered post-freeze): discrete allocation +
-    # dominance query — both sweep-verified as uncovered families
-    "nation_seat_apportionment",
-    "part_price_size_skyline",
-    # battery_r10b (registered post-freeze): CART split finding +
-    # isotonic calibration — both sweep-verified as uncovered families
-    "order_price_stump_split",
-    "event_score_isotonic_fit",
-    # battery_r10c (registered post-freeze): the graph family's missing
-    # spanning-tree classic
-    "nation_profile_mst",
-}
+# entries registered AFTER the round-11 window froze (they become rotation
+# candidates for round 12; append here when adding queries mid-round)
+POST_FREEZE: set[str] = set()
 
 
-def test_round10_window_composition():
-    """The round-10 window is exactly: spine + 8-entry r9 slate + 41
-    stalest-green re-checks (r9 verdict directive 1)."""
+def test_round11_window_composition():
+    """The round-11 window is exactly: spine + 5-entry r10 slate + 44
+    stalest-green re-checks (r10 verdict directive 1)."""
     window = entrymod._WINDOW
     assert window[0] == "pricing_summary"
-    assert window[1:9] == R9_SLATE
-    # the slate had never held a driver row before round 10
-    checked_r19 = _driver_checked("CORRECTNESS_r0[1-9].json")
-    assert not (set(R9_SLATE) & checked_r19)
+    assert window[1:6] == R10_SLATE
+    # the slate had never held a driver row before round 11
+    checked_prior = _driver_checked()
+    assert not (set(R10_SLATE) & checked_prior)
     # every re-check slot holds a green row already (it IS a re-check)
-    rechecks = window[9:]
-    assert len(rechecks) == 41
-    missing = [n for n in rechecks if n not in checked_r19]
+    rechecks = window[6:]
+    assert len(rechecks) == 44
+    missing = [n for n in rechecks if n not in checked_prior]
     assert not missing, f"re-check entries without prior green rows: {missing}"
-    # staleness rule: rechecks are the pool's 41 oldest by
+    # staleness rule: rechecks are the pool's 44 oldest by
     # (last-green round, registry order) — deterministic, no cherry-picking
     last = _last_green()
     names = list(entrymod._registry())
     order = {n: i for i, n in enumerate(names)}
     oracles = entrymod.oracle_sql()
-    excluded = set(R9_SLATE) | {"pricing_summary"}
+    excluded = set(R10_SLATE) | {"pricing_summary"}
     pool = [n for n in names if n in oracles and n in last and n not in excluded]
     pool.sort(key=lambda n: (last[n], order[n]))
-    assert rechecks == pool[:41]
+    assert rechecks == pool[:44]
 
 
-def test_round10_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01-r09 must be in the
-    round-10 window (or the explicit POST_FREEZE slate for round 11) —
+def test_round11_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01-r10 must be in the
+    round-11 window (or the explicit POST_FREEZE slate for round 12) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
     # backlog membership counts ANY recorded row (not just hash-green),
     # so build the set from plain membership
     seen: set[str] = set()
-    for p in sorted(_ROOT.glob("CORRECTNESS_r0[1-9].json")):
+    for _rnd, p in _prior_files():
         d = json.loads(p.read_text())
         qs = d.get("queries", d)
         if isinstance(qs, dict):
