@@ -363,35 +363,81 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table foreign-key audit — the constraint-validation pass a
     lakehouse runs after every load (Deequ-style "is referenced" checks):
     orphan counts for all five FK relations of the star schema in one
-    result. Each relation is a LEFT ANTI join counted against the child
-    total; dimension parents (customer, part, supplier, region) broadcast,
-    so only lineitem→orders shuffles — and that one co-partitions on the
-    join key. At 100 TB each audit is one pass over the child table; the
-    five audits share nothing, so AQE schedules them independently."""
-    checks = [
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
-    ]
-    parts = []
-    for rel, child, ck, parent, pk in checks:
+    result. Round-11 compression (verdict directive 4): each CHILD table
+    is scanned exactly ONCE — lineitem's three FK relations share one
+    pass (two broadcast left joins + the one co-partitioned orders join),
+    and every relation's (n_child, n_orphan) pair is a conditional count
+    in that pass's single aggregate, exploded back to one row per
+    relation. The previous shape scanned each child twice per relation
+    (count + anti-join) — eight scans and a crossJoin-of-aggregates per
+    relation; this one does three scans total. Parent keys dedupe before
+    the left joins so "unmatched" is exactly NOT EXISTS even under a
+    (contract-violating) duplicate parent key; dims broadcast after the
+    tiny distinct; orders↔lineitem co-partitions on the join key. At
+    100 TB: one pass over each child table, full map-side combine."""
+    def audited(child, joins):
+        """One scan of ``child``: left-join each (alias, parent_df, ck,
+        pk) with deduped parent keys, then one aggregate emitting
+        n_child plus per-relation orphan counts, exploded to rows."""
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk)
-        orphans = c.join(p, c[ck] == p[pk], "left_anti")
-        parts.append(
-            c.agg(F.count(F.lit(1)).alias("n_child"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan")))
-            .select(
-                F.lit(rel).alias("relation"),
-                "n_child",
-                "n_orphan",
-                F.round(F.col("n_orphan") / F.col("n_child"), 6).alias(
-                    "orphan_pct"
-                ),
+        for _rel, parent, ck, pk, bcast in joins:
+            p = parent.select(pk).distinct()
+            c = c.join(
+                F.broadcast(p) if bcast else p, c[ck] == p[pk], "left"
             )
+        agg = c.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.count(F.when(F.col(pk).isNull(), 1)).alias(f"__o_{pk}")
+                for _rel, _p, _ck, pk, _b in joins
+            ],
         )
+        return agg.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rel).alias("relation"),
+                            F.col("n_child").alias("n_child"),
+                            F.col(f"__o_{pk}").alias("n_orphan"),
+                        )
+                        for rel, _p, _ck, pk, _b in joins
+                    ]
+                )
+            ).alias("r")
+        ).select(
+            "r.relation",
+            "r.n_child",
+            "r.n_orphan",
+            F.round(F.col("r.n_orphan") / F.col("r.n_child"), 6).alias(
+                "orphan_pct"
+            ),
+        )
+
+    t = lambda n: load_table(spark, sf_dir, n)  # noqa: E731
+    parts = [
+        audited(
+            "orders",
+            [("orders.o_custkey->customer", t("customer"), "o_custkey",
+              "c_custkey", True)],
+        ),
+        audited(
+            "lineitem",
+            [
+                ("lineitem.l_orderkey->orders", t("orders"), "l_orderkey",
+                 "o_orderkey", False),
+                ("lineitem.l_partkey->part", t("part"), "l_partkey",
+                 "p_partkey", True),
+                ("lineitem.l_suppkey->supplier", t("supplier"), "l_suppkey",
+                 "s_suppkey", True),
+            ],
+        ),
+        audited(
+            "nation",
+            [("nation.n_regionkey->region", t("region"), "n_regionkey",
+              "r_regionkey", True)],
+        ),
+    ]
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)

@@ -202,7 +202,12 @@ def event_value_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-partitioned running count for the median (round-10: the
     # distinct-value grid grows with the data) - identity on exact counts
     med_df = (
-        ranged_cumulative(dist, "value", ["cnt"], with_totals=True)
+        # round-11: probe-reuse checkpoint (wash at sf0.1 - 0.95/1.02 vs
+        # 0.98/1.08 s - but removes a redundant fact scan at scale)
+        ranged_cumulative(
+            dist, "value", ["cnt"], with_totals=True,
+            materialize_input=True,
+        )
         .filter(F.col("cnt_cum") * 2 >= F.col("cnt_tot"))
         .agg(F.min("value").alias("m"))
     )

@@ -208,8 +208,10 @@ def event_score_ks_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-partitioned running counts (round-10: the 9dp-score grid
     # grows with the data; the global Window.orderBy was a one-task sort
     # at 100x) - identity on the exact bigint counts, oracle unchanged
+    # round-11: probe-reuse checkpoint (measured 0.94/0.87 -> 0.87/0.82 s
+    # at sf0.1; removes a redundant fact scan at scale)
     c = ranged_cumulative(
-        d, "sc", ["cg", "cb"], with_totals=True
+        d, "sc", ["cg", "cb"], with_totals=True, materialize_input=True
     ).select(
         "sc",
         F.col("cg_cum").alias("cgt"),

@@ -389,7 +389,14 @@ def event_value_wasserstein_drift(
         F.sum(1 - F.col("is_ref")).alias("cc"),
     )
     c = ranged_cumulative(
-        d, "value", ["cr", "cc"], with_lead=True, with_totals=True
+        d, "value", ["cr", "cc"], with_lead=True, with_totals=True,
+        # round-11: the boundary probe's column-pruned subtree defeats
+        # exchange reuse (it re-scans and re-shuffles the fact for a
+        # distinct-value list); one lazy checkpoint of the grid collapses
+        # three upstream computations into one. Measured at sf0.1:
+        # 1.32/1.07 -> 1.07/1.00 s (interleaved medians-of-5); at scale
+        # it removes one full fact scan + one grid shuffle.
+        materialize_input=True,
     ).select(
         "value",
         F.col("cr_cum").alias("crt"),

@@ -389,23 +389,27 @@ def event_wasserstein_stream_ledger(
     """Streaming twin of `event_value_wasserstein_drift` — the last of
     the drift triad's streaming faces (CUSUM ledger r8, PSI ledger
     above): events arrive in 3 chronological microbatches and
-    ``foreachBatch`` maintains (value, cr, cc) INTEGER count partials —
+    ``foreachBatch`` appends (value, cr, cc) INTEGER count partials —
     counts keyed by distinct value and period merge exactly under any
-    batch split, so the maintained ledger equals the batch entry's
-    distinct-value pre-aggregate bit-for-bit. The closed-form
-    earth-mover distance then runs over the ledger exactly as the batch
-    entry does (bigint CDF cross-products, one final division); the
-    oracle is the batch oracle verbatim. State is |distinct values| × 2
-    rows — the same grain the batch entry's windows already run at, and
-    the honest cost of an EXACT W₁ (an approximate stream would keep a
-    quantile sketch instead; the battery keeps both postures —
-    `event_value_hist_quantiles` is the sketched face). The period
-    split (reference = first half of the observed span) is fixed config
-    at stream start, the production posture. Replay machinery is the
-    shared `streaming.ledger` harness."""
+    batch split AND any merge order, so the ledger's merge-on-read
+    state equals the batch entry's distinct-value pre-aggregate
+    bit-for-bit. The closed-form earth-mover distance then runs over
+    that state exactly as the batch entry does (bigint CDF
+    cross-products, one final division); the oracle is the batch oracle
+    verbatim. State is |distinct values| × 2 rows — the honest cost of
+    an EXACT W₁ (an approximate stream would keep a quantile sketch
+    instead; the battery keeps both postures —
+    `event_value_hist_quantiles` is the sketched face) — and because
+    that grain GROWS with the data, the ledger uses the DELTA fold
+    (round-11: each batch writes O(batch) partials, one merge-on-read
+    at the end) rather than the copy-on-write fold, whose per-batch
+    O(state) rewrite made this the battery's worst 10× ratio (1.67×).
+    The period split (reference = first half of the observed span) is
+    fixed config at stream start, the production posture. Replay
+    machinery is the shared `streaming.ledger` harness."""
     from flight_radar_pipeline_spark.streaming.ledger import (
         chronological_thirds,
-        fold_chronological_waves,
+        fold_chronological_waves_delta,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -425,7 +429,7 @@ def event_wasserstein_stream_ledger(
             .agg(F.sum("cr").alias("cr"), F.sum("cc").alias("cc"))
         )
 
-    d = fold_chronological_waves(
+    d = fold_chronological_waves_delta(
         spark, waves, increment, merge, prefix="w1_stream_"
     )
     # range-partitioned CDF (round-9 judge directive 2): the distinct-

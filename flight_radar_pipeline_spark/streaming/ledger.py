@@ -90,6 +90,65 @@ def fold_chronological_waves(
     return spark.read.parquet(state_versions[-1])
 
 
+def fold_chronological_waves_delta(
+    spark: SparkSession,
+    waves: list[DataFrame],
+    fold_increment: Callable[[DataFrame], DataFrame],
+    merge_states: Callable[[DataFrame, DataFrame], DataFrame],
+    prefix: str = "ledger_",
+) -> DataFrame:
+    """Delta (event-sourced) variant of ``fold_chronological_waves``:
+    each microbatch appends ONLY its own increment — never the merged
+    cumulative state — and the final state materializes with one
+    merge-on-read over every delta version. Exactness is unchanged (the
+    increments are mergeable integer partials, and merge order is
+    immaterial by construction), so any caller of the copy-on-write fold
+    can switch; the trade is per-batch work.
+
+    Use this when the state grain GROWS with the data (the W₁ ledger's
+    distinct-value grain): the copy-on-write fold re-reads and re-writes
+    O(state) on every batch — total write volume B·|state| — while the
+    delta fold writes each partial exactly once (total ≈ |state|) and
+    pays the one O(state) merge at read time. For BOUNDED grains
+    (PSI's 20 bins, CUSUM's day×type) the copy-on-write fold's
+    state I/O is constant-sized and its always-current state table is
+    worth keeping — those ledgers stay on the original fold.
+    """
+    work = tempfile.mkdtemp(prefix=prefix)
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    schema = waves[0].schema
+    for i, wave in enumerate(waves):
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f),
+                    os.path.join(flat, f"{i:03d}.parquet"),
+                )
+
+    deltas: list[str] = []
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        nxt = os.path.join(work, f"delta_v{len(deltas)}")
+        fold_increment(batch).write.mode("overwrite").parquet(nxt)
+        deltas.append(nxt)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(*deltas)
+    return merge_states(parts.limit(0), parts)
+
+
 def chronological_thirds(ev: DataFrame, ts_col: str = "ts"):
     """Split a batch relation into 3 chronological waves on day
     boundaries (the replay shape all three drift ledgers use) and

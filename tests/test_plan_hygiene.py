@@ -44,7 +44,6 @@ ALLOWED_BNLJ = {
     "orders_bloom_semi_join",     # 1-row 64-word bitmap broadcast
     "event_value_interpolated",   # spine: tiny key-set × generated hour rows
     "event_value_woe_bins",       # 1-row decile-bounds + totals broadcasts
-    "referential_integrity_audit",  # 1-row count × 1-row count per relation
     "session_event_type_lift",    # 1-row basket-total broadcast
     "event_type_hour_mutual_info",  # 1-row contingency-total broadcast
     "embedding_cosine_histogram",  # deliberate sampled pair join (< cond)
