@@ -150,6 +150,7 @@ def _registry():
         battery_r10,
         battery_r10b,
         battery_r10c,
+        battery_r11,
         battery_temporal,
         battery_text,
     )

@@ -96,6 +96,10 @@ def test_battery_query(name, spark, duck):
         "event_score_isotonic_fit",
         # round-10c: Kruskal pick sequence from a collected bounded grid
         "nation_profile_mst",
+        # round-11: MM iterations from a collected bounded duel grid
+        # (Bradley-Terry); greedy-argmax policy + replay estimator
+        "event_type_bradley_terry",
+        "event_type_policy_replay",
     ],
 )
 def test_battery_partition_determinism(name, spark):

@@ -76,6 +76,7 @@ ALLOWED_BNLJ = {
     "event_value_psi_drift",      # 1-row span/decile-bounds/totals broadcasts
     "event_hourly_haar_energy",   # 1-row min-ts broadcast (hour-index anchor)
     "event_value_wasserstein_drift",  # 1-row span/bucket-bounds/totals bcasts
+    "event_type_policy_replay",   # 1-row period-span broadcast (ref/cur split)
     # round-9 additions: all 1-row anchor/span/total broadcasts
     "event_psi_stream_ledger",    # 1-row (tr, tc) totals broadcast
     "customer_kadane_window",     # 1-row min-day + 1-row max-t broadcasts

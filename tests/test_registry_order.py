@@ -110,7 +110,12 @@ def test_only_coverage_operators_recently_checked():
 
 # entries registered AFTER the round-11 window froze (they become rotation
 # candidates for round 12; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    # battery_r11 (registered post-freeze): paired-comparison ranking +
+    # off-policy evaluation — both sweep-verified as uncovered families
+    "event_type_bradley_terry",
+    "event_type_policy_replay",
+}
 
 
 def test_round11_window_composition():
