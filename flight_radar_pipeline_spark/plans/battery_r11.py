@@ -149,7 +149,8 @@ def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_dec", F.col("w_ab") + F.col("w_ba"))
         .filter(F.col("n_dec") > 0)
     )
-    rows = g.collect()  # bounded: ≤ |types|² ordered pairs
+    rows = g.collect()  # bounded: ≤ |types|² ordered pairs — the ONE
+    # fact-side job; wins/games/pi/score/rank all derive from this grid
     sym: dict[tuple[str, str], tuple[int, int]] = {}
     for r in rows:
         sym[(r.ta, r.tb)] = (r.w_ab, r.n_dec)
@@ -168,34 +169,23 @@ def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             nxt[t] = _r6(wins / denom)
         pi = nxt
     total = sum(pi.values())
-    fitted = spark.createDataFrame(
-        [(t, pi[t], _r6(pi[t] / total)) for t in types],
-        "t string, pi double, score double",
-    )
-    tot = (
-        g.select(F.col("ta").alias("t"), F.col("w_ab").alias("w"), "n_dec")
-        .unionByName(
-            g.select(F.col("tb").alias("t"), F.col("w_ba").alias("w"), "n_dec")
+    order = sorted(types, key=lambda t: (-pi[t], t))
+    out = [
+        (
+            t,
+            sum(w for (i, _j), (w, _n) in sym.items() if i == t),
+            sum(n for (i, _j), (_w, n) in sym.items() if i == t),
+            pi[t],
+            _r6(pi[t] / total),
+            order.index(t) + 1,
         )
-        .groupBy("t")
-        .agg(
-            F.sum("w").cast("bigint").alias("wins"),
-            F.sum("n_dec").cast("bigint").alias("games"),
-        )
-    )
-    w_rank = Window.orderBy(F.desc("pi"), F.asc("t"))
-    return (
-        tot.join(F.broadcast(fitted), "t")
-        .select(
-            F.col("t").alias("event_type"),
-            "wins",
-            "games",
-            "pi",
-            "score",
-            F.row_number().over(w_rank).cast("bigint").alias("rank"),
-        )
-        .orderBy("rank")
-    )
+        for t in order
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, wins bigint, games bigint, pi double,"
+        " score double, rank bigint",
+    ).orderBy("rank")
 
 
 # --------------------------------------------------------------------------
