@@ -37,25 +37,23 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-11 rotation — the standing pre-agreed rotation contract
-# (tests/test_registry_order.py), composed exactly as the round-10 verdict
+# Round-12 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py), composed exactly as the round-11 verdict
 # directive 1 prescribed:
 #   (a) `pricing_summary` as the proven spine.
-#   (b) the 5-entry round-10 POST_FREEZE slate (every oracled entry
-#       registered after the round-10 window froze — none has ever held
-#       a driver correctness row). A green round takes cumulative driver
-#       coverage to ALL 285 oracled entries — full saturation for the
-#       first time.
-#   (c) 44 re-checks of the STALEST green rows by (last green driver
-#       round across CORRECTNESS_r01–r10, registry order) — the deepest
-#       re-verification budget yet: the remaining r5 cohort (38 rows)
-#       plus the 6 oldest r6 rows. Plans are drift-audited
+#   (b) the 2-entry round-11 POST_FREEZE slate (the only oracled entries
+#       never driver-checked). A green round takes cumulative driver
+#       coverage to ALL 287 oracled entries — true full saturation.
+#   (c) 47 re-checks of the STALEST green rows by (last green driver
+#       round across CORRECTNESS_r01–r11, registry order) — the deepest
+#       re-verification budget yet: the remaining r6 cohort (39 rows)
+#       plus the 8 oldest r7 rows. Plans are drift-audited
 #       (tools/audit_compare.py), but a driver-side re-check of
-#       r5/r6-era rows is the cheapest possible insurance.
-# 1 + 5 + 44 = 50 exactly.
+#       r6/r7-era rows is the cheapest possible insurance.
+# 1 + 2 + 47 = 50 exactly.
 #
-# Demoted entries (the whole round-10 window minus the spine) all hold
-# green rows in CORRECTNESS_r10.json; tests/test_battery.py's
+# Demoted entries (the whole round-11 window minus the spine) all hold
+# green rows in CORRECTNESS_r11.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -65,57 +63,57 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # (a) proven spine
     "pricing_summary",
-    # (b) the round-10 POST_FREEZE slate, wholesale (5 — never driver-checked)
-    "nation_seat_apportionment",
-    "part_price_size_skyline",
-    "order_price_stump_split",
-    "event_score_isotonic_fit",
-    "nation_profile_mst",
-    # (c) 44 stalest-green re-checks (last green round in comment)
-    "doc_bpe_merges",                     # r5
-    "closed_sessions_stream_native",      # r5
-    "distinct_user_event_types_stream",   # r5
-    "incremental_daily_rollup",           # r5
-    "customer_weighted_price_udaf",       # r5
-    "multimodal_modality_route",          # r5
-    "user_kmv_distinct",                  # r5
-    "hopping_event_counts",               # r5
-    "nation_year_widget_revenue",         # r5
-    "status_month_grouping_sets",         # r5
-    "event_type_transitions",             # r5
-    "event_value_hourly_trend",           # r5
-    "view_click_left_outer_stream",       # r5
-    "orders_scd1_stream_merge",           # r5
-    "doc_decontamination",                # r5
-    "doc_chunk_windows",                  # r5
-    "doc_weighted_sample",                # r5
-    "doc_oov_rate",                       # r5
-    "corpus_mixture_sample",              # r5
-    "doc_length_histogram",               # r5
-    "embedding_dim_stats",                # r5
-    "doc_token_ids",                      # r5
-    "near_dup_triangles",                 # r5
-    "multimodal_frame_sample",            # r5
-    "event_value_mad_outliers",           # r5
-    "embedding_int8_quant",               # r5
-    "event_key_skew_report",              # r5
-    "doc_incremental_dedup",              # r5
-    "signup_click_purchase_funnel",       # r5
-    "doc_contiguous_ids",                 # r5
-    "event_value_zscore",                 # r5
-    "order_price_deciles",                # r5
-    "table_quality_report",               # r5
-    "user_count_cms_estimates",           # r5
-    "enriched_events_stream",             # r5
-    "doc_dedup_decisions",                # r5
-    "doc_chunk_dedup_rate",               # r5
-    "doc_keep_best_dedup",                # r5
-    "doc_heavy_hitters",                  # r6
-    "doc_source_report",                  # r6
-    "doc_hashing_tf",                     # r6
-    "doc_topic_clusters",                 # r6
-    "embedding_near_dup_pairs",           # r6
-    "doc_bpe_encode",                     # r6
+    # (b) the round-11 POST_FREEZE slate, wholesale (2 — never driver-checked)
+    "event_type_bradley_terry",
+    "event_type_policy_replay",
+    # (c) 47 stalest-green re-checks (last green round in comment)
+    "corpus_filter_funnel",               # r6
+    "corpus_training_manifest",           # r6
+    "multimodal_image_dims",              # r6
+    "event_value_interpolated",           # r6
+    "event_value_winsorized",             # r6
+    "user_value_ewma",                    # r6
+    "order_status_psi_drift",             # r6
+    "session_event_type_lift",            # r6
+    "event_hourly_mean_shift",            # r6
+    "distinct_user_event_types_within_wm_stream",  # r6
+    "ab_test_event_value",                # r6
+    "top_session_paths",                  # r6
+    "user_value_twap",                    # r6
+    "event_type_hour_mutual_info",        # r6
+    "top_users_stream",                   # r6
+    "event_props_variant",                # r6
+    "shipping_latency_sla",               # r6
+    "referential_integrity_audit",        # r6
+    "user_erasure_audit",                 # r6
+    "nation_revenue_view_ivm",            # r6
+    "daily_rollup_stream_merge",          # r6
+    "orders_table_checksum",              # r6
+    "orders_customer_key_overlap_kmv",    # r6
+    "orders_schema_evolution",            # r6
+    "part_brand_cooccurrence",            # r6
+    "order_benford_digits",               # r6
+    "event_value_lag_autocorr",           # r6
+    "event_seasonal_baseline",            # r6
+    "part_name_fuzzy_pairs",              # r6
+    "doc_word_spans_udtf",                # r6
+    "view_click_full_outer_stream",       # r6
+    "order_gap_survival",                 # r6
+    "customer_revenue_gini",              # r6
+    "peak_concurrent_sessions",           # r6
+    "embedding_group_centroids",          # r6
+    "embedding_cosine_histogram",         # r6
+    "event_value_woe_bins",               # r6
+    "customer_rfm_segments",              # r6
+    "purchase_multitouch_attribution",    # r6
+    "embedding_mutual_nn",                # r7
+    "embedding_topk_ivfpq",               # r7
+    "multimodal_audio_meta",              # r7
+    "multimodal_video_meta",              # r7
+    "customer_geo_cell_pairs",            # r7
+    "entity_reach_3hop",                  # r7
+    "event_decayed_type_scores",          # r7
+    "doc_char_class_entropy",             # r7
 ]
 CHECKED_WINDOW = 50
 

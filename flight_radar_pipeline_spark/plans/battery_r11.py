@@ -58,7 +58,8 @@ def _bt_iter_cte(i: int) -> str:
     prev = f"p{i - 1}"
     return f"""p{i} as (
         select s.i as t,
-               round(sum(s.w) / sum(s.n / (pa.pi + pb.pi)), 6) as pi
+               greatest(round(sum(s.w) / sum(s.n / (pa.pi + pb.pi)), 6),
+                        0.000001) as pi
         from sym s
         join {prev} pa on pa.t = s.i
         join {prev} pb on pb.t = s.j
@@ -166,7 +167,11 @@ def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for (i, j), (_w, n) in sym.items()
                 if i == t
             )
-            nxt[t] = _r6(wins / denom)
+            # floor at 1e-6 (mirrored by `greatest` in the oracle CTE):
+            # an iterate that 6dp-rounds to exactly 0.0 — possible at
+            # extreme skew, e.g. 1 win over >4M games — would otherwise
+            # zero the (pi[t] + pi[j]) denominator next iteration
+            nxt[t] = max(_r6(wins / denom), 1e-6)
         pi = nxt
     total = sum(pi.values())
     order = sorted(types, key=lambda t: (-pi[t], t))

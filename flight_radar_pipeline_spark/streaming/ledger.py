@@ -51,7 +51,11 @@ def fold_chronological_waves(
     ``fold_increment`` must produce a mergeable partial relation
     (integer counts/sums keyed by the state grain); ``merge_states``
     re-aggregates the union of two such relations to the same grain.
+    ``waves`` must be non-empty (an empty replay has no schema to
+    stream and no state to return).
     """
+    if not waves:
+        raise ValueError("fold_chronological_waves: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
     flat = os.path.join(work, "flat")
     os.makedirs(flat)
@@ -113,7 +117,11 @@ def fold_chronological_waves_delta(
     (PSI's 20 bins, CUSUM's day×type) the copy-on-write fold's
     state I/O is constant-sized and its always-current state table is
     worth keeping — those ledgers stay on the original fold.
+    ``waves`` must be non-empty (same precondition as the
+    copy-on-write fold).
     """
+    if not waves:
+        raise ValueError("fold_chronological_waves_delta: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
     flat = os.path.join(work, "flat")
     os.makedirs(flat)

@@ -4,13 +4,13 @@ entry inside the window carries an oracle and that the rotation contract
 holds: no oracled entry stays driver-unchecked for more than one round
 after registration.
 
-Round-11 window policy (the round-10 verdict directive 1, verbatim): the
-5-entry round-10 POST_FREEZE slate rotated in wholesale, plus
-``pricing_summary`` as the proven spine, plus 44 re-checks of the stalest
-green rows by (last green driver round across CORRECTNESS_r01–r10,
-registry order) — the remaining r5 cohort plus the 6 oldest r6 rows.
-1 + 5 + 44 = 50 exactly. A green round-11 driver check takes cumulative
-driver coverage to ALL 285 oracled entries — full saturation.
+Round-12 window policy (the round-11 verdict directive 1, verbatim): the
+2-entry round-11 POST_FREEZE slate rotated in wholesale, plus
+``pricing_summary`` as the proven spine, plus 47 re-checks of the stalest
+green rows by (last green driver round across CORRECTNESS_r01–r11,
+registry order) — the remaining r6 cohort plus the 8 oldest r7 rows.
+1 + 2 + 47 = 50 exactly. A green round-12 driver check takes cumulative
+driver coverage to ALL 287 oracled entries — true full saturation.
 """
 
 from __future__ import annotations
@@ -22,10 +22,12 @@ import re
 import __spark_entry__ as entrymod
 
 # the four only-coverage operators (as-of join, range join, exact
-# percentiles, multimodal plumbing). They rode the round-9 window and hold
-# green rows in CORRECTNESS_r09; the standing contract is that they are
-# never allowed to go stale past the re-check horizon (a green row within
-# the last two completed rounds, or a seat in the current window).
+# percentiles, multimodal plumbing). They rode the round-9 window; the
+# standing contract is that they never drift past the deterministic
+# staleness frontier: each must either hold a seat in the current window
+# or be FRESHER than every re-check the staleness rule selected (if one
+# of them ranked among the stalest, the rule itself would have seated it
+# — this test catches a hand-edited window that skips them).
 ONLY_COVERAGE = [
     "click_view_attribution",
     "event_window_density",
@@ -33,30 +35,27 @@ ONLY_COVERAGE = [
     "multimodal_features",
 ]
 
-# the 5-entry round-10 POST_FREEZE slate (rotated into the round-11 window)
-R10_SLATE = [
-    "nation_seat_apportionment",
-    "part_price_size_skyline",
-    "order_price_stump_split",
-    "event_score_isotonic_fit",
-    "nation_profile_mst",
+# the 2-entry round-11 POST_FREEZE slate (rotated into the round-12 window)
+R11_SLATE = [
+    "event_type_bradley_terry",
+    "event_type_policy_replay",
 ]
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
-_PRIOR_ROUNDS = "CORRECTNESS_r*.json"  # r01–r10 exist at round-11 build time
+_PRIOR_ROUNDS = "CORRECTNESS_r*.json"  # r01–r11 exist at round-12 build time
 
 
 def _prior_files():
     out = []
     for p in sorted(_ROOT.glob(_PRIOR_ROUNDS)):
         rnd = int(re.search(r"_r(\d+)", p.stem).group(1))
-        if rnd <= 10:
+        if rnd <= 11:
             out.append((rnd, p))
     return out
 
 
 def _driver_checked() -> set[str]:
-    """Names holding a fully-green driver row in rounds 1-10."""
+    """Names holding a fully-green driver row in rounds 1-11."""
     checked: set[str] = set()
     for _rnd, p in _prior_files():
         d = json.loads(p.read_text())
@@ -69,7 +68,7 @@ def _driver_checked() -> set[str]:
 
 
 def _last_green() -> dict[str, int]:
-    """Per-entry newest round holding a fully-green driver row (r1-r10)."""
+    """Per-entry newest round holding a fully-green driver row (r1-r11)."""
     last: dict[str, int] = {}
     for rnd, p in _prior_files():
         d = json.loads(p.read_text())
@@ -96,57 +95,58 @@ def test_window_is_exactly_the_explicit_list():
     assert len(set(entrymod._WINDOW)) == entrymod.CHECKED_WINDOW
 
 
-def test_only_coverage_operators_recently_checked():
-    """The four only-coverage operators must hold a green driver row no
-    older than two completed rounds back (they rode the round-9 window)
-    — or be in the current window."""
+def test_only_coverage_operators_not_past_the_frontier():
+    """Each only-coverage operator must hold a seat in the current window
+    or be strictly fresher than the staleness frontier (the newest
+    last-green round among the re-checks the deterministic rule chose).
+    They are r9-green; the round-12 frontier is r7, so the rotation will
+    seat them automatically when their cohort reaches the frontier."""
     last = _last_green()
     window = set(entrymod._WINDOW)
+    rechecks = [n for n in entrymod._WINDOW[3:]]
+    frontier = max(last[n] for n in rechecks)
     stale = [
-        n for n in ONLY_COVERAGE if n not in window and last.get(n, 0) < 9
+        n
+        for n in ONLY_COVERAGE
+        if n not in window and last.get(n, 0) <= frontier
     ]
-    assert not stale, f"only-coverage operators gone stale: {stale}"
+    assert not stale, f"only-coverage operators past the frontier: {stale}"
 
 
-# entries registered AFTER the round-11 window froze (they become rotation
-# candidates for round 12; append here when adding queries mid-round)
-POST_FREEZE: set[str] = {
-    # battery_r11 (registered post-freeze): paired-comparison ranking +
-    # off-policy evaluation — both sweep-verified as uncovered families
-    "event_type_bradley_terry",
-    "event_type_policy_replay",
-}
+# entries registered AFTER the round-12 window froze (they become rotation
+# candidates for round 13; append here when adding queries mid-round)
+POST_FREEZE: set[str] = set()
 
 
-def test_round11_window_composition():
-    """The round-11 window is exactly: spine + 5-entry r10 slate + 44
-    stalest-green re-checks (r10 verdict directive 1)."""
+def test_round12_window_composition():
+    """The round-12 window is exactly: spine + 2-entry r11 slate + 47
+    stalest-green re-checks (r11 verdict directive 1)."""
     window = entrymod._WINDOW
     assert window[0] == "pricing_summary"
-    assert window[1:6] == R10_SLATE
-    # the slate had never held a driver row before round 11
+    assert window[1:3] == R11_SLATE
+    # the slate had never held a driver row before round 12
     checked_prior = _driver_checked()
-    assert not (set(R10_SLATE) & checked_prior)
+    assert not (set(R11_SLATE) & checked_prior)
     # every re-check slot holds a green row already (it IS a re-check)
-    rechecks = window[6:]
-    assert len(rechecks) == 44
+    rechecks = window[3:]
+    assert len(rechecks) == 47
     missing = [n for n in rechecks if n not in checked_prior]
     assert not missing, f"re-check entries without prior green rows: {missing}"
-    # staleness rule: rechecks are the pool's 44 oldest by
+    # staleness rule: rechecks are the pool's 47 oldest by
     # (last-green round, registry order) — deterministic, no cherry-picking
     last = _last_green()
     names = list(entrymod._registry())
     order = {n: i for i, n in enumerate(names)}
     oracles = entrymod.oracle_sql()
-    excluded = set(R10_SLATE) | {"pricing_summary"}
+    excluded = set(R11_SLATE) | {"pricing_summary"}
     pool = [n for n in names if n in oracles and n in last and n not in excluded]
     pool.sort(key=lambda n: (last[n], order[n]))
-    assert rechecks == pool[:44]
+    assert rechecks == pool[:47]
 
 
-def test_round11_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01-r10 must be in the
-    round-11 window (or the explicit POST_FREEZE slate for round 12) —
+def test_round12_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01-r11 must be in the
+    round-12 window (or the explicit POST_FREEZE slate for round 13) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
     # backlog membership counts ANY recorded row (not just hash-green),

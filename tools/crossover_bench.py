@@ -38,9 +38,13 @@ def make_grid(spark, n: int):
     """n rows, unique scrambled bigint key, small bigint payload — the
     shape of a distinct-value candidate grid after its groupBy."""
     return spark.range(n).select(
-        # bijective scramble of 0..n-1 so the key is unique but arrives
-        # in hash order, not pre-sorted (xxhash64 is deterministic)
-        F.xxhash64("id").alias("k"),
+        # bit-reversal of the 63-bit id: a true bijection (unlike a
+        # 64-bit hash, which can collide and make the rank assignment
+        # nondeterministic), and it destroys arrival order completely
+        # (consecutive ids land ~2^62 apart)
+        F.conv(F.reverse(F.lpad(F.bin(F.col("id")), 63, "0")), 2, 10)
+        .cast("bigint")
+        .alias("k"),
         (F.col("id") % 97 + 1).alias("v"),
     )
 
