@@ -50,6 +50,33 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # --------------------------------------------------------------------------
+# Build-time subplans of bounded-grain driver-loop entries
+# --------------------------------------------------------------------------
+# Entries in the sanctioned driver-grid class (markov-stationary, MST,
+# isotonic/PAVA, greedy set cover, Bradley–Terry, the GD trainer, k-core)
+# run their fact-side work at BUILD time behind a bounded `.collect()` or
+# a lineage-truncating `localCheckpoint()`: the DataFrame the driver and
+# `tools/plan_audit.py` see is only the final assembly, so the expensive
+# fact-scan subplan would otherwise be invisible to the hygiene counters
+# and the exchange-budget guard. Each such entry registers its build-time
+# subplan(s) here; `tools/plan_audit.py` emits a `name [grid:label]` row
+# per subplan and `tests/test_plan_hygiene.py` asserts the categorical
+# bans (row-Python, cartesian, unlisted BNLJ) over these plans too.
+GRID_PLANS: dict[str, Callable[[SparkSession, str], "dict[str, DataFrame]"]] = {}
+
+
+def register_grid_plans(name: str):
+    """Attach a `(spark, sf_dir) -> {label: DataFrame}` hook exposing the
+    pre-collect / pre-checkpoint subplans of a driver-grid entry."""
+
+    def deco(fn: Callable[[SparkSession, str], dict[str, DataFrame]]):
+        GRID_PLANS[name] = fn
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
 # Relational core
 # --------------------------------------------------------------------------
 

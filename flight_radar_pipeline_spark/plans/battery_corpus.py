@@ -24,7 +24,10 @@ from flight_radar_pipeline_spark.operators.packing import (
     pack_documents_firstfit,
 )
 from flight_radar_pipeline_spark.operators.tfidf import tfidf_top_terms
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.plans.battery_text import EMB_DIMS, _nibble_case
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -1332,30 +1335,11 @@ _E2E_ORACLE = rf"""
 """
 
 
-@register("corpus_training_manifest", _E2E_ORACLE)
-def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPOSED training-data pipeline as one lineage — ingest →
-    exact dedup → trigram-Jaccard near-dedup (greedy keep-smaller-id) →
-    benchmark decontamination against the held-out md5-bucket slice →
-    quality gate → stratified per-language sample → contiguous-fill
-    sequence packing → vocabulary token ids — ending in the pack
-    manifest a training run reads: (doc_id, lang, bucket, n_tokens,
-    start_offset, pack_id, ids).
-
-    Every stage is the LIBRARY operator (``dedup_exact``,
-    ``ngram_jaccard_pairs``, ``contamination_report``,
-    ``pack_documents``, ``top_vocabulary``/``vocab_encode``) — this
-    entry proves their composition in a single plan, parameters
-    matching the standalone battery entries. The oracle restates the
-    full chain as one CTE pipeline.
-
-    Scale posture: the sampled subset (quota × |langs| rows — the only
-    frame consumed by three downstream stages: packing, vocabulary,
-    encoding) is persisted once, so the corpus-sized dedup/decontam/
-    quality stages run exactly once; everything upstream is the
-    operators' own bucketed/broadcast shapes (no all-pairs joins, no
-    corpus self-scan duplication). ``tests/test_corpus_e2e.py`` pins
-    stage-count invariants and the single-computation claim."""
+def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–5 of `corpus_training_manifest` — the corpus-sized
+    upstream (exact dedup → trigram near-dedup → decontamination →
+    quality gate → stratified sample) that the entry's lineage-
+    truncating `localCheckpoint()` hides from the final audited plan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
     # 1. exact dedup (content fingerprint, keep-min winner)
@@ -1396,11 +1380,42 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    sampled = (
+    return (
         qual.select("doc_id", "text", "lang", F.row_number().over(w).alias("__rn"))
         .filter(F.col("__rn") <= _E2E_QUOTA)
         .drop("__rn")
     )
+
+
+@register_grid_plans("corpus_training_manifest")
+def _e2e_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"upstream_funnel": _e2e_upstream(spark, sf_dir)}
+
+
+@register("corpus_training_manifest", _E2E_ORACLE)
+def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline as one lineage — ingest →
+    exact dedup → trigram-Jaccard near-dedup (greedy keep-smaller-id) →
+    benchmark decontamination against the held-out md5-bucket slice →
+    quality gate → stratified per-language sample → contiguous-fill
+    sequence packing → vocabulary token ids — ending in the pack
+    manifest a training run reads: (doc_id, lang, bucket, n_tokens,
+    start_offset, pack_id, ids).
+
+    Every stage is the LIBRARY operator (``dedup_exact``,
+    ``ngram_jaccard_pairs``, ``contamination_report``,
+    ``pack_documents``, ``top_vocabulary``/``vocab_encode``) — this
+    entry proves their composition in a single plan, parameters
+    matching the standalone battery entries. The oracle restates the
+    full chain as one CTE pipeline.
+
+    Scale posture: the sampled subset (quota × |langs| rows — the only
+    frame consumed by three downstream stages: packing, vocabulary,
+    encoding) is persisted once, so the corpus-sized dedup/decontam/
+    quality stages run exactly once; everything upstream is the
+    operators' own bucketed/broadcast shapes (no all-pairs joins, no
+    corpus self-scan duplication). ``tests/test_corpus_e2e.py`` pins
+    stage-count invariants and the single-computation claim."""
     # three consumers (packing, vocabulary, encoding) — materialize once
     # so the corpus-sized upstream runs exactly one time. localCheckpoint
     # (not persist): it ALSO truncates the logical lineage at this
@@ -1411,7 +1426,8 @@ def corpus_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a checkpointed partition lost with its executor is not recomputable
     # (acceptable for a bounded sampled frame; a production run writes
     # this stage to storage anyway — the manifest IS the artifact).
-    sampled = sampled.localCheckpoint(eager=True)
+    # The truncated upstream is audited via GRID_PLANS (_e2e_upstream).
+    sampled = _e2e_upstream(spark, sf_dir).localCheckpoint(eager=True)
 
     # 6. contiguous-fill packing per hash bucket
     packed = pack_documents(

@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -219,6 +222,43 @@ _ISO_ORACLE = f"""
 """
 
 
+def _iso_bin_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side subplan of `event_score_isotonic_fit`: sigmoid
+    score → ≤`_ISO_BINS`-row exact-integer (n, pos, mean_pred) grid —
+    collected for the driver-side PAVA walk AND broadcast-joined back
+    in the final plan."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()  # a NULL score has no bin; mirrored
+    )  # in the oracle's WHERE — keeps the driver-side sort total
+    s = ev.select(
+        F.round(
+            1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0))), 9
+        ).alias("sc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    return (
+        s.select(
+            F.least(
+                F.floor(F.col("sc") * _ISO_BINS).cast("int"),
+                F.lit(_ISO_BINS - 1),
+            ).alias("bin"),
+            "sc",
+            "g",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("g").alias("pos"),
+            F.round(F.avg("sc"), 6).alias("mean_pred"),
+        )
+    )
+
+
+@register_grid_plans("event_score_isotonic_fit")
+def _iso_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"bin_grid": _iso_bin_grid(spark, sf_dir)}
+
+
 @register("event_score_isotonic_fit", _ISO_ORACLE)
 def event_score_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted isotonic (PAVA) calibration of the sigmoid purchase
@@ -249,31 +289,7 @@ def event_score_isotonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     score column is inherently sequential — binning first is how
     production isotonic calibrators run at scale anyway (the fit is a
     step function; bins set its resolution)."""
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("value").isNotNull()  # a NULL score has no bin; mirrored
-    )  # in the oracle's WHERE — keeps the driver-side sort total
-    s = ev.select(
-        F.round(
-            1 / (1 + F.exp(-((F.col("value") - 100.0) / 50.0))), 9
-        ).alias("sc"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
-    )
-    b = (
-        s.select(
-            F.least(
-                F.floor(F.col("sc") * _ISO_BINS).cast("int"),
-                F.lit(_ISO_BINS - 1),
-            ).alias("bin"),
-            "sc",
-            "g",
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("g").alias("pos"),
-            F.round(F.avg("sc"), 6).alias("mean_pred"),
-        )
-    )
+    b = _iso_bin_grid(spark, sf_dir)
     rows = sorted((r.bin, r.n, r.pos) for r in b.collect())  # ≤ bins
     # pool-adjacent-violators on exact integers: a block is
     # (bins, pos_sum, n_sum); pool while the previous mean exceeds the

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 _CNT_SCALE = 10000  # count-axis weight: comparable magnitude to avg cents
@@ -88,6 +91,41 @@ def _mst_oracle() -> str:
     return "".join(parts)
 
 
+def _mst_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side subplan of `nation_profile_mst`: one order scan →
+    two broadcast dim joins → the |nations|-row exact-integer profile
+    the driver-side Kruskal consumes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("s_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register_grid_plans("nation_profile_mst")
+def _mst_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"nation_profile": _mst_profile(spark, sf_dir)}
+
+
 @register("nation_profile_mst", _mst_oracle())
 def nation_profile_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum spanning tree of the complete nation-similarity graph →
@@ -111,31 +149,7 @@ def nation_profile_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kruskal as 24 pick/relabel CTE steps and is exhaustion-safe (a
     step past connectivity picks nothing), mirroring the greedy
     set-cover contract."""
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_totalprice"
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name"
-    )
-    prof = (
-        orders.join(
-            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
-        )
-        .join(
-            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
-        )
-        .groupBy("n_name")
-        .agg(
-            F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
-            ).alias("s_cents"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-    )
-    rows = prof.collect()  # |nations| — bounded dimension grain
+    rows = _mst_profile(spark, sf_dir).collect()  # |nations| — bounded dimension grain
     profile = {r.n_name: (r.s_cents // r.n_orders, r.n_orders) for r in rows}
     names = sorted(profile)
     edges = sorted(

@@ -35,7 +35,10 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 
@@ -106,6 +109,39 @@ def _bt_oracle() -> str:
 """
 
 
+def _bt_duel_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE fact-side subplan of `event_type_bradley_terry`: user-day
+    type counts → within-(user, day) duel join → the ≤|types|² decided
+    ordered-pair grid the driver-side MM loop consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = c.select("user_id", "day", F.col("event_type").alias("ta"),
+                 F.col("n").alias("na"))
+    b = c.select("user_id", "day", F.col("event_type").alias("tb"),
+                 F.col("n").alias("nb"))
+    duel = a.join(b, ["user_id", "day"]).filter(F.col("ta") < F.col("tb"))
+    return (
+        duel.groupBy("ta", "tb")
+        .agg(
+            F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w_ab"),
+            F.sum(F.when(F.col("nb") > F.col("na"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w_ba"),
+        )
+        .withColumn("n_dec", F.col("w_ab") + F.col("w_ba"))
+        .filter(F.col("n_dec") > 0)
+    )
+
+
+@register_grid_plans("event_type_bradley_terry")
+def _bt_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"duel_grid": _bt_duel_grid(spark, sf_dir)}
+
+
 @register("event_type_bradley_terry", _bt_oracle())
 def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry strengths over event types from user-day duels →
@@ -128,29 +164,7 @@ def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded grid (O(k²) driver state by house discipline — the
     markov-stationary precedent), with every game count an exact
     bigint."""
-    ev = load_table(spark, sf_dir, "events")
-    c = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    a = c.select("user_id", "day", F.col("event_type").alias("ta"),
-                 F.col("n").alias("na"))
-    b = c.select("user_id", "day", F.col("event_type").alias("tb"),
-                 F.col("n").alias("nb"))
-    duel = a.join(b, ["user_id", "day"]).filter(F.col("ta") < F.col("tb"))
-    g = (
-        duel.groupBy("ta", "tb")
-        .agg(
-            F.sum(F.when(F.col("na") > F.col("nb"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("w_ab"),
-            F.sum(F.when(F.col("nb") > F.col("na"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("w_ba"),
-        )
-        .withColumn("n_dec", F.col("w_ab") + F.col("w_ba"))
-        .filter(F.col("n_dec") > 0)
-    )
-    rows = g.collect()  # bounded: ≤ |types|² ordered pairs — the ONE
+    rows = _bt_duel_grid(spark, sf_dir).collect()  # bounded: ≤ |types|² ordered pairs — the ONE
     # fact-side job; wins/games/pi/score/rank all derive from this grid
     sym: dict[tuple[str, str], tuple[int, int]] = {}
     for r in rows:

@@ -17,7 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -124,27 +127,11 @@ def _lr_oracle() -> str:
     return "".join(parts)
 
 
-@register("doc_domain_classifier_gd", _lr_oracle())
-def doc_domain_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Logistic-regression domain classifier trained IN THE ENGINE by
-    {_LR_STEPS} unrolled full-batch gradient-descent steps → one row
-    (n_docs, n_pos, w_bias, w_len, w_llr, train_logloss, auc, accuracy):
-    the CCNet/GPT-3 quality-classifier pattern — positive class = target
-    domain (lang = 'en'), features = standardized ln(1+chars) and the
-    DSIR hashed-unigram LLR score — distilled into a smooth calibrated
-    score, with AUC computed by the Mann–Whitney rank identity over the
-    distinct-probability pre-aggregate.
-
-    Training IS the aggregate loop: each step is one
-    map-side-combinable 3-sum gradient aggregate over the checkpointed
-    (y, z1, z2) feature relation; the weight state is 3 numbers. That is
-    the 100 TB posture — full-batch GD over any corpus is a handful of
-    scans, no per-row Python, no parameter shuffle. Parity discipline:
-    features and z-scores round to 6, each gradient rounds to 6 BEFORE
-    the update, so both engines walk the identical weight trajectory
-    (weight updates are exact double sums of identical rounded terms);
-    the per-step weight transfer through the driver is 3 floats (the
-    bounded-driver-action class the BPE trainer established)."""
+def _lr_feature_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-build subplan of `doc_domain_classifier_gd` (the part
+    `localCheckpoint()` hides from the final audited plan): tokenize →
+    hashed-bucket LLR weights → per-doc DSIR score → standardized
+    (y, z1, z2) training relation."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -189,16 +176,51 @@ def doc_domain_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("f2").alias("m2"),
         F.stddev_pop("f2").alias("s2"),
     )
-    z = (
-        feat.crossJoin(F.broadcast(st))
-        .select(
-            "y",
-            F.round((F.col("f1") - F.col("m1")) / F.col("s1"), 6).alias("z1"),
-            F.round((F.col("f2") - F.col("m2")) / F.col("s2"), 6).alias("z2"),
-        )
-        .coalesce(8)
-        .localCheckpoint(eager=True)
+    return feat.crossJoin(F.broadcast(st)).select(
+        "y",
+        F.round((F.col("f1") - F.col("m1")) / F.col("s1"), 6).alias("z1"),
+        F.round((F.col("f2") - F.col("m2")) / F.col("s2"), 6).alias("z2"),
     )
+
+
+@register_grid_plans("doc_domain_classifier_gd")
+def _lr_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    z = _lr_feature_z(spark, sf_dir)
+    p = 1 / (1 + F.exp(-(F.lit(0.0) + F.lit(0.0) * F.col("z1")
+                         + F.lit(0.0) * F.col("z2"))))
+    grad = z.agg(
+        F.round(F.avg(F.col("y") - p), 6).alias("g0"),
+        F.round(F.avg((F.col("y") - p) * F.col("z1")), 6).alias("ga"),
+        F.round(F.avg((F.col("y") - p) * F.col("z2")), 6).alias("gb"),
+    )
+    # `features` is the checkpoint-hidden build; `grad_step` is the shape
+    # of each per-iteration 1-row aggregate (over the uncheckpointed z so
+    # the whole training lineage is visible in one audited plan)
+    return {"features": z, "grad_step": grad}
+
+
+@register("doc_domain_classifier_gd", _lr_oracle())
+def doc_domain_classifier_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic-regression domain classifier trained IN THE ENGINE by
+    {_LR_STEPS} unrolled full-batch gradient-descent steps → one row
+    (n_docs, n_pos, w_bias, w_len, w_llr, train_logloss, auc, accuracy):
+    the CCNet/GPT-3 quality-classifier pattern — positive class = target
+    domain (lang = 'en'), features = standardized ln(1+chars) and the
+    DSIR hashed-unigram LLR score — distilled into a smooth calibrated
+    score, with AUC computed by the Mann–Whitney rank identity over the
+    distinct-probability pre-aggregate.
+
+    Training IS the aggregate loop: each step is one
+    map-side-combinable 3-sum gradient aggregate over the checkpointed
+    (y, z1, z2) feature relation; the weight state is 3 numbers. That is
+    the 100 TB posture — full-batch GD over any corpus is a handful of
+    scans, no per-row Python, no parameter shuffle. Parity discipline:
+    features and z-scores round to 6, each gradient rounds to 6 BEFORE
+    the update, so both engines walk the identical weight trajectory
+    (weight updates are exact double sums of identical rounded terms);
+    the per-step weight transfer through the driver is 3 floats (the
+    bounded-driver-action class the BPE trainer established)."""
+    z = _lr_feature_z(spark, sf_dir).coalesce(8).localCheckpoint(eager=True)
     a = b = c = 0.0
     for _ in range(_LR_STEPS):
         p = 1 / (
@@ -545,6 +567,28 @@ def _markov_oracle() -> str:
     return "".join(parts)
 
 
+def _markov_trans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side subplan of `event_type_markov_stationary`: per-user
+    lead window → the ≤|types|² transition-count grid the driver-side
+    power iteration consumes."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w_u).alias("nxt"),
+    )
+    return (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register_grid_plans("event_type_markov_stationary")
+def _markov_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"transition_grid": _markov_trans(spark, sf_dir)}
+
+
 @register("event_type_markov_stationary", _markov_oracle())
 def event_type_markov_stationary(
     spark: SparkSession, sf_dir: str
@@ -579,17 +623,7 @@ def event_type_markov_stationary(
         )
 
     ev = load_table(spark, sf_dir, "events")
-    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        F.col("event_type").alias("cur"),
-        F.lead("event_type").over(w_u).alias("nxt"),
-    )
-    trans = (
-        seq.filter(F.col("nxt").isNotNull())
-        .groupBy("cur", "nxt")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    rows = trans.collect()  # ≤ |types|² integer counts — bounded
+    rows = _markov_trans(spark, sf_dir).collect()  # ≤ |types|² integer counts — bounded
     rowsum: dict[str, int] = {}
     for r in rows:
         rowsum[r.cur] = rowsum.get(r.cur, 0) + r.cnt

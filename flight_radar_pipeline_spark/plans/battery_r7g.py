@@ -15,7 +15,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.functions.text import tokens
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -68,6 +71,40 @@ def _kcore_oracle() -> str:
     return "".join(parts)
 
 
+def _kcore_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edge-build subplan of `entity_kcore_peeling` (hidden from the
+    final audited plan by the eager `localCheckpoint()`): lineitem ⋈
+    orders → distinct customer–supplier pairs → symmetric edge list."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    pair = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    return pair.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+
+
+@register_grid_plans("entity_kcore_peeling")
+def _kcore_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    sym = _kcore_sym_edges(spark, sf_dir)
+    return {
+        "edge_build": sym,
+        "degree_probe": sym.agg(
+            F.count(F.lit(1)).alias("m"), F.countDistinct("src").alias("v")
+        ),
+    }
+
+
 @register("entity_kcore_peeling", _kcore_oracle())
 def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core peeling ({_KCORE_ROUNDS} rounds, k = ⌈|E|/|V|⌉ —
@@ -91,25 +128,9 @@ def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, not exponential. k derives from one exact integer
     aggregate (a bounded driver action, the `n_types` precedent).
     All-integer outputs: exact parity."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey"
-    )
-    pair = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-    )
     from flight_radar_pipeline_spark.operators.graph import kcore_peel
 
-    sym = pair.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-        pair.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = _kcore_sym_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg_row = sym.agg(
         F.count(F.lit(1)).alias("m"), F.countDistinct("src").alias("v")
     ).collect()[0]

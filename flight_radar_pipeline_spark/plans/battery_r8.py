@@ -20,7 +20,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -231,6 +234,18 @@ _DOREMI_ORACLE = """
     from ex, z
     order by lang
 """
+
+
+@register_grid_plans("doc_mixture_reweight")
+def _mix_grid_plans(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # the corpus-baseline 1-row aggregate collected at build time (the
+    # per-lang relation itself re-appears in the final joined plan)
+    return {
+        "baseline": docs.agg(
+            F.round(F.avg(F.log(1 + F.col("n_chars"))), 6).alias("b")
+        )
+    }
 
 
 @register("doc_mixture_reweight", _DOREMI_ORACLE)

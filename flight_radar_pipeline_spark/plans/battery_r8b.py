@@ -18,7 +18,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.plans.battery_extras import (
     _FS_MU,
     _GEO_LAT,
@@ -307,6 +310,31 @@ _DBSCAN_ORACLE = f"""
 """
 
 
+def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        _geo_coord("c_custkey", "lat", 900, 45.0).alias("lat"),
+        _geo_coord("c_custkey", "lon", 600, 30.0).alias("lon"),
+    )
+
+
+@register_grid_plans("customer_geo_dbscan")
+def _dbscan_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The grid-bucketed pair join `customer_geo_dbscan` checkpoints at
+    build time (it feeds both the min_pts sizing count and the
+    clustering) — the fact-side subplan hidden from the final plan."""
+    from flight_radar_pipeline_spark.operators.spatial import geo_cell_pairs
+
+    pts = _dbscan_points(spark, sf_dir)
+    return {
+        "cell_pairs": geo_cell_pairs(
+            pts, "id", "lat", "lon",
+            radius_km=_DB_EPS_KM, cell_deg=2.0, max_abs_lat=45.0,
+        )
+    }
+
+
 @register("customer_geo_dbscan", _DBSCAN_ORACLE)
 def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the md5-coordinate customer points (``operators.
@@ -325,12 +353,7 @@ def customer_geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         geo_dbscan_clusters,
     )
 
-    c = load_table(spark, sf_dir, "customer")
-    pts = c.select(
-        F.col("c_custkey").alias("id"),
-        _geo_coord("c_custkey", "lat", 900, 45.0).alias("lat"),
-        _geo_coord("c_custkey", "lon", 600, 30.0).alias("lon"),
-    )
+    pts = _dbscan_points(spark, sf_dir)
     n = pts.count()
     # one grid join serves BOTH the min_pts sizing count and the
     # clustering itself (checkpointed; the count materializes it)

@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -152,20 +155,10 @@ def _jl_oracle() -> str:
     """
 
 
-@register("embedding_jl_distortion", _jl_oracle())
-def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Johnson–Lindenstrauss projection audit (``operators.linalg.
-    jl_project``): embeddings compact {d_in}→{d_out} dims through the
-    deterministic ±1/√k md5 sign matrix — the shuffle-free pre-ANN
-    compaction pass — and each of {q} exact query neighborhoods grades
-    the damage: mean/max |cos_64 − cos_16| and how many of the true
-    top-{k} cosine neighbors survive in the projected top-{k}. The
-    projection itself is one scan (each output component a row-local
-    signed-sum fold, no multiply, no shuffle, no Python); the audit is
-    a bounded {q}-query broadcast against the corpus (the ANN-baseline
-    BNLJ class) plus two |cand|-row rank windows. The oracle restates
-    the same sign matrix as literal signed sums — identical fold order,
-    bit-identical components."""
+def _jl_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate relation of `embedding_jl_distortion` (projection →
+    bounded query-broadcast pair join) that the builder checkpoints —
+    hidden from the final audited plan."""
     from flight_radar_pipeline_spark.operators.linalg import jl_project
     from flight_radar_pipeline_spark.operators.similarity import _dot
 
@@ -189,24 +182,44 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").alias("qnv"),
         F.col("nw").alias("qnw"),
     )
-    cand = (
-        base.join(
-            F.broadcast(q), F.col("vec_id") != F.col("query_id")
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv")),
-                6,
-            ).alias("cos64"),
-            F.round(
-                _dot(F.col("qw"), F.col("w")) / (F.col("qnw") * F.col("nw")),
-                6,
-            ).alias("cos16"),
-        )
-        .localCheckpoint(eager=True)  # agg + two rank windows consume it
+    return base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnv") * F.col("nv")),
+            6,
+        ).alias("cos64"),
+        F.round(
+            _dot(F.col("qw"), F.col("w")) / (F.col("qnw") * F.col("nw")),
+            6,
+        ).alias("cos16"),
     )
+
+
+@register_grid_plans("embedding_jl_distortion")
+def _jl_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"candidate_pairs": _jl_cand(spark, sf_dir)}
+
+
+@register("embedding_jl_distortion", _jl_oracle())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit (``operators.linalg.
+    jl_project``): embeddings compact {d_in}→{d_out} dims through the
+    deterministic ±1/√k md5 sign matrix — the shuffle-free pre-ANN
+    compaction pass — and each of {q} exact query neighborhoods grades
+    the damage: mean/max |cos_64 − cos_16| and how many of the true
+    top-{k} cosine neighbors survive in the projected top-{k}. The
+    projection itself is one scan (each output component a row-local
+    signed-sum fold, no multiply, no shuffle, no Python); the audit is
+    a bounded {q}-query broadcast against the corpus (the ANN-baseline
+    BNLJ class) plus two |cand|-row rank windows. The oracle restates
+    the same sign matrix as literal signed sums — identical fold order,
+    bit-identical components."""
+    # agg + two rank windows consume it — checkpoint once (subplan
+    # audited via GRID_PLANS / _jl_cand)
+    cand = _jl_cand(spark, sf_dir).localCheckpoint(eager=True)
     w64 = Window.partitionBy("query_id").orderBy(
         F.desc("cos64"), F.asc("neighbor_id")
     )

@@ -21,7 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 
 # --------------------------------------------------------------------------
@@ -81,6 +84,35 @@ _COVER_ORACLE = (
 )
 
 
+def _cover_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side subplan of `supplier_part_coverage` (hidden from
+    the final audited plan by the per-step `localCheckpoint()`): the
+    distinct (supplier, part) incidence relation every greedy step
+    anti-joins and aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_suppkey", "l_partkey").distinct()
+
+
+@register_grid_plans("supplier_part_coverage")
+def _cover_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    pairs = _cover_pairs(spark, sf_dir)
+    step1 = (
+        pairs.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("gain"))
+        .orderBy(F.col("gain").desc(), F.col("l_suppkey"))
+        .limit(1)
+    )
+    # step i>1 adds one left_anti join against the covered set — same
+    # shape plus one hash join; step 1 pins the recurring aggregate
+    return {
+        "incidence_pairs": pairs,
+        "step_pick": step1,
+        "universe": pairs.agg(
+            F.countDistinct("l_partkey").alias("total")
+        ),
+    }
+
+
 @register("supplier_part_coverage", _COVER_ORACLE)
 def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy set cover: which {k} suppliers cover the most parts?
@@ -99,8 +131,7 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the per-step cost is one shuffle of the (supp, part)
     distinct pairs — greedy set cover is inherently sequential in k,
     but k is small and each step is a full-parallel aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pairs = li.select("l_suppkey", "l_partkey").distinct().localCheckpoint()
+    pairs = _cover_pairs(spark, sf_dir).localCheckpoint()
     total = pairs.select("l_partkey").distinct().count()
     covered = None
     rows = []

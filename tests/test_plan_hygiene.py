@@ -111,6 +111,106 @@ def test_plan_free_of_scale_killers(name, spark):
         )
 
 
+def _grid_plans():
+    from flight_radar_pipeline_spark.plans.battery import GRID_PLANS
+
+    return GRID_PLANS
+
+
+# build-time subplans allowed a BNLJ — same 1-row/bounded-broadcast
+# classes as ALLOWED_BNLJ above (both parents are already on that list)
+GRID_ALLOWED_BNLJ = {
+    ("doc_domain_classifier_gd", "features"),   # 1-row standardization stats
+    ("doc_domain_classifier_gd", "grad_step"),  # derives from features
+    ("embedding_jl_distortion", "candidate_pairs"),  # bounded query bcast, != cond
+}
+
+
+@pytest.mark.parametrize("name", sorted(_grid_plans()))
+def test_grid_subplans_free_of_scale_killers(name, spark):
+    """Driver-grid entries run fact-side work at BUILD time behind a
+    bounded collect or a localCheckpoint — invisible in the final plan
+    the test above audits. Assert the same categorical bans over every
+    registered build-time subplan (battery.GRID_PLANS)."""
+    for label, sub in _grid_plans()[name](spark, SF_DIR).items():
+        plan = _plan(sub)
+        assert "BatchEvalPython" not in plan, (
+            f"{name}[{label}]: row-at-a-time Python UDF in build-time subplan"
+        )
+        assert "CartesianProduct" not in plan, (
+            f"{name}[{label}]: cartesian product in build-time subplan"
+        )
+        if (name, label) not in GRID_ALLOWED_BNLJ:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}[{label}]: BNLJ in build-time subplan outside "
+                "GRID_ALLOWED_BNLJ"
+            )
+
+
+def test_grid_plans_cover_every_driver_grid_entry():
+    """Every registry entry whose builder collects a fact-derived grid or
+    checkpoints its fact lineage must register its build-time subplans —
+    keeps the audit blind spot closed as new driver-grid entries land.
+    Enumerated by source scan: a `.collect()` or `.localCheckpoint(` in
+    the builder body marks the class; trivial 1-row min/max anchors over
+    a single unjoined scan are exempt (their subplan is a scan+agg with
+    nothing to audit) and listed explicitly."""
+    import inspect
+
+    from flight_radar_pipeline_spark.plans import battery
+
+    # single-scan 1-row anchors (no join before the action) or per-batch
+    # foreachBatch internals already audited via the materialized result
+    EXEMPT = {
+        "event_seasonal_baseline",      # 1-row min/max date anchor
+        "event_value_bocpd_runs",       # 1-row min/max date anchor
+        "orders_tombstone_compaction",  # 1-row max-ts anchor
+        "orders_scd2_stream_apply",     # per-batch distinct-eff list
+        "event_cusum_stream_ledger",    # foreachBatch fold internals
+        "event_psi_stream_ledger",      # foreachBatch fold internals
+        "event_wasserstein_stream_ledger",  # foreachBatch fold internals
+        "doc_bpe_merges",               # trainer: bounded pair-count collects
+        "doc_bpe_encode",               # trainer: bounded pair-count collects
+        "doc_bpe_fertility",            # trainer: bounded pair-count collects
+        "corpus_bpe_compression",       # trainer: bounded pair-count collects
+        "embedding_kmeans_clusters",    # trainer: k-row centroid collects
+        "doc_topic_clusters",           # trainer: k-row centroid collects
+        "embedding_ann_ivf",            # trainer: k-row centroid collects
+        "embedding_topk_ivfpq",         # codebook: k-row centroid collects
+        "embedding_topk_ivfpq_refined",  # codebook: shared with above
+        "embedding_product_quantization",  # codebook collects
+        "embedding_opq_audit",          # codebook collects (no oracle)
+        "embedding_semantic_dedup",     # self-sized k: 1-row count anchor
+        "doc_minhash_bands_sweep",      # per-band bounded stats collect
+        "event_value_irls_logistic",    # 1-row gradient collects (IRLS)
+        "event_hour_pinball_p90",       # 1-row gradient collects
+        "doc_dsir_importance",          # 1-row corpus-total anchors
+        "user_value_twap",              # 1-row span anchor
+        "event_hourly_stl_decompose",   # 1-row span anchor
+        "top_session_paths",            # 1-row min-support anchor
+        "user_erasure_audit",           # 1-row max-ts anchor
+        "user_growth_stream_ledger",    # 1-row span anchor
+        "orders_scd2_stream_merge",     # per-batch distinct-eff list
+    }
+    # (entries registered in battery.GRID_PLANS — BT, markov, MST,
+    # isotonic, set-cover, GD trainer, k-core, training manifest,
+    # DBSCAN, JL audit, mixture baseline — pass via the registry)
+    reg = battery.REGISTRY
+    flagged = []
+    for name, spec in reg.items():
+        try:
+            src = inspect.getsource(spec.build)
+        except (OSError, TypeError):
+            continue
+        if ".collect()" in src or ".localCheckpoint(" in src:
+            if name not in battery.GRID_PLANS and name not in EXEMPT:
+                flagged.append(name)
+    assert not flagged, (
+        "driver-grid entries without registered build-time subplans "
+        f"(add to battery.GRID_PLANS or justify in EXEMPT): {flagged}"
+    )
+
+
 def test_lsh_signature_stage_is_shuffle_free(spark):
     """Sign-LSH signatures must be a pure projection over the embedding
     scan — the round-1 relational form shuffled corpus × dims rows (one per
