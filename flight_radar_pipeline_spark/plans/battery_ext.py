@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.multimodal import attach_payload, decode_features
 from flight_radar_pipeline_spark.operators.skew import salted_join
-from flight_radar_pipeline_spark.plans.battery import REGISTRY, register
+from flight_radar_pipeline_spark.plans.battery import (
+    REGISTRY,
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.sources.readers import load_table
 from flight_radar_pipeline_spark.streaming.events import (
     click_view_pairs_stream,
@@ -1786,40 +1790,79 @@ _LIFT_ORACLE = """
 
 
 @register("session_event_type_lift", _LIFT_ORACLE)
+def _lift_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one fact-side subplan of `session_event_type_lift`: one
+    shuffle to per-(user, day) sorted type-set baskets, one explode
+    emitting every pair (a < b), every item, and a basket marker, one
+    bounded groupBy → the ≤(C(k,2)+k+1)-row stats grid (k = |types|)."""
+    ev = load_table(spark, sf_dir, "events")
+    ba = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+    )
+    rows = F.expr(
+        """
+        concat(
+          flatten(transform(ts, (x, i) ->
+            transform(slice(ts, i + 2, size(ts)), y ->
+              named_struct('kind', 'pair', 'ta', x, 'tb', y)))),
+          transform(ts, x ->
+            named_struct('kind', 'item', 'ta', x,
+                         'tb', cast(null as string))),
+          array(named_struct('kind', 'basket',
+                             'ta', cast(null as string),
+                             'tb', cast(null as string)))
+        )
+        """
+    )
+    return (
+        ba.select(F.explode(rows).alias("s"))
+        .groupBy("s.kind", "s.ta", "s.tb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register_grid_plans("session_event_type_lift")
+def _lift_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {"basket_stats": _lift_basket_stats(spark, sf_dir)}
+
+
+@register("session_event_type_lift", _LIFT_ORACLE)
 def session_event_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift between event types co-occurring in the same
     user-day basket: lift(A,B) = P(A∧B) / (P(A)·P(B)) — the association
-    screen behind "users who error also purchase?" dashboards. The basket
-    self-join is keyed on (user, day) AND restricted to distinct types
-    first, so fan-out per basket is bounded by the CLOSED type domain
-    (≤ C(5,2) = 10 pairs per basket regardless of event volume) — the
-    classic a-priori trick that keeps basket mining linear in baskets.
-    One shuffle to distinct baskets, one co-partitioned self-join on the
-    basket key, then broadcast-sized margins fold in."""
-    ev = load_table(spark, sf_dir, "events")
-    baskets = ev.select(
-        "user_id",
-        F.date_trunc("day", "ts").alias("day"),
-        "event_type",
-    ).distinct()
-    nb = baskets.select("user_id", "day").distinct().agg(
-        F.count(F.lit(1)).alias("n")
+    screen behind "users who error also purchase?" dashboards. Baskets
+    collapse to sorted distinct type SETS in one shuffle (collect_set
+    dedups in the same aggregate), so pair fan-out per basket is bounded
+    by the CLOSED type domain (≤ C(5,2) = 10 structs per basket
+    regardless of event volume) — the a-priori trick, emitted as array
+    combinations instead of a basket self-join. Pair counts, item
+    margins, and the basket total all come out of the SAME explode +
+    one bounded groupBy, checkpointed at ≤(C(k,2)+k+1) rows so the
+    final broadcast assembly reads the grid instead of re-deriving the
+    fact subtree under each consumer (the round-6 form referenced the
+    basket distinct four times: 14 exchanges → 2 + tiny; one fact scan
+    at runtime instead of up to four). Subplan audited via GRID_PLANS."""
+    agg = _lift_basket_stats(spark, sf_dir).localCheckpoint(eager=True)
+    pair = agg.filter(F.col("kind") == "pair").select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("cnt").alias("c_ab"),
     )
-    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
-    a = baskets.select(
-        "user_id", "day", F.col("event_type").alias("type_a")
+    ia = agg.filter(F.col("kind") == "item").select(
+        F.col("ta").alias("type_a"), F.col("cnt").alias("ca")
     )
-    b = baskets.select(
-        "user_id", "day", F.col("event_type").alias("type_b")
+    ib = agg.filter(F.col("kind") == "item").select(
+        F.col("ta").alias("type_b"), F.col("cnt").alias("cb")
     )
-    pair = (
-        a.join(b, ["user_id", "day"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
+    nb = agg.filter(F.col("kind") == "basket").select(
+        F.col("cnt").alias("n")
     )
-    ia = item.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
-    ib = item.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
     return (
         pair.join(F.broadcast(ia), "type_a")
         .join(F.broadcast(ib), "type_b")

@@ -277,10 +277,13 @@ def event_type_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     split as the drift entries.
 
     Scale: ONE fact scan → the (24 × |types|) conditional-count grid;
-    policy argmax is a window over that bounded grid; every evaluation
-    number (n_matched, replay/logged means, uplift) is read off the same
-    grid — no second scan, no join back to the fact. Counts are exact
-    bigints; value sums are the established 6dp-round contract."""
+    everything after is TWO windows over that bounded grid and zero
+    joins — the hour totals (n_logged, s_logged) are an hr-partition
+    window sum and the matched stats are the policy argmax row's OWN
+    (n_cur, s_cur), so pol/cur/matched never self-join (the round-11
+    form referenced the grid three times and recomputed its fact
+    subtree under each: 14 exchanges / 3 BNLJ → 5 / 1). Counts are
+    exact bigints; value sums are the established 6dp-round contract."""
     ev = load_table(spark, sf_dir, "events").select(
         F.hour("ts").alias("hr"),
         "event_type",
@@ -306,52 +309,42 @@ def event_type_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
         F.sum(F.when(F.col("is_ref") == 0, F.col("value"))).alias("s_cur"),
     )
+    # hour totals as a window sum; the policy argmax row's own
+    # (n_cur, s_cur) ARE the matched stats — no pol/cur/matched joins
+    w_hr = Window.partitionBy("hr")
+    aug = grid.select(
+        "hr",
+        "event_type",
+        "n_ref",
+        "s_ref",
+        "n_cur",
+        "s_cur",
+        F.sum("n_cur").over(w_hr).cast("bigint").alias("n_logged"),
+        F.sum("s_cur").over(w_hr).alias("s_logged"),
+    )
     w_pol = Window.partitionBy("hr").orderBy(
         F.desc(F.round(F.col("s_ref") / F.col("n_ref"), 6)),
         F.asc("event_type"),
     )
-    pol = (
-        grid.filter(F.col("n_ref") > 0)
+    return (
+        aug.filter(F.col("n_ref") > 0)
         .withColumn("rn", F.row_number().over(w_pol))
         .filter(F.col("rn") == 1)
         .select(
             "hr",
-            F.col("event_type").alias("action"),
+            F.col("event_type").alias("policy_action"),
             F.round(F.col("s_ref") / F.col("n_ref"), 6).alias("ref_mean"),
-        )
-    )
-    cur = grid.groupBy("hr").agg(
-        F.sum("n_cur").cast("bigint").alias("n_logged"),
-        F.sum("s_cur").alias("s_logged"),
-    )
-    matched = grid.select(
-        "hr",
-        F.col("event_type").alias("action"),
-        F.col("n_cur").alias("n_matched_raw"),
-        F.col("s_cur").alias("s_matched"),
-    )
-    return (
-        pol.join(cur, "hr")
-        .join(matched, ["hr", "action"], "left")
-        .select(
-            "hr",
-            F.col("action").alias("policy_action"),
-            "ref_mean",
             "n_logged",
-            F.coalesce("n_matched_raw", F.lit(0))
-            .cast("bigint")
-            .alias("n_matched"),
-            F.round(
-                F.coalesce("n_matched_raw", F.lit(0)) / F.col("n_logged"), 6
-            ).alias("match_rate"),
-            F.round(F.col("s_matched") / F.col("n_matched_raw"), 6).alias(
-                "replay_mean"
+            F.col("n_cur").cast("bigint").alias("n_matched"),
+            F.round(F.col("n_cur") / F.col("n_logged"), 6).alias(
+                "match_rate"
             ),
+            F.round(F.col("s_cur") / F.col("n_cur"), 6).alias("replay_mean"),
             F.round(F.col("s_logged") / F.col("n_logged"), 6).alias(
                 "logged_mean"
             ),
             F.round(
-                F.col("s_matched") / F.col("n_matched_raw")
+                F.col("s_cur") / F.col("n_cur")
                 - F.col("s_logged") / F.col("n_logged"),
                 6,
             ).alias("uplift"),

@@ -49,6 +49,12 @@ BUDGET = {
     "order_price_stump_split": 15,
     "event_score_isotonic_fit": 5,
     "nation_profile_mst": 3,
+    # round-12 compressions (audited static counts + 2 headroom) — the
+    # final lift plan reads its checkpointed ≤31-row stats grid, so its
+    # static count is assembly-only; the grid subplan is budget-checked
+    # via PLANS_AUDIT's [grid:basket_stats] row
+    "event_type_policy_replay": 7,
+    "session_event_type_lift": 6,
 }
 # deliberately NOT budgeted: entries consuming the shared sketch-pair
 # cache (ngram_jaccard_pairs, edit_distance_near_dup, ...) — their static
