@@ -75,7 +75,8 @@ def test_bradley_terry_vs_pure_duel_walk(spark, events):
                 for j in types
                 if j != t and (t, j) in games
             )
-            nxt[t] = _r(w_t / denom, 6)
+            # same 1e-6 iterate floor as the entry and its oracle CTE
+            nxt[t] = max(_r(w_t / denom, 6), 1e-6)
         pi = nxt
     total = sum(pi.values())
     got = _run("event_type_bradley_terry", spark)
