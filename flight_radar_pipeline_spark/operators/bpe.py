@@ -70,22 +70,14 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def train_bpe_merges(
-    docs: DataFrame,
-    n_merges: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges → (merge_rank, lhs, rhs, n).
-
-    Each iteration: pair-count aggregate over the vocabulary, argmax by
-    (n desc, lhs asc, rhs asc) — fully deterministic — then fuse the
-    winner into every word via one literal replace. The 1-row winner
-    collect per iteration is the bounded driver action that folds the
-    next replace pattern into the plan."""
-    spark = docs.sparkSession
-    base = word_vocabulary(docs, text_col, id_col).persist()
-    vocab = base
+def _train_merge_list(
+    vocab: DataFrame, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The MM loop on a caller-supplied (ideally persisted) vocabulary:
+    ``n_merges`` rounds of pair-count aggregate → deterministic
+    (n desc, lhs asc, rhs asc) argmax → literal-replace fusion. The
+    1-row winner collect per iteration is the bounded driver action that
+    folds the next replace pattern into the expression tree."""
     out: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         win = (
@@ -106,6 +98,22 @@ def train_bpe_merges(
                 F.lit(f"({lhs}{rhs})"),
             ),
         )
+    return out
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges → (merge_rank, lhs, rhs, n).
+
+    The vocabulary is persisted for the duration of the loop (one corpus
+    scan total; every iteration after it is vocabulary-sized)."""
+    spark = docs.sparkSession
+    base = word_vocabulary(docs, text_col, id_col).persist()
+    out = _train_merge_list(base, n_merges)
     base.unpersist()  # iterations already ran (one collect each)
     return spark.createDataFrame(
         out, "merge_rank int, lhs string, rhs string, n bigint"
@@ -129,23 +137,30 @@ def encode_token_counts(
     packing/costing stage consumes.
 
     Scale posture: encoding work is vocabulary-sized (Zipf-bounded), not
-    corpus-sized; the merge table collects as ``n_merges`` bounded driver
-    rows (broadcast-literal class — the replace chain must fold into the
+    corpus-sized; the merge table is ``n_merges`` bounded driver rows
+    (broadcast-literal class — the replace chain must fold into the
     expression tree); the word→n_sym join is keyed on word and Zipf makes
     the vocab side broadcastable far beyond this SF (falls back to a
     word-keyed shuffle join under AQE when it isn't).
+
+    The vocabulary is materialized ONCE (persisted) and shared between
+    the training loop and the encode projection — round-12 adjudication
+    of the doc_bpe_encode bench watch item: the previous shape trained on
+    a persisted vocab, unpersisted it, then re-derived the same
+    vocabulary from a second corpus scan for the encode side, which is
+    one full corpus scan of pure waste at any scale. The persist is left
+    live for the returned plan to consume (the house per-operator-persist
+    pattern — the bench clears the catalog cache between entries; Spark's
+    ContextCleaner reclaims it otherwise).
     """
-    merges = train_bpe_merges(docs, n_merges, text_col, id_col).orderBy(
-        "merge_rank"
-    )
-    mrows = merges.collect()  # ≤ n_merges rows — broadcast-literal class
-    vocab = word_vocabulary(docs, text_col, id_col)
+    vocab = word_vocabulary(docs, text_col, id_col).persist()
+    mrows = _train_merge_list(vocab, n_merges)
     seq = F.col("seq")
-    for r in mrows:
+    for rank, lhs, rhs, n in mrows:
         seq = F.replace(
             seq,
-            F.lit(f"({r['lhs']})({r['rhs']})"),
-            F.lit(f"({r['lhs']}{r['rhs']})"),
+            F.lit(f"({lhs})({rhs})"),
+            F.lit(f"({lhs}{rhs})"),
         )
     n_sym = F.size(F.expr(f"regexp_extract_all({'__seq'}, '{_SYM_RE_SQL}', 1)"))
     encoded = vocab.select(
