@@ -323,10 +323,10 @@ def opq_rotation(
 ) -> list[list[float]]:
     """OPQ-NP rotation (Ge et al. 2013, "Optimized Product Quantization",
     non-parametric init): eigendecompose the second-moment matrix, then
-    allocate eigen-directions to the ``m`` subspaces by GREEDY BALANCED
-    LOG-EIGENVALUE sum (each next-largest eigenvalue goes to the open
-    subspace with the smallest log-eigenvalue product), so every subspace
-    quantizes a comparable slice of the variance. Returns the rotation R
+    allocate eigen-directions to the ``m`` subspaces ROUND-ROBIN in
+    descending-eigenvalue order (subspace s takes directions s, s+m,
+    s+2m, …), so every subspace holds a comparable variance slice — the
+    paper's simple balanced allocation. Returns the rotation R
     (columns = permuted eigenvectors) as a plain list — the 64×64 driver
     matrix is O(n_dims³) flops, data-volume-independent.
 
