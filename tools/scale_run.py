@@ -220,6 +220,25 @@ EXTRA_FAMILIES_R8 = [
 ]
 
 
+# round-12 refresh (--extras-r12, appended as r12_*): every entry whose
+# plan changed AFTER its newest SCALE_RUN row (verdict item 6) — the bpe
+# single-vocabulary persist, the policy-replay / basket-lift exchange
+# compressions, the r11 RI-audit one-scan rewrite and concurrency-sweep
+# explode, and the four rank-device faces that gained probe-reuse
+# checkpoints in r11 after their r10_ rows were recorded.
+EXTRA_FAMILIES_R12 = [
+    "doc_bpe_encode",
+    "doc_bpe_fertility",
+    "event_type_policy_replay",
+    "session_event_type_lift",
+    "referential_integrity_audit",
+    "peak_concurrent_sessions",
+    "event_value_mann_whitney",
+    "event_type_kruskal_wallis",
+    "event_value_runs_test",
+    "event_score_ks_separation",
+]
+
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
 EXTRA_FAMILIES_R10 = [
     # the two new round-10 families
@@ -296,7 +315,7 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] in (
         "--extras", "--extras-r7", "--extras-r8", "--extras-r9",
-        "--extras-r10",
+        "--extras-r10", "--extras-r12",
     ):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
@@ -313,6 +332,9 @@ def main() -> int:
         if sys.argv[1] == "--extras-r10":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R10, prefix="r10_")
+        if sys.argv[1] == "--extras-r12":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R12, prefix="r12_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
