@@ -149,6 +149,7 @@ def _registry():
         battery_r10b,
         battery_r10c,
         battery_r11,
+        battery_r12,
         battery_temporal,
         battery_text,
     )

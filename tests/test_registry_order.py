@@ -115,7 +115,10 @@ def test_only_coverage_operators_not_past_the_frontier():
 
 # entries registered AFTER the round-12 window froze (they become rotation
 # candidates for round 13; append here when adding queries mid-round)
-POST_FREEZE: set[str] = set()
+POST_FREEZE: set[str] = {
+    "doc_nb_lang_classifier",  # battery_r12: in-engine Naive Bayes trainer
+    "corpus_heaps_fit",        # battery_r12: Heaps'-law growth fit
+}
 
 
 def test_round12_window_composition():
