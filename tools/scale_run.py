@@ -237,6 +237,9 @@ EXTRA_FAMILIES_R12 = [
     "event_type_kruskal_wallis",
     "event_value_runs_test",
     "event_score_ks_separation",
+    # the round-12 POST_FREEZE additions (measured on registration)
+    "doc_nb_lang_classifier",
+    "corpus_heaps_fit",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
