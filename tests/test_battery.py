@@ -100,6 +100,11 @@ def test_battery_query(name, spark, duck):
         # (Bradley-Terry); greedy-argmax policy + replay estimator
         "event_type_bradley_terry",
         "event_type_policy_replay",
+        # round-12: integer-score argmax over per-doc sums (NB — the
+        # micro-nat quantization exists precisely so widths can't move
+        # an argmax); cumulative checkpoint sums into a log-log OLS
+        "doc_nb_lang_classifier",
+        "corpus_heaps_fit",
     ],
 )
 def test_battery_partition_determinism(name, spark):
