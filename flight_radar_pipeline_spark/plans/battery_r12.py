@@ -80,17 +80,22 @@ def _nb_class_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
-def _nb_dense_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(lang, bucket, wint): Laplace-smoothed log-likelihood weights in
-    MICRO-NATS (bigint) over the DENSE |langs|×64 grid. Integer weights
-    are the parity discipline: per-doc scores are exact bigint sums, so
-    no engine's float-summation order can move an argmax."""
-    docs = load_table(spark, sf_dir, "documents")
-    cnt = (
-        _tok(docs)
-        .groupBy("lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+def _nb_token_counts(docs: DataFrame) -> DataFrame:
+    """(lang, bucket, c): the training aggregate — one
+    map-side-combinable pass over the token stream. ADDITIVE by
+    construction, which is what lets the streaming twin maintain the
+    model as mergeable integer partials."""
+    return _tok(docs).groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
     )
+
+
+def _nb_dense_from_counts(cnt: DataFrame) -> DataFrame:
+    """(lang, bucket, wint): Laplace-smoothed log-likelihood weights in
+    MICRO-NATS (bigint) over the DENSE |langs|×64 grid, from a
+    (lang, bucket, c) count table. Integer weights are the parity
+    discipline: per-doc scores are exact bigint sums, so no engine's
+    float-summation order can move an argmax."""
     tots = cnt.groupBy("lang").agg(F.sum("c").alias("tot"))
     # densify by exploding the bucket range off the |langs|-row totals —
     # no join is needed to manufacture the grid (a range crossJoin would
@@ -139,9 +144,10 @@ def _nb_weights_pivoted(dense: DataFrame, langs: list[str]) -> DataFrame:
 def _nb_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # `class_grid` is the build-time bounded collect (langs + priors);
     # `weights` is the training aggregate the final plan consumes
+    docs = load_table(spark, sf_dir, "documents")
     return {
         "class_grid": _nb_class_grid(spark, sf_dir),
-        "weights": _nb_dense_weights(spark, sf_dir),
+        "weights": _nb_dense_from_counts(_nb_token_counts(docs)),
     }
 
 
@@ -213,17 +219,27 @@ def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint aggregate; the confusion output is |langs|² rows. The only
     driver action is the bounded |langs|-row prior collect (the
     broadcast-literal class; subplans audited via GRID_PLANS)."""
-    import math
-
     docs = load_table(spark, sf_dir, "documents")
     grid = sorted(
         (r["lang"], int(r["n_docs"]))
         for r in _nb_class_grid(spark, sf_dir).collect()
     )
+    langs, priors = _nb_priors(grid)
+    weights = _nb_weights_pivoted(
+        _nb_dense_from_counts(_nb_token_counts(docs)), langs
+    )
+    return _nb_confusion(docs, langs, priors, weights)
+
+
+def _nb_priors(grid: list[tuple[str, int]]) -> tuple[list[str], dict]:
+    """sorted languages + micro-nat integer priors from the
+    (lang, n_docs) grid — half-up away from zero, matching the oracle's
+    round() on the same doubles (Python's built-in round is banker's —
+    not used)."""
+    import math
+
     langs = [lang for lang, _n in grid]
     n_tot = float(sum(n for _l, n in grid))
-    # half-up away from zero, matching the oracle's round() on the same
-    # doubles (Python's built-in round is banker's — not used)
     priors = {
         lang: int(
             math.copysign(
@@ -233,10 +249,17 @@ def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for lang, n in grid
     }
-    weights = _nb_weights_pivoted(_nb_dense_weights(spark, sf_dir), langs)
-    # scoring: the token stream carries (doc_id, true lang), so the
-    # per-document integer sums and the confusion grid need no join back
-    # to the corpus — one explode scan, one doc-grain aggregate
+    return langs, priors
+
+
+def _nb_confusion(
+    docs: DataFrame, langs: list[str], priors: dict, weights: DataFrame
+) -> DataFrame:
+    """Score the corpus against a trained (priors, pivoted-weights)
+    model → the |langs|² confusion grid. The token stream carries
+    (doc_id, true lang), so the per-document integer sums and the
+    confusion grid need no join back to the corpus — one explode scan,
+    one doc-grain aggregate."""
     sums = (
         _tok(docs)
         .join(F.broadcast(weights), "bucket")
@@ -270,6 +293,91 @@ def doc_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@register("doc_nb_stream_train", _NB_ORACLE)
+def doc_nb_stream_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Naive Bayes maintenance — the stream twin of
+    `doc_nb_lang_classifier`, extending the lake family's batch/stream
+    symmetry to the TRAINER class: documents arrive in 3 microbatches
+    (hash-split files) and ``foreachBatch`` folds each batch's
+    (lang, bucket) token counts and (lang) document counts into a
+    versioned integer state table — merge = unionByName + sum by key,
+    exact for any batch split because the training aggregate is
+    additive integer partials (the same mergeability KMV/rollup lean
+    on). After the stream drains, priors and micro-nat weights derive
+    from the MAINTAINED state and the full corpus scores against them;
+    the confusion grid must equal the batch trainer's, which is what
+    the shared oracle states. This is the online-model-update pattern:
+    a 100 TB corpus feed keeps one bounded integer grid per class and
+    never revisits history to retrain."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="nb_stream_")
+    stage = os.path.join(work, "in")
+    os.makedirs(stage)
+    for i in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, f"b{i}"))
+        )
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+    for i in range(3):
+        bdir = os.path.join(stage, f"b{i}")
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f), os.path.join(flat, f"{i:03d}.parquet")
+                )
+
+    versions: list[str | None] = [None]
+
+    def fold(batch: DataFrame, _bid: int) -> None:
+        cnt = _nb_token_counts(batch).withColumn("kind", F.lit("tok"))
+        cls = (
+            batch.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select("lang", F.lit(-1).cast("long").alias("bucket"), "c")
+            .withColumn("kind", F.lit("doc"))
+        )
+        p = cnt.unionByName(cls)
+        if versions[-1] is not None:
+            prev = spark.read.parquet(versions[-1])
+            p = (
+                prev.unionByName(p)
+                .groupBy("kind", "lang", "bucket")
+                .agg(F.sum("c").alias("c"))
+            )
+        nxt = os.path.join(work, f"v{len(versions)}")
+        p.write.mode("overwrite").parquet(nxt)
+        versions.append(nxt)
+
+    physical = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    q = (
+        spark.readStream.schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.parquet(versions[-1])
+    grid = sorted(
+        (r["lang"], int(r["c"]))
+        for r in state.filter(F.col("kind") == "doc").collect()
+    )
+    langs, priors = _nb_priors(grid)
+    cnt = state.filter(F.col("kind") == "tok").select("lang", "bucket", "c")
+    weights = _nb_weights_pivoted(_nb_dense_from_counts(cnt), langs)
+    return _nb_confusion(docs, langs, priors, weights)
 
 
 # --------------------------------------------------------------------------

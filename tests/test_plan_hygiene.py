@@ -187,6 +187,7 @@ def test_grid_plans_cover_every_driver_grid_entry():
         "doc_dsir_importance",          # 1-row corpus-total anchors
         "user_value_twap",              # 1-row span anchor
         "corpus_heaps_fit",             # 1-row span anchor (checkpoint step)
+        "doc_nb_stream_train",          # bounded state-grid collect (foreachBatch fold)
         "event_hourly_stl_decompose",   # 1-row span anchor
         "top_session_paths",            # 1-row min-support anchor
         "user_erasure_audit",           # 1-row max-ts anchor

@@ -118,6 +118,7 @@ def test_only_coverage_operators_not_past_the_frontier():
 POST_FREEZE: set[str] = {
     "doc_nb_lang_classifier",  # battery_r12: in-engine Naive Bayes trainer
     "corpus_heaps_fit",        # battery_r12: Heaps'-law growth fit
+    "doc_nb_stream_train",     # battery_r12: NB trainer's stream twin
 }
 
 

@@ -60,7 +60,10 @@ def docs():
 _NB_BUCKETS = 64
 
 
-def test_nb_classifier_vs_integer_scoring_fold(spark, docs):
+@pytest.mark.parametrize(
+    "name", ["doc_nb_lang_classifier", "doc_nb_stream_train"]
+)
+def test_nb_classifier_vs_integer_scoring_fold(spark, docs, name):
     def buckets(text):
         return [
             int(_md5(term)[:6], 16) % _NB_BUCKETS
@@ -103,7 +106,7 @@ def test_nb_classifier_vs_integer_scoring_fold(spark, docs):
 
     got = [
         (r.true_lang, r.pred_lang, r.n_docs)
-        for r in _run("doc_nb_lang_classifier", spark)
+        for r in _run(name, spark)
     ]
     assert got == expected
     # the grid partitions the corpus exactly
