@@ -240,6 +240,7 @@ EXTRA_FAMILIES_R12 = [
     # the round-12 POST_FREEZE additions (measured on registration)
     "doc_nb_lang_classifier",
     "corpus_heaps_fit",
+    "doc_nb_stream_train",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
