@@ -37,23 +37,23 @@ def _configure(spark: SparkSession) -> None:
 # so the window below is an EXPLICIT list (registration order stopped being
 # a safe implicit ordering once the registry outgrew 50 entries).
 #
-# Round-12 rotation — the standing pre-agreed rotation contract
-# (tests/test_registry_order.py), composed exactly as the round-11 verdict
+# Round-13 rotation — the standing pre-agreed rotation contract
+# (tests/test_registry_order.py), composed exactly as the round-12 verdict
 # directive 1 prescribed:
 #   (a) `pricing_summary` as the proven spine.
-#   (b) the 2-entry round-11 POST_FREEZE slate (the only oracled entries
-#       never driver-checked). A green round takes cumulative driver
-#       coverage to ALL 287 oracled entries — true full saturation.
-#   (c) 47 re-checks of the STALEST green rows by (last green driver
-#       round across CORRECTNESS_r01–r11, registry order) — the deepest
-#       re-verification budget yet: the remaining r6 cohort (39 rows)
-#       plus the 8 oldest r7 rows. Plans are drift-audited
-#       (tools/audit_compare.py), but a driver-side re-check of
-#       r6/r7-era rows is the cheapest possible insurance.
-# 1 + 2 + 47 = 50 exactly.
+#   (b) the 3-entry round-12 POST_FREEZE slate (the only oracled entries
+#       never driver-checked: the NB trainer, its stream twin, and the
+#       Heaps'-law fit). A green round re-saturates cumulative driver
+#       coverage at ALL 290 oracled entries.
+#   (c) 46 re-checks of the STALEST green rows by (last green driver
+#       round across CORRECTNESS_r01–r12, registry order): the remaining
+#       r7 cohort (41 rows) plus the 5 oldest r8 rows. Plans are
+#       drift-audited (tools/audit_compare.py), but a driver-side
+#       re-check of r7/r8-era rows is the cheapest possible insurance.
+# 1 + 3 + 46 = 50 exactly.
 #
-# Demoted entries (the whole round-11 window minus the spine) all hold
-# green rows in CORRECTNESS_r11.json; tests/test_battery.py's
+# Demoted entries (the whole round-12 window minus the spine) all hold
+# green rows in CORRECTNESS_r12.json; tests/test_battery.py's
 # full-registry oracle sweep (ALL entries at sf0.001) remains the
 # mandatory regression net for everything outside the window. Entries
 # WITHOUT an oracle stay in the tail by policy (embedding_opq_audit +
@@ -63,57 +63,57 @@ def _configure(spark: SparkSession) -> None:
 _WINDOW = [
     # (a) proven spine
     "pricing_summary",
-    # (b) the round-11 POST_FREEZE slate, wholesale (2 — never driver-checked)
-    "event_type_bradley_terry",
-    "event_type_policy_replay",
-    # (c) 47 stalest-green re-checks (last green round in comment)
-    "corpus_filter_funnel",               # r6
-    "corpus_training_manifest",           # r6
-    "multimodal_image_dims",              # r6
-    "event_value_interpolated",           # r6
-    "event_value_winsorized",             # r6
-    "user_value_ewma",                    # r6
-    "order_status_psi_drift",             # r6
-    "session_event_type_lift",            # r6
-    "event_hourly_mean_shift",            # r6
-    "distinct_user_event_types_within_wm_stream",  # r6
-    "ab_test_event_value",                # r6
-    "top_session_paths",                  # r6
-    "user_value_twap",                    # r6
-    "event_type_hour_mutual_info",        # r6
-    "top_users_stream",                   # r6
-    "event_props_variant",                # r6
-    "shipping_latency_sla",               # r6
-    "referential_integrity_audit",        # r6
-    "user_erasure_audit",                 # r6
-    "nation_revenue_view_ivm",            # r6
-    "daily_rollup_stream_merge",          # r6
-    "orders_table_checksum",              # r6
-    "orders_customer_key_overlap_kmv",    # r6
-    "orders_schema_evolution",            # r6
-    "part_brand_cooccurrence",            # r6
-    "order_benford_digits",               # r6
-    "event_value_lag_autocorr",           # r6
-    "event_seasonal_baseline",            # r6
-    "part_name_fuzzy_pairs",              # r6
-    "doc_word_spans_udtf",                # r6
-    "view_click_full_outer_stream",       # r6
-    "order_gap_survival",                 # r6
-    "customer_revenue_gini",              # r6
-    "peak_concurrent_sessions",           # r6
-    "embedding_group_centroids",          # r6
-    "embedding_cosine_histogram",         # r6
-    "event_value_woe_bins",               # r6
-    "customer_rfm_segments",              # r6
-    "purchase_multitouch_attribution",    # r6
-    "embedding_mutual_nn",                # r7
-    "embedding_topk_ivfpq",               # r7
-    "multimodal_audio_meta",              # r7
-    "multimodal_video_meta",              # r7
-    "customer_geo_cell_pairs",            # r7
-    "entity_reach_3hop",                  # r7
-    "event_decayed_type_scores",          # r7
-    "doc_char_class_entropy",             # r7
+    # (b) the round-12 POST_FREEZE slate, wholesale (3 — never driver-checked)
+    "doc_nb_lang_classifier",
+    "doc_nb_stream_train",
+    "corpus_heaps_fit",
+    # (c) 46 stalest-green re-checks (last green round in comment)
+    "lineitem_weighted_median",           # r7
+    "session_overlap_pairs",              # r7
+    "user_event_type_unpivot",            # r7
+    "user_value_holt",                    # r7
+    "customer_adamic_adar",               # r7
+    "doc_containment_pairs",              # r7
+    "orders_cdc_apply",                   # r7
+    "orders_pit_segment",                 # r7
+    "customer_nearest_neighbor",          # r7
+    "part_fs_match_weights",              # r7
+    "doc_lang_kl_drift",                  # r7
+    "customer_k_anonymity",               # r7
+    "user_kmv_rolling_7d",                # r7
+    "orders_cdc_stream_apply",            # r7
+    "user_degree_powerlaw",               # r7
+    "user_balance_clamped",               # r7
+    "part_sorted_neighborhood_pairs",     # r7
+    "doc_hybrid_rrf_search",              # r7
+    "nation_revenue_share",               # r7
+    "entity_reach_temporal",              # r7
+    "event_value_stats_merged",           # r7
+    "daily_type_rank_shift",              # r7
+    "embedding_label_balance",            # r7
+    "user_kmv_stream_partials",           # r7
+    "rollup_restatement_diff",            # r7
+    "orders_lineitem_join_ivm",           # r7
+    "doc_fold_label_parity",              # r7
+    "event_drift_stream_moments",         # r7
+    "entity_min_cost_3hop",               # r7
+    "event_value_hist_quantiles",         # r7
+    "view_click_crosscorr",               # r7
+    "event_value_cdf_norm",               # r7
+    "part_revenue_abc",                   # r7
+    "event_type_ks_drift",                # r7
+    "nation_dp_customer_counts",          # r7
+    "event_value_bootstrap_ci",           # r7
+    "nation_month_revenue_growth",        # r7
+    "ab_cuped_event_value",               # r7
+    "cohort_cumulative_ltv",              # r7
+    "event_hist_stream_quantiles",        # r7
+    "orders_scd2_stream_merge",           # r7
+    "embedding_topk_ivfpq_refined",       # r8
+    "multimodal_jpeg_dims",               # r8
+    "order_priority_chisq",               # r8
+    "event_value_theil_sen",              # r8
+    "nation_trade_balance",               # r8
 ]
 CHECKED_WINDOW = 50
 
@@ -150,6 +150,7 @@ def _registry():
         battery_r10c,
         battery_r11,
         battery_r12,
+        battery_r13,
         battery_temporal,
         battery_text,
     )

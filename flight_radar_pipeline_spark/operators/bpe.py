@@ -125,6 +125,7 @@ def encode_token_counts(
     n_merges: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Apply trained BPE merges to the corpus → (id, n_words, n_subwords).
 
@@ -148,12 +149,17 @@ def encode_token_counts(
     of the doc_bpe_encode bench watch item: the previous shape trained on
     a persisted vocab, unpersisted it, then re-derived the same
     vocabulary from a second corpus scan for the encode side, which is
-    one full corpus scan of pure waste at any scale. The persist is left
-    live for the returned plan to consume (the house per-operator-persist
-    pattern — the bench clears the catalog cache between entries; Spark's
-    ContextCleaner reclaims it otherwise).
+    one full corpus scan of pure waste at any scale. When ``vocab`` is
+    None, the persist is left live for the returned plan to consume (the
+    house per-operator-persist pattern — the bench clears the catalog
+    cache between entries; Spark's ContextCleaner reclaims it otherwise).
+    Library callers invoking this repeatedly should pass their own
+    ``vocab`` (``word_vocabulary(docs).persist()``) and unpersist it when
+    done — with a caller-supplied vocab this function persists nothing,
+    so the cache lifecycle is fully deterministic (round-12 ADVICE).
     """
-    vocab = word_vocabulary(docs, text_col, id_col).persist()
+    if vocab is None:
+        vocab = word_vocabulary(docs, text_col, id_col).persist()
     mrows = _train_merge_list(vocab, n_merges)
     seq = F.col("seq")
     for rank, lhs, rhs, n in mrows:

@@ -692,62 +692,88 @@ def ngram_containment_pairs(
     suffix-array–based dedup pipelines, expressed over gram sets).
 
     Scale: identical to the Jaccard op's capped path — ``maxdf`` drops
-    stop-grams BEFORE the item-keyed self-join (fan-out ≤ maxdf² per
-    gram), sizes and intersections both live in the capped gram universe
-    (the oracle restates the cap), one pair-keyed aggregate. The
-    Jaccard prefix filter does NOT apply here (a low-Jaccard pair can
-    still have containment 1.0), so the candidate set is the full
+    stop-grams BEFORE any candidate pair is emitted (fan-out ≤ maxdf²
+    per gram), sizes and intersections both live in the capped gram
+    universe (the oracle restates the cap), one pair-keyed aggregate.
+    The Jaccard prefix filter does NOT apply here (a low-Jaccard pair
+    can still have containment 1.0), so the candidate set is the full
     shared-gram relation — the cap is the one pruning that stays sound.
+
+    Candidate generation is the a-priori array-combinations device
+    (round-13 exchange sweep, same rewrite as ``adamic_adar_pairs``):
+    the capped gram relation groups to one sorted doc-id SET per gram —
+    bounded at ``maxdf`` elements by the upstream cap, so the
+    aggregation buffer is bounded at any scale — and every (a < b)
+    combination explodes out of the array, replacing the gram-keyed
+    self-join (one exchange, one join, and one plan subtree fewer).
+    When ``maxdf`` is None nothing bounds the per-gram set, so the
+    operator refuses rather than build an unbounded aggregation buffer.
+    Directions are exploded BEFORE the size join, so the per-doc size
+    relation joins ONCE (on src_id) instead of twice.
     """
+    if maxdf is None:
+        raise ValueError(
+            "ngram_containment_pairs: maxdf=None would make the per-gram "
+            "candidate set (and its aggregation buffer) unbounded; pass "
+            "an explicit document-frequency cap"
+        )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams_arr = F.array_distinct(word_ngrams(toks, n))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
-    gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
-    if maxdf is not None:
-        gram_df = gram_df.filter(F.col("__df") <= maxdf)
+    gram_df = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= maxdf)
+    )
     g = g.join(gram_df.select("gram"), "gram")
-    # the capped gram relation feeds the size aggregate AND both self-join
-    # sides; persist it so tokenize + explode + df-cap runs once (same
+    # the capped gram relation feeds the size aggregate AND the gram-set
+    # grouping; persist it so tokenize + explode + df-cap runs once (same
     # knob semantics as ngram_jaccard_pairs's sets_storage)
     if grams_storage is not None:
         g = g.persist(grams_storage)
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = g.select(F.col(id_col).alias("id_a"), "gram").alias("l")
-    b = g.select(F.col(id_col).alias("id_b"), "gram").alias("r")
-    inter = (
-        a.join(
-            b,
-            (F.col("l.gram") == F.col("r.gram")) & (F.col("id_a") < F.col("id_b")),
+    sets = g.groupBy("gram").agg(F.array_sort(F.collect_set(id_col)).alias("__ds"))
+    combos = F.flatten(
+        F.transform(
+            F.col("__ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ds"), i + 2, F.size(F.col("__ds"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
-    sized = inter.join(
-        sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a"
-    ).join(
-        sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b"
+    inter = (
+        sets.select(F.explode(combos).alias("__p"))
+        .groupBy("__p.id_a", "__p.id_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
     )
     # both directions from ONE pass over the pair set (explode of a
     # 2-struct array) — a union of two selects would make Catalyst
-    # recompute the whole index-join subtree per direction
-    directed = sized.select(
+    # recompute the whole index subtree per direction; exploding before
+    # the size join halves the join count (sizes joins once, on src_id)
+    directed = inter.select(
         F.explode(
             F.array(
                 F.struct(
                     F.col("id_a").alias("src_id"),
                     F.col("id_b").alias("dst_id"),
-                    (F.col("inter_sz") / F.col("sz_a")).alias("__c"),
+                    F.col("inter_sz"),
                 ),
                 F.struct(
                     F.col("id_b").alias("src_id"),
                     F.col("id_a").alias("dst_id"),
-                    (F.col("inter_sz") / F.col("sz_b")).alias("__c"),
+                    F.col("inter_sz"),
                 ),
             )
         ).alias("__d")
-    ).select("__d.src_id", "__d.dst_id", "__d.__c")
+    ).select("__d.src_id", "__d.dst_id", "__d.inter_sz")
+    scored = directed.join(
+        sizes.select(F.col(id_col).alias("src_id"), "sz"), "src_id"
+    ).select(
+        "src_id", "dst_id", (F.col("inter_sz") / F.col("sz")).alias("__c")
+    )
     return hold(
-        directed.filter(F.col("__c") >= containment_threshold)
+        scored.filter(F.col("__c") >= containment_threshold)
         .select("src_id", "dst_id", F.round("__c", 4).alias("containment")),
         g,
     )

@@ -311,42 +311,63 @@ def adamic_adar_pairs(
     rare shared items weigh more than popular ones.
 
     Scale posture is the inverted-index one (same as n-gram Jaccard):
-    candidate pairs are generated PER ITEM, so the self-join is quadratic
-    in per-item degree, and ``maxdf`` drops hot items BEFORE the join —
+    candidate pairs are generated PER ITEM, quadratic in per-item
+    degree, and ``maxdf`` drops hot items BEFORE any pair is emitted —
     bounding fan-out at ``maxdf``² per item and making the score a
     rare-item score by construction (the analysis restriction every
     at-scale common-neighbors system applies; the caller's oracle must
     restate the same cap). Degree-1 items can't form pairs and are
-    dropped with the same filter. One membership-distinct shuffle, one
-    item-keyed self-join, one pair-keyed aggregate.
+    dropped with the same filter.
+
+    Pair generation is the a-priori array-combinations device (the
+    `session_event_type_lift` trick), not an item-keyed self-join: the
+    degree-capped membership groups to one sorted user SET per item
+    (bounded at ``maxdf`` elements by the cap applied upstream, so the
+    aggregation buffer is bounded at any scale), and every (a < b)
+    combination explodes out of the array with the item's 1/ln(deg)
+    weight attached — round-13 exchange sweep: the self-join's second
+    exchange, its join, and the two-consumer persist all disappear
+    (the set aggregate reuses the cap join's item partitioning), 16 → 7
+    exchanges on the `customer_adamic_adar` plan, hash-identical.
+    ``storage`` is kept for signature compatibility; the single-pass
+    shape has no shared subtree left to persist.
     """
+    del storage  # single-consumer plan: nothing left worth persisting
     m = membership.select(
         F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
-    ).distinct()
+    )
+    # no standalone (u, i)-distinct exchange: collect_set dedups inside
+    # the item group and count_distinct computes the post-dedup degree
     deg = (
         m.groupBy("__i")
-        .agg(F.count(F.lit(1)).alias("__d"))
+        .agg(F.count_distinct("__u").alias("__d"))
         .filter((F.col("__d") >= 2) & (F.col("__d") <= maxdf))
     )
-    # the capped membership relation feeds BOTH sides of the self-join;
-    # persist it so the scan → distinct → degree-join subtree runs once
-    # (same knob semantics as ngram_jaccard_pairs's sets_storage)
-    md = m.join(deg, "__i")
-    if storage is not None:
-        md = md.persist(storage)
-    a = md.select(F.col("__u").alias("id_a"), "__i", "__d")
-    b = md.select(F.col("__u").alias("id_b"), F.col("__i").alias("__i2"))
-    from flight_radar_pipeline_spark.operators.lifecycle import hold
-
-    return hold(
-        a.join(b, (F.col("__i") == F.col("__i2")) & (F.col("id_a") < F.col("id_b")))
-        .groupBy("id_a", "id_b")
+    sets = (
+        m.join(deg, "__i")
+        .groupBy("__i")
+        .agg(
+            F.max("__d").alias("__d"),  # constant per item — deterministic
+            F.array_sort(F.collect_set("__u")).alias("__us"),
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__us"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__us"), i + 2, F.size(F.col("__us"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("__p"), "__d")
+        .groupBy("__p.id_a", "__p.id_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("__d"))), 4).alias("adamic_adar"),
         )
-        .filter(F.col("n_common") >= min_common),
-        md,
+        .filter(F.col("n_common") >= min_common)
     )
 
 

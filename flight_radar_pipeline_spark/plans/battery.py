@@ -43,6 +43,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent overwrite once served a grid subplan under a public
+            # name (round-12 ADVICE); duplicates are always a bug here
+            raise ValueError(f"duplicate battery registration: {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
         return fn
 

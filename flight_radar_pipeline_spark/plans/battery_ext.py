@@ -1789,7 +1789,6 @@ _LIFT_ORACLE = """
 """
 
 
-@register("session_event_type_lift", _LIFT_ORACLE)
 def _lift_basket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one fact-side subplan of `session_event_type_lift`: one
     shuffle to per-(user, day) sorted type-set baskets, one explode

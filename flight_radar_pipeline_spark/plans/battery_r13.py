@@ -1,0 +1,368 @@
+"""Round-13 battery additions — two corpus/model-eval families the
+registry genuinely lacks (pre-registration sweep per the standing
+dedup-honesty rule: `grep @register` names + family keywords):
+
+- Per-document duplicated-text COVERAGE: how much of EACH document is
+  text that also appears (as an exact 8-token span) in at least one
+  OTHER document — the doc-grain decision input of suffix-array-style
+  exact-substring dedup (Lee et al.'s "Deduplicating Training Data",
+  the pass that decides strip-the-span vs drop-the-doc).
+  `doc_boilerplate_spans` owns the SPAN-grain view (which spans are
+  boilerplate); nothing owns the doc-grain coverage, and the device is
+  different: positional span occurrences + per-doc INTERVAL UNION via
+  a cumulative-max window (the sweep-line union, not a count).
+- NB margin calibration: the reliability table of the round-12
+  in-engine Naive Bayes model — exact-integer top1−top2 margin, binned,
+  with per-bin accuracy. This is the router's operating table (below
+  which margin do you stop trusting the cheap classifier), i.e. the
+  EVALUATION face of the trainer family. `event_score_isotonic_fit`
+  owns score→probability calibration by PAVA on a given score column;
+  this entry SCORES a model the engine itself trained and stays in
+  exact integer micro-nats end to end (no float monotone fit at all).
+
+Candidates DROPPED by the sweep before registration: count-min-sketch
+heavy hitters (`event_cms_estimates` owns the CMS device and
+`doc_heavy_hitters` the exact Misra–Gries pass), NB AUC (the
+Mann–Whitney U entry owns the rank-sum device; one-vs-rest AUC is U
+rescaled), federated/sharded OLS merge (`event_value_stats_merged`
+owns the mergeable-sufficient-statistics family — X'X/X'y partials are
+the same device with more sums), and a dedup threshold-sensitivity
+curve (`embedding_cosine_histogram` + the recall-eval entries already
+state the score distribution and its consequences).
+
+Registered into the shared REGISTRY on import.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
+from flight_radar_pipeline_spark.plans.battery_r12 import (
+    _nb_class_grid,
+    _nb_dense_from_counts,
+    _nb_priors,
+    _nb_token_counts,
+    _nb_weights_pivoted,
+    _tok,
+)
+from flight_radar_pipeline_spark.sources.readers import load_table
+
+# --------------------------------------------------------------------------
+# per-document duplicated-text coverage (exact 8-token spans, interval union)
+# --------------------------------------------------------------------------
+
+_DUP_K = 8  # span width in tokens — the boilerplate entry's grain
+
+_COVERAGE_ORACLE = rf"""
+    with t as (
+        select doc_id, regexp_split_to_array(trim(text), '\s+') as ts
+        from documents
+    ), occ as (
+        select doc_id, i as start_pos, i + {_DUP_K} as end_pos,
+               array_to_string(ts[i:i + {_DUP_K} - 1], ' ') as span
+        from t, unnest(range(1, len(ts) - {_DUP_K} + 2)) as u(i)
+        where len(ts) >= {_DUP_K}
+    ), dup as (
+        select span from occ
+        group by span having min(doc_id) <> max(doc_id)
+    ), iv as (
+        select o.doc_id, o.start_pos, o.end_pos
+        from occ o join dup using (span)
+    ), mrg as (
+        select doc_id, start_pos, end_pos,
+               max(end_pos) over (
+                   partition by doc_id order by start_pos
+                   rows between unbounded preceding and 1 preceding
+               ) as pe
+        from iv
+    ), cov as (
+        select doc_id,
+               sum(greatest(0, end_pos
+                               - greatest(start_pos,
+                                          coalesce(pe, start_pos))))::bigint
+                   as dup_tokens
+        from mrg group by doc_id
+    )
+    select t.doc_id, len(t.ts)::bigint as n_tokens,
+           coalesce(c.dup_tokens, 0)::bigint as dup_tokens,
+           round(coalesce(c.dup_tokens, 0) / len(t.ts), 4) as coverage
+    from t left join cov c using (doc_id)
+    order by t.doc_id
+"""
+
+
+@register("doc_duplicated_coverage", _COVERAGE_ORACLE)
+def doc_duplicated_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text coverage → (doc_id, n_tokens,
+    dup_tokens, coverage): every exact {k}-token span that occurs in ≥2
+    DISTINCT documents marks its positions duplicated, overlapping
+    marks merge (interval union), and coverage = duplicated tokens /
+    total tokens. This is the doc-grain decision input of
+    exact-substring dedup: coverage ≈ 1 → drop the document, moderate →
+    strip the spans, ≈ 0 → keep (the pass suffix-array dedup pipelines
+    run after span mining; the span-grain counts themselves live in
+    `doc_boilerplate_spans`).
+
+    Device: positional span stream (one span per token — corpus-linear
+    fan-out) → ONE span-keyed aggregate where `min(doc_id) <>
+    max(doc_id)` detects cross-document duplication WITHOUT a
+    count-distinct expansion → positions join back on span → per-doc
+    interval union as a cumulative-max window (contribution =
+    `end − max(start, running max of prior ends)`, the sweep-line union
+    — no pairwise overlap join exists). Intra-document repeats alone do
+    NOT count (the contract is "appears elsewhere in the corpus").
+
+    Scale: the span aggregate combines map-side (one row per distinct
+    span on the shuffle); the positional relation feeds the aggregate
+    and the join, so it persists (MEMORY_AND_DISK — at 100 TB prefer
+    recomputing the explode over caching a corpus-sized relation: drop
+    the persist and both consumers re-derive from the scan). The window
+    partitions by doc_id — per-doc row counts are bounded by token
+    counts, no global window. Span keys stay plain text so the oracle
+    is exactly relational; at 100 TB the group key would be
+    `xxhash64(span)` (8-byte shuffle keys, identical semantics) — the
+    `doc_boilerplate_spans` note applies verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ts")
+    )
+    occ = (
+        toks.filter(F.size("ts") >= _DUP_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - _DUP_K + 1)
+            ).alias("start_pos"),
+            "ts",
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            (F.col("start_pos") + _DUP_K).alias("end_pos"),
+            F.array_join(F.slice("ts", F.col("start_pos"), _DUP_K), " ").alias(
+                "span"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        occ.groupBy("span")
+        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("span")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        occ.join(dup, "span")
+        .withColumn("pe", F.max("end_pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("end_pos")
+                    - F.greatest(
+                        F.col("start_pos"),
+                        F.coalesce(F.col("pe"), F.col("start_pos")),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("dup_tokens")
+        )
+    )
+    out = (
+        toks.select("doc_id", F.size("ts").cast("bigint").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+    from flight_radar_pipeline_spark.operators.lifecycle import hold
+
+    return hold(out, occ)
+
+
+doc_duplicated_coverage.__doc__ = doc_duplicated_coverage.__doc__.format(
+    k=_DUP_K
+)
+
+
+# --------------------------------------------------------------------------
+# NB margin calibration (reliability table of the in-engine trainer)
+# --------------------------------------------------------------------------
+
+_MARGIN_BIN_W = 200_000  # micro-nats per bin (0.2 nats)
+_MARGIN_NBINS = 10
+
+_CALIB_ORACLE = f"""
+    with tok as (
+        select doc_id,
+               ('0x' || substr(md5(unnest(
+                   regexp_split_to_array(trim(text), '\\s+'))), 1, 6))::bigint
+                 % 64 as bucket
+        from documents
+    ), pri as (
+        select lang,
+               round(ln(count(*) / (select count(*)::double from documents))
+                     * 1e6)::bigint as prior
+        from documents group by lang
+    ), cnt as (
+        select d.lang, t.bucket, count(*) as c
+        from tok t join documents d using (doc_id)
+        group by 1, 2
+    ), tots as (
+        select lang, sum(c) as tot from cnt group by lang
+    ), w as (
+        select l.lang, b.bucket,
+               round(ln((coalesce(c.c, 0) + 1) / (t.tot + 64.0))
+                     * 1e6)::bigint as wint
+        from (select distinct lang from documents) l
+        cross join (select unnest(range(0, 64)) as bucket) b
+        join tots t on t.lang = l.lang
+        left join cnt c on c.lang = l.lang and c.bucket = b.bucket
+    ), sums as (
+        select t.doc_id, w.lang, sum(w.wint)::bigint as s
+        from tok t join w using (bucket)
+        group by 1, 2
+    ), ranked as (
+        select s.doc_id, s.lang, p.prior + s.s as score,
+               row_number() over (
+                   partition by s.doc_id
+                   order by p.prior + s.s desc, s.lang
+               ) as rn
+        from sums s join pri p using (lang)
+    ), margins as (
+        select r1.doc_id, r1.lang as pred_lang,
+               r1.score - r2.score as margin
+        from ranked r1 join ranked r2
+          on r1.doc_id = r2.doc_id and r1.rn = 1 and r2.rn = 2
+    )
+    select least(m.margin // {_MARGIN_BIN_W}, {_MARGIN_NBINS - 1})
+               as margin_bin,
+           count(*)::bigint as n_docs,
+           sum(case when m.pred_lang = d.lang then 1 else 0 end)::bigint
+               as n_correct,
+           round(sum(case when m.pred_lang = d.lang then 1 else 0 end)
+                 / count(*), 4) as accuracy
+    from margins m join documents d using (doc_id)
+    group by 1 order by 1
+"""
+
+
+@register_grid_plans("doc_nb_margin_calibration")
+def _calib_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # same bounded build-time collect as the classifier: langs + priors
+    docs = load_table(spark, sf_dir, "documents")
+    return {
+        "class_grid": _nb_class_grid(spark, sf_dir),
+        "weights": _nb_dense_from_counts(_nb_token_counts(docs)),
+    }
+
+
+@register("doc_nb_margin_calibration", _CALIB_ORACLE)
+def doc_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the in-engine NB language classifier →
+    (margin_bin, n_docs, n_correct, accuracy): per document, the
+    top1 − top2 score margin in EXACT integer micro-nats, binned at
+    0.2-nat width (top bin open-ended), with per-bin accuracy against
+    the true label. This is the router's operating curve — pick the
+    margin below which documents escalate past the cheap model — and
+    the evaluation face of the trainer family: a well-calibrated model
+    shows accuracy rising monotonically with margin.
+
+    Parity discipline: scores, margins, and bins are integers end to
+    end (the round-12 micro-nat contract), so no float summation or
+    exp/log evaluation order exists to disagree with the oracle; the
+    argmax and the runner-up tiebreak are (score desc, lang asc) in
+    both, expressed here as an ascending sort of (−score, lang index)
+    structs. Scale: training is the same one map-side-combinable
+    aggregate as `doc_nb_lang_classifier` (shared helpers); scoring is
+    one token-explode scan against the BROADCAST pivoted weights; the
+    margin sort is a |langs|-element array sort per document (row-local,
+    no window); the output is ≤{nb} rows. Only driver action: the
+    bounded |langs|-row prior collect (subplans in GRID_PLANS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grid = sorted(
+        (r["lang"], int(r["n_docs"]))
+        for r in _nb_class_grid(spark, sf_dir).collect()
+    )
+    langs, priors = _nb_priors(grid)
+    weights = _nb_weights_pivoted(
+        _nb_dense_from_counts(_nb_token_counts(docs)), langs
+    )
+    sums = (
+        _tok(docs)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"))
+        .agg(*[F.sum(f"w_{i}").alias(f"s_{i}") for i in range(len(langs))])
+    )
+    # ascending sort of (−score, index) structs ≡ (score desc, lang asc):
+    # element 1 is the argmax, element 2 the runner-up — both exact ints
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (-(F.lit(priors[lang]).cast("long") + F.col(f"s_{i}"))).alias(
+                        "ns"
+                    ),
+                    F.lit(i).alias("idx"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    scored = sums.select(
+        "true_lang",
+        F.element_at(
+            lang_arr, (F.element_at(ranked, 1)["idx"] + 1).cast("int")
+        ).alias("pred_lang"),
+        (
+            F.element_at(ranked, 2)["ns"] - F.element_at(ranked, 1)["ns"]
+        ).alias("margin"),
+    )
+    return (
+        scored.select(
+            F.least(
+                F.floor(F.col("margin") / _MARGIN_BIN_W),
+                F.lit(_MARGIN_NBINS - 1),
+            )
+            .cast("bigint")
+            .alias("margin_bin"),
+            (F.col("pred_lang") == F.col("true_lang")).cast("int").alias(
+                "__ok"
+            ),
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__ok").cast("bigint").alias("n_correct"),
+            F.round(F.sum("__ok") / F.count(F.lit(1)), 4).alias("accuracy"),
+        )
+        .orderBy("margin_bin")
+    )
+
+
+doc_nb_margin_calibration.__doc__ = doc_nb_margin_calibration.__doc__.format(
+    nb=_MARGIN_NBINS
+)

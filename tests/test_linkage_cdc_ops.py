@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.operators.dedup import ngram_containment_pairs
@@ -72,10 +73,18 @@ def test_containment_is_asymmetric(spark):
     got = {
         (r.src_id, r.dst_id): r.containment
         for r in ngram_containment_pairs(
-            docs, containment_threshold=0.8, maxdf=None
+            docs, containment_threshold=0.8, maxdf=100
         ).collect()
     }
     assert got == {(2, 1): 1.0}
+
+
+def test_containment_refuses_unbounded_maxdf(spark):
+    # maxdf=None would make the per-gram candidate set (and its
+    # aggregation buffer) unbounded — the operator must refuse, not OOM
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="maxdf"):
+        ngram_containment_pairs(docs, maxdf=None)
 
 
 def test_containment_maxdf_caps_universe_on_both_sides(spark):
@@ -84,11 +93,11 @@ def test_containment_maxdf_caps_universe_on_both_sides(spark):
         [(1, "x y z w"), (2, "x y z w")], "doc_id long, text string"
     )
     assert ngram_containment_pairs(docs, containment_threshold=0.1, maxdf=1).count() == 0
-    # uncapped: identical docs contain each other both ways at 1.0
+    # cap above every df: identical docs contain each other both ways at 1.0
     got = {
         (r.src_id, r.dst_id): r.containment
         for r in ngram_containment_pairs(
-            docs, containment_threshold=0.9, maxdf=None
+            docs, containment_threshold=0.9, maxdf=100
         ).collect()
     }
     assert got == {(1, 2): 1.0, (2, 1): 1.0}

@@ -83,3 +83,37 @@ def test_entropy_profile_distribution(spark):
         lo = r.bin * w
         hi = math.log(5) if r.bin == 9 else (r.bin + 1) * w
         assert lo - 1e-6 <= r.avg_entropy <= hi + 1e-6
+
+
+def test_encode_caller_supplied_vocab_path(spark):
+    """`encode_token_counts(vocab=...)` must (a) return the same counts
+    as the self-derived path and (b) persist nothing itself, so library
+    callers own the cache lifecycle deterministically (round-12 ADVICE)."""
+    from flight_radar_pipeline_spark.operators.bpe import (
+        encode_token_counts,
+        word_vocabulary,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = {
+        (r.doc_id, r.n_words, r.n_subwords)
+        for r in encode_token_counts(docs, n_merges=3).collect()
+    }
+    spark.catalog.clearCache()
+    vocab = word_vocabulary(docs).persist()
+    vocab.count()  # materialize the caller's cache BEFORE the snapshot
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()  # caller's persist (+ any
+    # unrelated module-fixture caches a shared session carries)
+    try:
+        got = {
+            (r.doc_id, r.n_words, r.n_subwords)
+            for r in encode_token_counts(docs, n_merges=3, vocab=vocab).collect()
+        }
+        assert got == base
+        # the function added no persist of its own: the live set did not
+        # grow past the caller's
+        after = jsc.getPersistentRDDs().size()
+        assert after <= before, f"function leaked a persist: {before}->{after}"
+    finally:
+        vocab.unpersist()

@@ -4,13 +4,13 @@ entry inside the window carries an oracle and that the rotation contract
 holds: no oracled entry stays driver-unchecked for more than one round
 after registration.
 
-Round-12 window policy (the round-11 verdict directive 1, verbatim): the
-2-entry round-11 POST_FREEZE slate rotated in wholesale, plus
-``pricing_summary`` as the proven spine, plus 47 re-checks of the stalest
-green rows by (last green driver round across CORRECTNESS_r01–r11,
-registry order) — the remaining r6 cohort plus the 8 oldest r7 rows.
-1 + 2 + 47 = 50 exactly. A green round-12 driver check takes cumulative
-driver coverage to ALL 287 oracled entries — true full saturation.
+Round-13 window policy (the round-12 verdict directive 1, verbatim): the
+3-entry round-12 POST_FREEZE slate rotated in wholesale, plus
+``pricing_summary`` as the proven spine, plus 46 re-checks of the stalest
+green rows by (last green driver round across CORRECTNESS_r01–r12,
+registry order) — the remaining r7 cohort (41 rows) plus the 5 oldest r8
+rows. 1 + 3 + 46 = 50 exactly. A green round-13 driver check re-saturates
+cumulative driver coverage at ALL 290 oracled entries.
 """
 
 from __future__ import annotations
@@ -35,27 +35,32 @@ ONLY_COVERAGE = [
     "multimodal_features",
 ]
 
-# the 2-entry round-11 POST_FREEZE slate (rotated into the round-12 window)
-R11_SLATE = [
-    "event_type_bradley_terry",
-    "event_type_policy_replay",
+# the 3-entry round-12 POST_FREEZE slate (rotated into the round-13 window)
+R12_SLATE = [
+    "doc_nb_lang_classifier",
+    "doc_nb_stream_train",
+    "corpus_heaps_fit",
 ]
 
+# slots after the spine occupied by the slate; re-checks start after it
+_RECHECK_START = 1 + len(R12_SLATE)
+
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
-_PRIOR_ROUNDS = "CORRECTNESS_r*.json"  # r01–r11 exist at round-12 build time
+_PRIOR_ROUNDS = "CORRECTNESS_r*.json"  # r01–r12 exist at round-13 build time
+_PRIOR_MAX = 12
 
 
 def _prior_files():
     out = []
     for p in sorted(_ROOT.glob(_PRIOR_ROUNDS)):
         rnd = int(re.search(r"_r(\d+)", p.stem).group(1))
-        if rnd <= 11:
+        if rnd <= _PRIOR_MAX:
             out.append((rnd, p))
     return out
 
 
 def _driver_checked() -> set[str]:
-    """Names holding a fully-green driver row in rounds 1-11."""
+    """Names holding a fully-green driver row in rounds 1-12."""
     checked: set[str] = set()
     for _rnd, p in _prior_files():
         d = json.loads(p.read_text())
@@ -68,7 +73,7 @@ def _driver_checked() -> set[str]:
 
 
 def _last_green() -> dict[str, int]:
-    """Per-entry newest round holding a fully-green driver row (r1-r11)."""
+    """Per-entry newest round holding a fully-green driver row (r1-r12)."""
     last: dict[str, int] = {}
     for rnd, p in _prior_files():
         d = json.loads(p.read_text())
@@ -99,12 +104,14 @@ def test_only_coverage_operators_not_past_the_frontier():
     """Each only-coverage operator must hold a seat in the current window
     or be strictly fresher than the staleness frontier (the newest
     last-green round among the re-checks the deterministic rule chose).
-    They are r9-green; the round-12 frontier is r7, so the rotation will
+    They are r9-green; the round-13 frontier is r8, so the rotation will
     seat them automatically when their cohort reaches the frontier."""
     last = _last_green()
     window = set(entrymod._WINDOW)
-    rechecks = [n for n in entrymod._WINDOW[3:]]
-    frontier = max(last[n] for n in rechecks)
+    rechecks = entrymod._WINDOW[_RECHECK_START:]
+    unknown = [n for n in rechecks if n not in last]
+    assert not unknown, f"re-check seats with no prior green driver row: {unknown}"
+    frontier = max(last.get(n, 0) for n in rechecks)
     stale = [
         n
         for n in ONLY_COVERAGE
@@ -113,44 +120,43 @@ def test_only_coverage_operators_not_past_the_frontier():
     assert not stale, f"only-coverage operators past the frontier: {stale}"
 
 
-# entries registered AFTER the round-12 window froze (they become rotation
-# candidates for round 13; append here when adding queries mid-round)
+# entries registered AFTER the round-13 window froze (they become rotation
+# candidates for round 14; append here when adding queries mid-round)
 POST_FREEZE: set[str] = {
-    "doc_nb_lang_classifier",  # battery_r12: in-engine Naive Bayes trainer
-    "corpus_heaps_fit",        # battery_r12: Heaps'-law growth fit
-    "doc_nb_stream_train",     # battery_r12: NB trainer's stream twin
+    "doc_duplicated_coverage",    # battery_r13: exact-span doc coverage
+    "doc_nb_margin_calibration",  # battery_r13: NB reliability table
 }
 
 
-def test_round12_window_composition():
-    """The round-12 window is exactly: spine + 2-entry r11 slate + 47
-    stalest-green re-checks (r11 verdict directive 1)."""
+def test_round13_window_composition():
+    """The round-13 window is exactly: spine + 3-entry r12 slate + 46
+    stalest-green re-checks (r12 verdict directive 1)."""
     window = entrymod._WINDOW
     assert window[0] == "pricing_summary"
-    assert window[1:3] == R11_SLATE
-    # the slate had never held a driver row before round 12
+    assert window[1:_RECHECK_START] == R12_SLATE
+    # the slate had never held a driver row before round 13
     checked_prior = _driver_checked()
-    assert not (set(R11_SLATE) & checked_prior)
+    assert not (set(R12_SLATE) & checked_prior)
     # every re-check slot holds a green row already (it IS a re-check)
-    rechecks = window[3:]
-    assert len(rechecks) == 47
+    rechecks = window[_RECHECK_START:]
+    assert len(rechecks) == entrymod.CHECKED_WINDOW - _RECHECK_START
     missing = [n for n in rechecks if n not in checked_prior]
     assert not missing, f"re-check entries without prior green rows: {missing}"
-    # staleness rule: rechecks are the pool's 47 oldest by
+    # staleness rule: rechecks are the pool's oldest by
     # (last-green round, registry order) — deterministic, no cherry-picking
     last = _last_green()
     names = list(entrymod._registry())
     order = {n: i for i, n in enumerate(names)}
     oracles = entrymod.oracle_sql()
-    excluded = set(R11_SLATE) | {"pricing_summary"}
+    excluded = set(R12_SLATE) | {"pricing_summary"}
     pool = [n for n in names if n in oracles and n in last and n not in excluded]
     pool.sort(key=lambda n: (last[n], order[n]))
-    assert rechecks == pool[:47]
+    assert rechecks == pool[: len(rechecks)]
 
 
-def test_round12_window_covers_all_never_checked_oracled_entries():
-    """Every oracled entry with no driver row in r01-r11 must be in the
-    round-12 window (or the explicit POST_FREEZE slate for round 13) —
+def test_round13_window_covers_all_never_checked_oracled_entries():
+    """Every oracled entry with no driver row in r01-r12 must be in the
+    round-13 window (or the explicit POST_FREEZE slate for round 14) —
     the standing rotation contract: no oracled entry stays
     driver-unchecked for more than one round after registration."""
     # backlog membership counts ANY recorded row (not just hash-green),

@@ -1,0 +1,193 @@
+"""Third-implementation checks, batch 50 — the round-13 POST_FREEZE
+entries: per-document duplicated-text coverage (positional span
+inverted index → cross-doc duplicate detection → per-doc interval
+union) and the NB margin-calibration reliability table (exact-integer
+top1−top2 margins → 0.2-nat bins → per-bin accuracy), both walked as
+plain Python folds beside their Spark plans and unrolled SQL oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = entry.queries()
+
+
+def _r4(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _iround_away(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _run(name, spark):
+    return QUERIES[name](spark, SF_DIR).collect()
+
+
+@pytest.fixture(scope="module")
+def docs():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"select doc_id, lang, text from '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    return {int(i): (lang, t) for i, lang, t in rows}
+
+
+# --------------------------------------------------------------------------
+# doc_duplicated_coverage — interval-union sweep walk
+# --------------------------------------------------------------------------
+
+_DUP_K = 8
+
+
+def test_duplicated_coverage_vs_interval_union_walk(spark, docs):
+    # positional span index: span -> set of docs; doc -> [start positions]
+    span_docs: dict = defaultdict(set)
+    occ: dict = defaultdict(list)
+    toks = {i: re.split(r"\s+", t.strip()) for i, (_lg, t) in docs.items()}
+    for i, ts in toks.items():
+        for p in range(len(ts) - _DUP_K + 1):
+            span = " ".join(ts[p : p + _DUP_K])
+            span_docs[span].add(i)
+            occ[i].append((p, span))
+
+    expected = []
+    for i in sorted(docs):
+        ts = toks[i]
+        ivs = sorted(
+            (p, p + _DUP_K)
+            for p, span in occ.get(i, [])
+            if len(span_docs[span]) >= 2
+        )
+        # sweep-line union: each interval contributes past the running
+        # max end (the window device the Spark plan and oracle share)
+        covered, max_end = 0, -1
+        for s, e in ivs:
+            covered += max(0, e - max(s, max_end))
+            max_end = max(max_end, e)
+        expected.append((i, len(ts), covered, _r4(covered / len(ts))))
+
+    got = [
+        (r.doc_id, r.n_tokens, r.dup_tokens, r.coverage)
+        for r in _run("doc_duplicated_coverage", spark)
+    ]
+    assert got == expected
+    # the union never exceeds the doc and only docs with a cross-doc
+    # span have any coverage
+    assert all(d <= n for _i, n, d, _c in expected)
+    assert any(d > 0 for _i, _n, d, _c in expected)
+
+
+def test_duplicated_coverage_hand_case(spark):
+    # 3 docs: A and B share one 8-token run (overlapping occurrences in
+    # A must merge); C is unique → coverage 0. Intra-doc repeats alone
+    # must NOT count.
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    a = shared + " w9 " + shared  # two occurrences + overlap-free gap
+    b = "x0 " + shared + " x1 x2"
+    c = "u1 u2 u3 u4 u5 u6 u7 u8 u1 u2 u3 u4 u5 u6 u7 u8"  # intra-only… shared with nobody
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    from flight_radar_pipeline_spark.plans.battery_r13 import (
+        doc_duplicated_coverage,
+    )
+    import flight_radar_pipeline_spark.plans.battery_r13 as r13
+    from unittest import mock
+
+    with mock.patch.object(
+        r13, "load_table", lambda _s, _d, _t: df
+    ):
+        rows = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.coverage)
+            for r in doc_duplicated_coverage(spark, "unused").collect()
+        }
+    # doc 1: 17 tokens, both 8-token runs duplicated cross-doc → 16
+    assert rows[1] == (17, 16, _r4(16 / 17))
+    # doc 2: the embedded run only
+    assert rows[2] == (11, 8, _r4(8 / 11))
+    # doc 3: intra-doc repeat, no cross-doc duplicate → 0. NOTE: its
+    # repeated half IS a cross-position duplicate inside one doc; the
+    # contract counts cross-DOC duplication only.
+    assert rows[3] == (16, 0, 0.0)
+
+
+# --------------------------------------------------------------------------
+# doc_nb_margin_calibration — integer margin + binned accuracy fold
+# --------------------------------------------------------------------------
+
+_NB_BUCKETS = 64
+_BIN_W, _NBINS = 200_000, 10
+
+
+def test_margin_calibration_vs_integer_margin_fold(spark, docs):
+    def buckets(text):
+        return [
+            int(_md5(term)[:6], 16) % _NB_BUCKETS
+            for term in re.split(r"\s+", text.strip())
+        ]
+
+    n_docs_l: dict = defaultdict(int)
+    cnt: dict = defaultdict(int)
+    tot: dict = defaultdict(int)
+    for _i, (lang, t) in docs.items():
+        n_docs_l[lang] += 1
+        for b in buckets(t):
+            cnt[(lang, b)] += 1
+            tot[lang] += 1
+    langs = sorted(n_docs_l)
+    n_tot = sum(n_docs_l.values())
+    prior = {
+        lg: _iround_away(math.log(n_docs_l[lg] / n_tot) * 1e6) for lg in langs
+    }
+    wint = {
+        (lg, b): _iround_away(
+            math.log((cnt[(lg, b)] + 1) / (tot[lg] + float(_NB_BUCKETS)))
+            * 1e6
+        )
+        for lg in langs
+        for b in range(_NB_BUCKETS)
+    }
+
+    by_bin: dict = defaultdict(lambda: [0, 0])  # bin -> [n, correct]
+    for _i, (true_lang, t) in docs.items():
+        bs = buckets(t)
+        scores = sorted(
+            ((prior[lg] + sum(wint[(lg, b)] for b in bs), lg) for lg in langs),
+            key=lambda sl: (-sl[0], sl[1]),
+        )
+        (s1, pred), (s2, _l2) = scores[0], scores[1]
+        bin_ = min((s1 - s2) // _BIN_W, _NBINS - 1)
+        by_bin[bin_][0] += 1
+        by_bin[bin_][1] += int(pred == true_lang)
+    expected = [
+        (b, n, c, _r4(c / n)) for b, (n, c) in sorted(by_bin.items())
+    ]
+
+    got = [
+        (r.margin_bin, r.n_docs, r.n_correct, r.accuracy)
+        for r in _run("doc_nb_margin_calibration", spark)
+    ]
+    assert got == expected
+    # margins are non-negative by construction and the bins partition
+    # the corpus exactly
+    assert all(b >= 0 for b, _n, _c, _a in expected)
+    assert sum(n for _b, n, _c, _a in expected) == len(docs)

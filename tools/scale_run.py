@@ -243,6 +243,19 @@ EXTRA_FAMILIES_R12 = [
     "doc_nb_stream_train",
 ]
 
+# round-13 refresh (--extras-r13, appended as r13_*): every entry whose
+# plan changed after its newest SCALE_RUN row — the two array-combinations
+# exchange compressions (self-join → bounded per-item set explode) and
+# the NB stream twin's move to the delta fold.
+EXTRA_FAMILIES_R13 = [
+    "customer_adamic_adar",
+    "doc_containment_pairs",
+    "doc_nb_stream_train",
+    # the round-13 POST_FREEZE additions (measured on registration)
+    "doc_duplicated_coverage",
+    "doc_nb_margin_calibration",
+]
+
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
 EXTRA_FAMILIES_R10 = [
     # the two new round-10 families
@@ -319,7 +332,7 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] in (
         "--extras", "--extras-r7", "--extras-r8", "--extras-r9",
-        "--extras-r10", "--extras-r12",
+        "--extras-r10", "--extras-r12", "--extras-r13",
     ):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
@@ -339,6 +352,9 @@ def main() -> int:
         if sys.argv[1] == "--extras-r12":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R12, prefix="r12_")
+        if sys.argv[1] == "--extras-r13":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R13, prefix="r13_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
