@@ -74,6 +74,9 @@ def register_grid_plans(name: str):
     pre-collect / pre-checkpoint subplans of a driver-grid entry."""
 
     def deco(fn: Callable[[SparkSession, str], dict[str, DataFrame]]):
+        if name in GRID_PLANS:
+            # same silent-overwrite hazard register() guards against
+            raise ValueError(f"duplicate grid-plan registration: {name!r}")
         GRID_PLANS[name] = fn
         return fn
 

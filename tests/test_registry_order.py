@@ -178,3 +178,26 @@ def test_tail_entries_are_outside_window():
     tail = entrymod._tail_names()
     assert names[entrymod.CHECKED_WINDOW:] == tail
     assert set(tail) & set(entrymod._WINDOW) == set()
+
+
+def test_duplicate_registration_raises():
+    """register() and register_grid_plans() refuse duplicate names — a
+    silent overwrite once served a grid subplan under a public entry
+    name (round-12 ADVICE)."""
+    import pytest
+
+    from flight_radar_pipeline_spark.plans.battery import (
+        REGISTRY,
+        register,
+        register_grid_plans,
+    )
+
+    taken = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate battery registration"):
+        register(taken, None)(lambda spark, sf_dir: None)
+
+    from flight_radar_pipeline_spark.plans.battery import GRID_PLANS
+
+    taken_grid = next(iter(GRID_PLANS))
+    with pytest.raises(ValueError, match="duplicate grid-plan registration"):
+        register_grid_plans(taken_grid)(lambda spark, sf_dir: {})
