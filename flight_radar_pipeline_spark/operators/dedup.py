@@ -777,3 +777,102 @@ def ngram_containment_pairs(
         .select("src_id", "dst_id", F.round("__c", 4).alias("containment")),
         g,
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    spans_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+) -> DataFrame:
+    """Per-document duplicated-text coverage → ``(id, n_tokens,
+    dup_tokens, coverage)``: every exact ``k``-token span occurring in
+    ≥2 DISTINCT documents marks its token positions duplicated,
+    overlapping marks merge (interval union), and ``coverage =
+    dup_tokens / n_tokens``. The doc-grain decision input of
+    exact-substring dedup (drop vs strip vs keep) — the span-grain
+    counts live in the boilerplate-mining entry; intra-document repeats
+    alone do NOT count (the contract is "appears elsewhere in the
+    corpus").
+
+    Device: positional span stream (one span per token, corpus-linear)
+    → ONE span-keyed aggregate where ``min(id) <> max(id)`` detects
+    cross-document duplication without a count-distinct expansion →
+    positions join back on span → per-doc interval union as a
+    cumulative-max window (contribution = ``end − max(start, running
+    max of prior ends)`` — the sweep-line union; no pairwise overlap
+    join exists). The positional relation feeds the aggregate and the
+    join, so it persists under ``spans_storage`` (pass None at corpus
+    scales where recomputing the explode beats caching a corpus-sized
+    relation). Span keys stay plain text so SQL oracles are exactly
+    relational; at 100 TB the group key would be ``xxhash64(span)``
+    (8-byte shuffle keys, identical semantics).
+    """
+    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts"))
+    occ = (
+        toks.filter(F.size("__ts") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - k + 1)).alias(
+                "__start"
+            ),
+            "__ts",
+        )
+        .select(
+            id_col,
+            "__start",
+            (F.col("__start") + k).alias("__end"),
+            F.array_join(F.slice("__ts", F.col("__start"), k), " ").alias(
+                "__span"
+            ),
+        )
+    )
+    if spans_storage is not None:
+        occ = occ.persist(spans_storage)
+    dup = (
+        occ.groupBy("__span")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("__span")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        occ.join(dup, "__span")
+        .withColumn("__pe", F.max("__end").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.col("__end")
+                    - F.greatest(
+                        F.col("__start"),
+                        F.coalesce(F.col("__pe"), F.col("__start")),
+                    ),
+                )
+            )
+            .cast("bigint")
+            .alias("dup_tokens")
+        )
+    )
+    out = (
+        toks.select(id_col, F.size("__ts").cast("bigint").alias("n_tokens"))
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
+                4,
+            ).alias("coverage"),
+        )
+    )
+    return hold(out, occ) if spans_storage is not None else out

@@ -35,8 +35,7 @@ Registered into the shared REGISTRY on import.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.plans.battery import (
@@ -121,85 +120,21 @@ def doc_duplicated_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the span aggregate combines map-side (one row per distinct
     span on the shuffle); the positional relation feeds the aggregate
     and the join, so it persists (MEMORY_AND_DISK — at 100 TB prefer
-    recomputing the explode over caching a corpus-sized relation: drop
-    the persist and both consumers re-derive from the scan). The window
+    recomputing the explode over caching a corpus-sized relation: the
+    operator's ``spans_storage=None`` knob). The window
     partitions by doc_id — per-doc row counts are bounded by token
     counts, no global window. Span keys stay plain text so the oracle
     is exactly relational; at 100 TB the group key would be
     `xxhash64(span)` (8-byte shuffle keys, identical semantics) — the
     `doc_boilerplate_spans` note applies verbatim."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("ts")
+    from flight_radar_pipeline_spark.operators.dedup import (
+        duplicated_span_coverage,
     )
-    occ = (
-        toks.filter(F.size("ts") >= _DUP_K)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("ts") - _DUP_K + 1)
-            ).alias("start_pos"),
-            "ts",
-        )
-        .select(
-            "doc_id",
-            "start_pos",
-            (F.col("start_pos") + _DUP_K).alias("end_pos"),
-            F.array_join(F.slice("ts", F.col("start_pos"), _DUP_K), " ").alias(
-                "span"
-            ),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    dup = (
-        occ.groupBy("span")
-        .agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("span")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("start_pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cov = (
-        occ.join(dup, "span")
-        .withColumn("pe", F.max("end_pos").over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.greatest(
-                    F.lit(0),
-                    F.col("end_pos")
-                    - F.greatest(
-                        F.col("start_pos"),
-                        F.coalesce(F.col("pe"), F.col("start_pos")),
-                    ),
-                )
-            )
-            .cast("bigint")
-            .alias("dup_tokens")
-        )
-    )
-    out = (
-        toks.select("doc_id", F.size("ts").cast("bigint").alias("n_tokens"))
-        .join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias(
-                "dup_tokens"
-            ),
-            F.round(
-                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
-                4,
-            ).alias("coverage"),
-        )
-        .orderBy("doc_id")
-    )
-    from flight_radar_pipeline_spark.operators.lifecycle import hold
 
-    return hold(out, occ)
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(
+        docs, "text", "doc_id", k=_DUP_K
+    ).orderBy("doc_id")
 
 
 doc_duplicated_coverage.__doc__ = doc_duplicated_coverage.__doc__.format(
