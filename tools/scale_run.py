@@ -254,6 +254,8 @@ EXTRA_FAMILIES_R13 = [
     # the round-13 POST_FREEZE additions (measured on registration)
     "doc_duplicated_coverage",
     "doc_nb_margin_calibration",
+    # the lambda-CSE hoist fix (lower(text) out of the transform lambda)
+    "doc_shingle_diversity",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
