@@ -356,35 +356,45 @@ def embedding_contrastive_triplets(
             ).alias("cosine"),
         )
     )
-    w_pos = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    ranked = scored.withColumn("rn", F.row_number().over(w_pos))
-    pos = ranked.filter(F.col("rn") == 1).select(
-        F.col("query_id").alias("anchor_id"),
-        F.col("neighbor_id").alias("positive_id"),
-        F.col("cosine").alias("pos_cosine"),
-    )
+    # ONE pass over the scored relation (round-13): the positive is a
+    # whole-partition max(struct(cosine, −id)) window — (cosine desc,
+    # id asc) as struct order — and the negative rank is a second window
+    # on the SAME partition key, so both share one anchor-keyed exchange
+    # and the 32×N cosine scan runs once. The previous shape consumed
+    # `scored` twice (top-1 subplan + broadcast join back), recomputing
+    # the cross cosine scan per consumer.
     u = unit_hash(
         F.concat(
-            F.col("query_id").cast("string"),
+            F.col("anchor_id").cast("string"),
             F.lit("-"),
-            F.col("neighbor_id").cast("string"),
+            F.col("negative_id").cast("string"),
         ),
         "neg",
+    )
+    base = scored.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("cosine").alias("neg_cosine"),
+    ).select("*", u.alias("u"))
+    w_all = Window.partitionBy("anchor_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ps = F.max(
+        F.struct(
+            F.col("neg_cosine").alias("c"),
+            (-F.col("negative_id")).alias("nid"),
+        )
+    ).over(w_all)
+    enriched = base.select(
+        "*",
+        ps["c"].alias("pos_cosine"),
+        (-ps["nid"]).alias("positive_id"),
     )
     w_neg = Window.partitionBy("anchor_id").orderBy(
         "u", F.asc("negative_id")
     )
     negs = (
-        scored.select(
-            F.col("query_id").alias("anchor_id"),
-            F.col("neighbor_id").alias("negative_id"),
-            F.col("cosine").alias("neg_cosine"),
-            u.alias("u"),
-        )
-        .join(F.broadcast(pos), "anchor_id")
-        .filter(F.col("negative_id") != F.col("positive_id"))
+        enriched.filter(F.col("negative_id") != F.col("positive_id"))
         .withColumn("neg_rank", F.row_number().over(w_neg))
         .filter(F.col("neg_rank") <= _TRIP_NEGS)
     )

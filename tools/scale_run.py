@@ -256,6 +256,8 @@ EXTRA_FAMILIES_R13 = [
     "doc_nb_margin_calibration",
     # the lambda-CSE hoist fix (lower(text) out of the transform lambda)
     "doc_shingle_diversity",
+    # the single-pass triplets rewrite (one scored scan, two shared-key windows)
+    "embedding_contrastive_triplets",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
