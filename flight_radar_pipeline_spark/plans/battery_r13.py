@@ -19,6 +19,14 @@ dedup-honesty rule: `grep @register` names + family keywords):
   owns score→probability calibration by PAVA on a given score column;
   this entry SCORES a model the engine itself trained and stays in
   exact integer micro-nats end to end (no float monotone fit at all).
+- Exact NB model UNLEARNING: subtract an erased shard's integer count
+  partials from the trained model and prove the result ≡ retraining on
+  the remainder (the oracle retrains; the plan only subtracts). The
+  GDPR right-to-be-forgotten face of the trainer family —
+  `user_erasure_audit` purges DATA state; nothing addressed derived
+  MODEL state, and the device (count-space subtraction; weight-space
+  subtraction is impossible under Laplace smoothing) is the additive
+  family's inverse contract with its own failure modes.
 
 Candidates DROPPED by the sweep before registration: count-min-sketch
 heavy hitters (`event_cms_estimates` owns the CMS device and
@@ -44,6 +52,7 @@ from flight_radar_pipeline_spark.plans.battery import (
 )
 from flight_radar_pipeline_spark.plans.battery_r12 import (
     _nb_class_grid,
+    _nb_confusion,
     _nb_dense_from_counts,
     _nb_priors,
     _nb_token_counts,
@@ -300,4 +309,150 @@ def doc_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 doc_nb_margin_calibration.__doc__ = doc_nb_margin_calibration.__doc__.format(
     nb=_MARGIN_NBINS
+)
+
+
+# --------------------------------------------------------------------------
+# exact NB model unlearning (count-space subtraction ≡ retrain)
+# --------------------------------------------------------------------------
+
+_UNLEARN_MOD = 7  # erased set: doc_id % 7 == 0 (deterministic)
+
+_UNLEARN_ORACLE = f"""
+    with kept as (
+        select * from documents where doc_id % {_UNLEARN_MOD} <> 0
+    ), tok as (
+        select doc_id,
+               ('0x' || substr(md5(unnest(
+                   regexp_split_to_array(trim(text), '\\s+'))), 1, 6))::bigint
+                 % 64 as bucket
+        from kept
+    ), pri as (
+        select lang,
+               round(ln(count(*) / (select count(*)::double from kept))
+                     * 1e6)::bigint as prior
+        from kept group by lang
+    ), cnt as (
+        select d.lang, t.bucket, count(*) as c
+        from tok t join kept d using (doc_id)
+        group by 1, 2
+    ), tots as (
+        select lang, sum(c) as tot from cnt group by lang
+    ), w as (
+        select l.lang, b.bucket,
+               round(ln((coalesce(c.c, 0) + 1) / (t.tot + 64.0))
+                     * 1e6)::bigint as wint
+        from (select distinct lang from kept) l
+        cross join (select unnest(range(0, 64)) as bucket) b
+        join tots t on t.lang = l.lang
+        left join cnt c on c.lang = l.lang and c.bucket = b.bucket
+    ), sums as (
+        select t.doc_id, w.lang, sum(w.wint)::bigint as s
+        from tok t join w using (bucket)
+        group by 1, 2
+    ), pred as (
+        select doc_id, lang as pred_lang from (
+            select s.doc_id, s.lang,
+                   row_number() over (
+                       partition by s.doc_id
+                       order by p.prior + s.s desc, s.lang
+                   ) as rn
+            from sums s join pri p using (lang)
+        ) where rn = 1
+    )
+    select d.lang as true_lang, p.pred_lang, count(*)::bigint as n_docs
+    from kept d join pred p using (doc_id)
+    group by 1, 2
+    order by 1, 2
+"""
+
+
+@register_grid_plans("doc_nb_unlearn_erasure")
+def _unlearn_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    # the build-time bounded collect is the SUBTRACTED class grid
+    # (langs + remaining doc counts); `counts_delta` is the unlearned
+    # count table the final plan's weights derive from
+    docs = load_table(spark, sf_dir, "documents")
+    erased = docs.filter(F.col("doc_id") % _UNLEARN_MOD == 0)
+    return {
+        "class_grid": _unlearn_class_grid(docs, erased),
+        "counts_delta": _unlearn_counts(docs, erased),
+    }
+
+
+def _unlearn_class_grid(docs: DataFrame, erased: DataFrame) -> DataFrame:
+    full = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_full"))
+    gone = erased.groupBy("lang").agg(F.count(F.lit(1)).alias("n_gone"))
+    return (
+        full.join(gone, "lang", "left")
+        .select(
+            "lang",
+            (
+                F.col("n_full") - F.coalesce(F.col("n_gone"), F.lit(0))
+            ).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+
+
+def _unlearn_counts(docs: DataFrame, erased: DataFrame) -> DataFrame:
+    full = _nb_token_counts(docs)
+    gone = _nb_token_counts(erased).withColumnRenamed("c", "c_gone")
+    return (
+        full.join(gone, ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            (F.col("c") - F.coalesce(F.col("c_gone"), F.lit(0))).alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+
+
+@register("doc_nb_unlearn_erasure", _UNLEARN_ORACLE)
+def doc_nb_unlearn_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact machine unlearning for the in-engine NB model → the
+    confusion grid of the UNLEARNED model over the remaining corpus,
+    provably equal to retraining from scratch (which is what the oracle
+    does — it retrains on `doc_id % {m} <> 0` directly, while this plan
+    never trains on the remaining set: it SUBTRACTS the erased shard's
+    integer partials from the full model's). The trainer family's
+    right-to-be-forgotten face, beside `user_erasure_audit`'s data-state
+    purge: a GDPR erasure must also leave derived MODEL state as if the
+    data had never been seen, and for additive-sufficient-statistics
+    models that is a count-space subtraction — one pass over the ERASED
+    shard, never a corpus rescan.
+
+    The insight the oracle pins: unlearning CANNOT happen in weight
+    space. Laplace-smoothed log-likelihoods are a nonlinear function of
+    the counts (log((c+1)/(tot+B))), so subtracting weight deltas is
+    wrong; only the (lang, bucket) integer count grid is additive, and
+    weights/priors must re-derive from the subtracted counts. Zero-count
+    rows drop after subtraction so the count relation is exactly the
+    retrain relation (the smoothing then treats them identically via
+    the dense grid's coalesce).
+
+    Scale: two map-side-combinable fact aggregates (full + erased — in
+    a deployment the full grid is the maintained model state, e.g. the
+    `doc_nb_stream_train` fold, and only the erased shard is scanned);
+    the subtraction is a |langs|×64-bounded join; scoring is the same
+    broadcast-weights scan as the classifier, over the remaining
+    corpus. Only driver action: the bounded |langs|-row subtracted
+    class grid (subplans in GRID_PLANS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    erased = docs.filter(F.col("doc_id") % _UNLEARN_MOD == 0)
+    kept = docs.filter(F.col("doc_id") % _UNLEARN_MOD != 0)
+    grid = sorted(
+        (r["lang"], int(r["n_docs"]))
+        for r in _unlearn_class_grid(docs, erased).collect()
+    )
+    langs, priors = _nb_priors(grid)
+    weights = _nb_weights_pivoted(
+        _nb_dense_from_counts(_unlearn_counts(docs, erased)), langs
+    )
+    return _nb_confusion(kept, langs, priors, weights)
+
+
+doc_nb_unlearn_erasure.__doc__ = doc_nb_unlearn_erasure.__doc__.format(
+    m=_UNLEARN_MOD
 )

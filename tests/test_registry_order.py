@@ -125,6 +125,7 @@ def test_only_coverage_operators_not_past_the_frontier():
 POST_FREEZE: set[str] = {
     "doc_duplicated_coverage",    # battery_r13: exact-span doc coverage
     "doc_nb_margin_calibration",  # battery_r13: NB reliability table
+    "doc_nb_unlearn_erasure",     # battery_r13: exact NB unlearning
 }
 
 

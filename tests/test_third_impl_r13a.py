@@ -1,9 +1,12 @@
 """Third-implementation checks, batch 50 — the round-13 POST_FREEZE
 entries: per-document duplicated-text coverage (positional span
 inverted index → cross-doc duplicate detection → per-doc interval
-union) and the NB margin-calibration reliability table (exact-integer
-top1−top2 margins → 0.2-nat bins → per-bin accuracy), both walked as
-plain Python folds beside their Spark plans and unrolled SQL oracles.
+union), the NB margin-calibration reliability table (exact-integer
+top1−top2 margins → 0.2-nat bins → per-bin accuracy), and exact NB
+model unlearning (full-model counts minus the erased shard's partials,
+re-derived weights, remaining-corpus scoring — the fold subtracts like
+the plan; the oracle retrains), each walked as a plain Python fold
+beside its Spark plan and unrolled SQL oracle.
 """
 
 from __future__ import annotations
@@ -191,3 +194,80 @@ def test_margin_calibration_vs_integer_margin_fold(spark, docs):
     # the corpus exactly
     assert all(b >= 0 for b, _n, _c, _a in expected)
     assert sum(n for _b, n, _c, _a in expected) == len(docs)
+
+
+# --------------------------------------------------------------------------
+# doc_nb_unlearn_erasure — count-space subtraction vs direct-retrain fold
+# --------------------------------------------------------------------------
+
+_UNLEARN_MOD = 7
+
+
+def test_nb_unlearning_vs_subtraction_fold(spark, docs):
+    def buckets(text):
+        return [
+            int(_md5(term)[:6], 16) % _NB_BUCKETS
+            for term in re.split(r"\s+", text.strip())
+        ]
+
+    # FULL model counts, then subtract the erased shard's partials —
+    # the fold mirrors the Spark plan (never trains on the remainder)
+    n_full: dict = defaultdict(int)
+    c_full: dict = defaultdict(int)
+    n_gone: dict = defaultdict(int)
+    c_gone: dict = defaultdict(int)
+    for i, (lang, t) in docs.items():
+        n_full[lang] += 1
+        if i % _UNLEARN_MOD == 0:
+            n_gone[lang] += 1
+        for b in buckets(t):
+            c_full[(lang, b)] += 1
+            if i % _UNLEARN_MOD == 0:
+                c_gone[(lang, b)] += 1
+    n_docs_l = {
+        lg: n_full[lg] - n_gone.get(lg, 0)
+        for lg in n_full
+        if n_full[lg] - n_gone.get(lg, 0) > 0
+    }
+    cnt = {
+        k: c_full[k] - c_gone.get(k, 0)
+        for k in c_full
+        if c_full[k] - c_gone.get(k, 0) > 0
+    }
+    tot: dict = defaultdict(int)
+    for (lg, _b), c in cnt.items():
+        tot[lg] += c
+    langs = sorted(n_docs_l)
+    n_tot = sum(n_docs_l.values())
+    prior = {
+        lg: _iround_away(math.log(n_docs_l[lg] / n_tot) * 1e6) for lg in langs
+    }
+    wint = {
+        (lg, b): _iround_away(
+            math.log((cnt.get((lg, b), 0) + 1) / (tot[lg] + float(_NB_BUCKETS)))
+            * 1e6
+        )
+        for lg in langs
+        for b in range(_NB_BUCKETS)
+    }
+
+    confusion: dict = defaultdict(int)
+    kept = {i: v for i, v in docs.items() if i % _UNLEARN_MOD != 0}
+    for _i, (true_lang, t) in kept.items():
+        bs = buckets(t)
+        scores = {
+            lg: prior[lg] + sum(wint[(lg, b)] for b in bs) for lg in langs
+        }
+        pred = min(langs, key=lambda lg: (-scores[lg], lg))
+        confusion[(true_lang, pred)] += 1
+    expected = sorted((tl, pl, n) for (tl, pl), n in confusion.items())
+
+    got = [
+        (r.true_lang, r.pred_lang, r.n_docs)
+        for r in _run("doc_nb_unlearn_erasure", spark)
+    ]
+    assert got == expected
+    assert sum(n for _t, _p, n in expected) == len(kept)
+    # the subtraction must differ from the full model's grid on the
+    # erased docs' languages — unlearning actually removed something
+    assert any(c_gone.values())

@@ -258,6 +258,8 @@ EXTRA_FAMILIES_R13 = [
     "doc_shingle_diversity",
     # the single-pass triplets rewrite (one scored scan, two shared-key windows)
     "embedding_contrastive_triplets",
+    # third round-13 POST_FREEZE addition (measured on registration)
+    "doc_nb_unlearn_erasure",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
