@@ -779,12 +779,46 @@ def ngram_containment_pairs(
     )
 
 
+def positional_token_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Positional ``k``-token span stream → ``(id, __start, __end,
+    __span)``, one row per span occurrence (corpus-linear). The shared
+    front half of ``duplicated_span_coverage`` and the incremental
+    span-index maintenance its stream twin folds per batch."""
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts")
+    )
+    return (
+        toks.filter(F.size("__ts") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("__ts") - k + 1)).alias(
+                "__start"
+            ),
+            "__ts",
+        )
+        .select(
+            id_col,
+            "__start",
+            (F.col("__start") + k).alias("__end"),
+            F.array_join(F.slice("__ts", F.col("__start"), k), " ").alias(
+                "__span"
+            ),
+        )
+    )
+
+
 def duplicated_span_coverage(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     spans_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+    dup_spans: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-text coverage → ``(id, n_tokens,
     dup_tokens, coverage)``: every exact ``k``-token span occurring in
@@ -808,34 +842,32 @@ def duplicated_span_coverage(
     relation). Span keys stay plain text so SQL oracles are exactly
     relational; at 100 TB the group key would be ``xxhash64(span)``
     (8-byte shuffle keys, identical semantics).
+
+    ``dup_spans`` (a one-column ``__span`` relation) substitutes an
+    EXTERNALLY-maintained duplicate-span verdict for the internal
+    aggregate — the incremental-index path: a stream fold maintains the
+    span → (min id, max id) grid in O(batch) per batch (min/max are
+    mergeable, so the verdict is exact under any batch split) and this
+    function only scores positions against it. With ``dup_spans`` the
+    positional relation has a single consumer, so ``spans_storage`` is
+    ignored (nothing to share).
     """
-    toks = df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts"))
-    occ = (
-        toks.filter(F.size("__ts") >= k)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.size("__ts") - k + 1)).alias(
-                "__start"
-            ),
-            "__ts",
-        )
-        .select(
-            id_col,
-            "__start",
-            (F.col("__start") + k).alias("__end"),
-            F.array_join(F.slice("__ts", F.col("__start"), k), " ").alias(
-                "__span"
-            ),
-        )
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts")
     )
-    if spans_storage is not None:
-        occ = occ.persist(spans_storage)
-    dup = (
-        occ.groupBy("__span")
-        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
-        .filter(F.col("__lo") != F.col("__hi"))
-        .select("__span")
-    )
+    occ = positional_token_spans(df, text_col, id_col, k)
+    if dup_spans is not None:
+        spans_storage = None  # single consumer — nothing to share
+        dup = dup_spans.select("__span")
+    else:
+        if spans_storage is not None:
+            occ = occ.persist(spans_storage)
+        dup = (
+            occ.groupBy("__span")
+            .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("__span")
+        )
     w = (
         Window.partitionBy(id_col)
         .orderBy("__start")

@@ -27,6 +27,14 @@ dedup-honesty rule: `grep @register` names + family keywords):
   MODEL state, and the device (count-space subtraction; weight-space
   subtraction is impossible under Laplace smoothing) is the additive
   family's inverse contract with its own failure modes.
+- Incremental span-index maintenance (`doc_coverage_stream_index`):
+  the coverage entry's stream twin — per-batch span → (min id, max id)
+  partials fold via the delta harness (min/max merge exactly, so the
+  cross-document verdict is batch-split-invariant), and the final
+  coverage equals the batch entry via the SHARED oracle. The
+  incremental-crawl-dedup pattern at the span grain;
+  `incremental_exact_dedup` owns the whole-document fingerprint
+  version.
 
 Candidates DROPPED by the sweep before registration: count-min-sketch
 heavy hitters (`event_cms_estimates` owns the CMS device and
@@ -456,3 +464,70 @@ def doc_nb_unlearn_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 doc_nb_unlearn_erasure.__doc__ = doc_nb_unlearn_erasure.__doc__.format(
     m=_UNLEARN_MOD
 )
+
+
+# --------------------------------------------------------------------------
+# incremental span-index maintenance (the coverage entry's stream twin)
+# --------------------------------------------------------------------------
+
+
+@register("doc_coverage_stream_index", _COVERAGE_ORACLE)
+def doc_coverage_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the exact-substring dedup INDEX — the
+    stream twin of `doc_duplicated_coverage`, extending the
+    maintained-state family to the dedup-index class: documents arrive
+    in 3 microbatches and a delta fold (`streaming.ledger.
+    fold_chronological_waves_delta`) appends each batch's
+    span → (min doc_id, max doc_id) partial; min/max are MERGEABLE, so
+    the merged index's cross-document verdict (`min <> max`) is exact
+    for ANY batch split — a span's (lo, hi) envelope only widens as
+    batches land, never needs history re-scanned. After the stream
+    drains, the full corpus scores its positions against the MAINTAINED
+    index (`duplicated_span_coverage(dup_spans=...)`) and the coverage
+    table must equal the batch entry's, which is what the shared oracle
+    states verbatim.
+
+    This is the incremental-crawl-dedup pattern: a 100 TB feed folds
+    each arriving batch's span partials in O(batch), the index grain
+    grows with the DISTINCT-span universe (the delta fold's design
+    case, like the W₁ ledger — the growing grain is exactly why
+    copy-on-write would re-write O(index) per batch), and per-batch
+    coverage decisions can consult the always-merged verdict without
+    ever revisiting old documents. `incremental_exact_dedup` owns the
+    whole-document fingerprint version of this contract; the span grain
+    is what catches partial copies."""
+    from flight_radar_pipeline_spark.operators.dedup import (
+        duplicated_span_coverage,
+        positional_token_spans,
+    )
+    from flight_radar_pipeline_spark.streaming.ledger import (
+        fold_chronological_waves_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    waves = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def increment(batch: DataFrame) -> DataFrame:
+        return (
+            positional_token_spans(batch, "text", "doc_id", k=_DUP_K)
+            .groupBy("__span")
+            .agg(
+                F.min("doc_id").alias("__lo"),
+                F.max("doc_id").alias("__hi"),
+            )
+        )
+
+    def merge(old: DataFrame, new: DataFrame) -> DataFrame:
+        return (
+            old.unionByName(new)
+            .groupBy("__span")
+            .agg(F.min("__lo").alias("__lo"), F.max("__hi").alias("__hi"))
+        )
+
+    state = fold_chronological_waves_delta(
+        spark, waves, increment, merge, prefix="cov_index_"
+    )
+    dup = state.filter(F.col("__lo") != F.col("__hi")).select("__span")
+    return duplicated_span_coverage(
+        docs, "text", "doc_id", k=_DUP_K, dup_spans=dup
+    ).orderBy("doc_id")

@@ -126,6 +126,7 @@ POST_FREEZE: set[str] = {
     "doc_duplicated_coverage",    # battery_r13: exact-span doc coverage
     "doc_nb_margin_calibration",  # battery_r13: NB reliability table
     "doc_nb_unlearn_erasure",     # battery_r13: exact NB unlearning
+    "doc_coverage_stream_index",  # battery_r13: span-index stream twin
 }
 
 

@@ -61,7 +61,10 @@ def docs():
 _DUP_K = 8
 
 
-def test_duplicated_coverage_vs_interval_union_walk(spark, docs):
+@pytest.mark.parametrize(
+    "name", ["doc_duplicated_coverage", "doc_coverage_stream_index"]
+)
+def test_duplicated_coverage_vs_interval_union_walk(spark, docs, name):
     # positional span index: span -> set of docs; doc -> [start positions]
     span_docs: dict = defaultdict(set)
     occ: dict = defaultdict(list)
@@ -90,7 +93,7 @@ def test_duplicated_coverage_vs_interval_union_walk(spark, docs):
 
     got = [
         (r.doc_id, r.n_tokens, r.dup_tokens, r.coverage)
-        for r in _run("doc_duplicated_coverage", spark)
+        for r in _run(name, spark)
     ]
     assert got == expected
     # the union never exceeds the doc and only docs with a cross-doc

@@ -260,6 +260,8 @@ EXTRA_FAMILIES_R13 = [
     "embedding_contrastive_triplets",
     # third round-13 POST_FREEZE addition (measured on registration)
     "doc_nb_unlearn_erasure",
+    # fourth round-13 POST_FREEZE addition (measured on registration)
+    "doc_coverage_stream_index",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
