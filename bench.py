@@ -139,6 +139,35 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    # Plan-machinery JIT warmup (round-13 run-position adjudication):
+    # entries at run positions 0-49 — exactly the correctness-window
+    # seats, which every rotation reshuffles — used to read ~0.2-0.5 s
+    # high because hash-agg / join / window / generate codepaths JIT
+    # only as the battery progresses. Exercise each family once on
+    # synthetic range() inputs (no battery table, file, or cache is
+    # touched) so early seats are measured on the same warmth late
+    # seats always had. Fixed ~5 s cost, paid before the calibration
+    # probe and the load stamp.
+    _a = spark.range(2_000_000).selectExpr(
+        "id", "id % 97 as k", "cast(id % 1009 as double) as v"
+    )
+    _b = spark.range(50_000).selectExpr("id as k2", "id % 13 as g")
+    for _wdf in (
+        _a.groupBy("k").agg(
+            {"v": "sum", "id": "max"}
+        ),  # partial+final hash aggregate
+        _a.join(_b.hint("merge"), _a["k"] == _b["k2"]).groupBy("g").count(),
+        _a.join(_b.hint("broadcast"), _a["k"] == _b["k2"]).select("g", "v"),
+        _a.selectExpr(
+            "k", "v", "row_number() over (partition by k order by v) as rn"
+        ).filter("rn <= 2"),
+        _a.selectExpr("k", "explode(sequence(1, 3)) as e").groupBy(
+            "k"
+        ).count(),
+        _a.orderBy("v").limit(100),
+    ):
+        _wdf.write.format("noop").mode("overwrite").save()
+
     load_start = _loadavg()
     calib_start = _calibration_probe(spark)
 
