@@ -133,6 +133,12 @@ def main() -> int:
     spark = get_spark_session(app_name="frp-spark-bench", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # AMBIENT load snapshot taken before any warmup work: the warmups
+    # below burn all cores for seconds, and a loadavg read after them
+    # would stamp self-induced load as machine contention (review
+    # finding, round 13) — the quiet-window gate consumes this number.
+    load_start = _loadavg()
+
     # JVM/codegen warmup so the first query's timing is query cost, not
     # session startup
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
@@ -147,7 +153,7 @@ def main() -> int:
     # synthetic range() inputs (no battery table, file, or cache is
     # touched) so early seats are measured on the same warmth late
     # seats always had. Fixed ~5 s cost, paid before the calibration
-    # probe and the load stamp.
+    # probe (the ambient load stamp is taken above, before any warmup).
     _a = spark.range(2_000_000).selectExpr(
         "id", "id % 97 as k", "cast(id % 1009 as double) as v"
     )
@@ -168,7 +174,6 @@ def main() -> int:
     ):
         _wdf.write.format("noop").mode("overwrite").save()
 
-    load_start = _loadavg()
     calib_start = _calibration_probe(spark)
 
     queries = entrymod.queries()

@@ -284,3 +284,24 @@ def soundex_code(word: Column | str) -> Column:
         F.substring(s, 1, 1), F.rpad(F.substring(rest, 1, 3), 3, "0")
     )
     return F.when(F.length(s) > 0, out)
+
+
+def pair_combinations(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Column:
+    """Every (x, y) combination with x before y from a SORTED array →
+    array<struct<a_name, b_name>> — the a-priori candidate-pair device
+    the dedup/graph operators explode instead of a bucket self-join
+    (one shared definition; the `i + 2` offset is the 1-based slice
+    past the current element).
+
+    The output array cell is O(len²) structs, so callers must bound the
+    input array upstream (a df/degree cap) — the device trades the
+    self-join's second exchange for a bounded quadratic cell."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )

@@ -22,7 +22,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from flight_radar_pipeline_spark.functions.text import fingerprint, word_ngrams
+from flight_radar_pipeline_spark.functions.text import (
+    fingerprint,
+    tokens,
+    word_ngrams,
+)
 
 
 # --------------------------------------------------------------------------
@@ -707,7 +711,10 @@ def ngram_containment_pairs(
     combination explodes out of the array, replacing the gram-keyed
     self-join (one exchange, one join, and one plan subtree fewer).
     When ``maxdf`` is None nothing bounds the per-gram set, so the
-    operator refuses rather than build an unbounded aggregation buffer.
+    operator refuses rather than build an unbounded aggregation buffer;
+    note the per-gram combinations array cell is O(maxdf²) structs
+    before the explode (≈ 500k at the default 1000 — bounded, but size
+    the cap deliberately; review note, round 13).
     Directions are exploded BEFORE the size join, so the per-doc size
     relation joins ONCE (on src_id) instead of twice.
     """
@@ -733,15 +740,9 @@ def ngram_containment_pairs(
         g = g.persist(grams_storage)
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sets = g.groupBy("gram").agg(F.array_sort(F.collect_set(id_col)).alias("__ds"))
-    combos = F.flatten(
-        F.transform(
-            F.col("__ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ds"), i + 2, F.size(F.col("__ds"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    from flight_radar_pipeline_spark.functions.text import pair_combinations
+
+    combos = pair_combinations(F.col("__ds"))
     inter = (
         sets.select(F.explode(combos).alias("__p"))
         .groupBy("__p.id_a", "__p.id_b")
@@ -789,9 +790,7 @@ def positional_token_spans(
     __span)``, one row per span occurrence (corpus-linear). The shared
     front half of ``duplicated_span_coverage`` and the incremental
     span-index maintenance its stream twin folds per batch."""
-    toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts")
-    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__ts"))
     return (
         toks.filter(F.size("__ts") >= k)
         .select(
@@ -852,9 +851,7 @@ def duplicated_span_coverage(
     positional relation has a single consumer, so ``spans_storage`` is
     ignored (nothing to share).
     """
-    toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__ts")
-    )
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__ts"))
     occ = positional_token_spans(df, text_col, id_col, k)
     if dup_spans is not None:
         spans_storage = None  # single consumer — nothing to share

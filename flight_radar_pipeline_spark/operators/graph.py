@@ -330,7 +330,12 @@ def adamic_adar_pairs(
     (the set aggregate reuses the cap join's item partitioning), 16 → 7
     exchanges on the `customer_adamic_adar` plan, hash-identical.
     ``storage`` is kept for signature compatibility; the single-pass
-    shape has no shared subtree left to persist.
+    shape has no shared subtree left to persist. NOTE the per-item
+    combinations array cell is O(maxdf²) structs (built before the
+    explode): at the default maxdf=1000 a full-degree item holds a
+    ~500k-struct (~8 MB) cell — bounded and spill-safe, but size
+    ``maxdf`` deliberately; the self-join this replaced streamed the
+    same pairs without the cell (review note, round 13).
     """
     del storage  # single-consumer plan: nothing left worth persisting
     m = membership.select(
@@ -351,15 +356,9 @@ def adamic_adar_pairs(
             F.array_sort(F.collect_set("__u")).alias("__us"),
         )
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("__us"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__us"), i + 2, F.size(F.col("__us"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    from flight_radar_pipeline_spark.functions.text import pair_combinations
+
+    pairs = pair_combinations(F.col("__us"))
     return (
         sets.select(F.explode(pairs).alias("__p"), "__d")
         .groupBy("__p.id_a", "__p.id_b")

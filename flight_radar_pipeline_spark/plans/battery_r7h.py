@@ -388,24 +388,29 @@ def doc_shingle_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluated per element (no CSE across lambda iterations), which
     made the original shape O(len²) per document — the round-13 fix
     halved the entry's wall (3.35 → 1.67 s at sf0.1). The lambda body
-    now only references the pre-lowered attribute."""
+    now only references the pre-lowered attribute, while n_total and
+    the position bound stay keyed on the ORIGINAL text's length exactly
+    as the oracle states them (lowercasing can change codepoint counts
+    — e.g. İ → i + U+0307 — so length(__lo) is NOT a substitute)."""
     docs = load_table(spark, sf_dir, "documents")
-    lowered = docs.select("lang", F.lower("text").alias("__lo"))
+    lowered = docs.select(
+        "lang", F.length("text").alias("__n"), F.lower("text").alias("__lo")
+    )
     d = lowered.select(
         "lang",
         F.when(
-            F.length("__lo") >= _SHINGLE_N,
+            F.col("__n") >= _SHINGLE_N,
             F.size(
                 F.array_distinct(
                     F.expr(
-                        f"transform(sequence(1, greatest(length(__lo) - {_SHINGLE_N - 1}, 1)),"
+                        f"transform(sequence(1, greatest(__n - {_SHINGLE_N - 1}, 1)),"
                         f" i -> substring(__lo, i, {_SHINGLE_N}))"
                     )
                 )
             ),
         ).otherwise(0).alias("n_distinct"),
         F.greatest(
-            F.length("__lo") - (_SHINGLE_N - 1), F.lit(1)
+            F.col("__n") - (_SHINGLE_N - 1), F.lit(1)
         ).alias("n_total"),
     )
     f = d.select(

@@ -80,3 +80,25 @@ def test_interarrival_fit_bounds(spark):
         1.0 / row.mean_gap_days, rel=1e-4
     )
     assert 0.0 <= row.ks_distance <= 1.0
+
+
+def test_shingle_diversity_unicode_lower_expansion(spark):
+    """Lowercasing can CHANGE the codepoint count (İ → i + U+0307), so
+    n_total and the shingle position bound must stay keyed on the
+    ORIGINAL text's length exactly as the oracle states them — the
+    round-13 lambda-CSE hoist must not silently rebase them on the
+    lowered string (review finding)."""
+    from unittest import mock
+
+    import flight_radar_pipeline_spark.plans.battery_r7h as r7h
+
+    text = "İaİbİcİd"  # 8 codepoints; lower() expands each İ to 2
+    lowered = text.lower()
+    assert len(lowered) > len(text)  # the expansion this test is about
+    df = spark.createDataFrame([("xx", 1, text)], "lang string, doc_id long, text string")
+    with mock.patch.object(r7h, "load_table", lambda _s, _d, _t: df):
+        row = r7h.doc_shingle_diversity(spark, "unused").collect()[0]
+    n_total = len(text) - 3  # oracle: greatest(length(text) - 3, 1)
+    shingles = {lowered[i : i + 4] for i in range(n_total)}
+    assert row.n_docs == 1
+    assert row.avg_diversity == round(len(shingles) / n_total, 4)
