@@ -149,3 +149,35 @@ def test_nearest_is_directed_and_tie_deterministic(spark):
         pts, "id", "lat", "lon", radius_km=200.0, cell_deg=4.0, max_abs_lat=45.0
     ).collect()}
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------------------------
+# pair_combinations (the shared a-priori device)
+# --------------------------------------------------------------------------
+
+def test_pair_combinations_matches_itertools(spark):
+    from itertools import combinations
+
+    from flight_radar_pipeline_spark.functions.text import pair_combinations
+
+    df = spark.createDataFrame(
+        [(1, [3, 1, 4, 1, 5]), (2, [7]), (3, [])],
+        "k long, xs array<bigint>",
+    )
+    rows = {
+        r.k: sorted((p.id_a, p.id_b) for p in r.ps)
+        for r in df.select(
+            "k", pair_combinations(F.array_sort("xs")).alias("ps")
+        ).collect()
+    }
+    assert rows[1] == sorted(combinations(sorted([3, 1, 4, 1, 5]), 2))
+    assert rows[2] == []  # singleton: no pair
+    assert rows[3] == []  # empty: no pair
+    # custom field names flow through
+    named = (
+        df.filter("k = 1")
+        .select(pair_combinations(F.array_sort("xs"), "u", "v").alias("ps"))
+        .collect()[0]
+        .ps[0]
+    )
+    assert named.asDict().keys() == {"u", "v"}
