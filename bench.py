@@ -130,20 +130,27 @@ def _fit_line(payload: dict, warm: dict[str, float]) -> str:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # AMBIENT load snapshot taken before the session boots: JVM startup
+    # and the warmups below burn cores for seconds, and a loadavg read
+    # after them would stamp self-induced load as machine contention
+    # (review findings, round 13) — the quiet-window gate consumes this.
+    load_start = _loadavg()
+
     spark = get_spark_session(app_name="frp-spark-bench", timezone="UTC")
     spark.sparkContext.setLogLevel("ERROR")
-
-    # AMBIENT load snapshot taken before any warmup work: the warmups
-    # below burn all cores for seconds, and a loadavg read after them
-    # would stamp self-induced load as machine contention (review
-    # finding, round 13) — the quiet-window gate consumes this number.
-    load_start = _loadavg()
 
     # JVM/codegen warmup so the first query's timing is query cost, not
     # session startup
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # Calibration probe runs HERE — after the basic range warmup, before
+    # the plan-machinery warmup below — exactly the conditions every
+    # pre-round-13 record ran it under, so probe_new/probe_old stays a
+    # pure machine-speed ratio across the warmup-change boundary
+    # (review finding, round 13).
+    calib_start = _calibration_probe(spark)
 
     # Plan-machinery JIT warmup (round-13 run-position adjudication):
     # entries at run positions 0-49 — exactly the correctness-window
@@ -173,8 +180,6 @@ def main() -> int:
         _a.orderBy("v").limit(100),
     ):
         _wdf.write.format("noop").mode("overwrite").save()
-
-    calib_start = _calibration_probe(spark)
 
     queries = entrymod.queries()
     # Optional subset filter (comma-separated names) for targeted runs,

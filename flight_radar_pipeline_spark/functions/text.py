@@ -289,9 +289,13 @@ def soundex_code(word: Column | str) -> Column:
 def pair_combinations(arr: Column, a_name: str = "id_a", b_name: str = "id_b") -> Column:
     """Every (x, y) combination with x before y from a SORTED array →
     array<struct<a_name, b_name>> — the a-priori candidate-pair device
-    the dedup/graph operators explode instead of a bucket self-join
-    (one shared definition; the `i + 2` offset is the 1-based slice
-    past the current element).
+    the dedup/graph/mining operators explode instead of a bucket
+    self-join (the one shared definition for 2-field pair emissions;
+    `battery_ext`'s lift entry states the device inline because its
+    emission interleaves pair/item/basket KINDS in one struct schema.
+    The `i + 2` offset is the 1-based slice past the current element).
+    A generic array device rather than a text expression — it lives
+    here beside its main consumers' other shared text helpers.
 
     The output array cell is O(len²) structs, so callers must bound the
     input array upstream (a df/degree cap) — the device trades the

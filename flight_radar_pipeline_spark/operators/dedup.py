@@ -24,6 +24,7 @@ from pyspark.storagelevel import StorageLevel
 
 from flight_radar_pipeline_spark.functions.text import (
     fingerprint,
+    pair_combinations,
     tokens,
     word_ngrams,
 )
@@ -394,8 +395,7 @@ def ngram_jaccard_pairs(
     Docs with fewer than ``n`` tokens produce no grams (and thus no pairs),
     identically on the SQL-oracle side.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams_arr = F.array_distinct(word_ngrams(toks, n))
+    grams_arr = F.array_distinct(word_ngrams(tokens(text_col), n))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
     # grams are per-doc distinct, so count(*) per gram == doc frequency
     gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
@@ -724,8 +724,7 @@ def ngram_containment_pairs(
             "candidate set (and its aggregation buffer) unbounded; pass "
             "an explicit document-frequency cap"
         )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams_arr = F.array_distinct(word_ngrams(toks, n))
+    grams_arr = F.array_distinct(word_ngrams(tokens(text_col), n))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
     gram_df = (
         g.groupBy("gram")
@@ -740,8 +739,6 @@ def ngram_containment_pairs(
         g = g.persist(grams_storage)
     sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sets = g.groupBy("gram").agg(F.array_sort(F.collect_set(id_col)).alias("__ds"))
-    from flight_radar_pipeline_spark.functions.text import pair_combinations
-
     combos = pair_combinations(F.col("__ds"))
     inter = (
         sets.select(F.explode(combos).alias("__p"))

@@ -30,6 +30,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flight_radar_pipeline_spark.functions.text import pair_combinations
+
 
 def connected_components(
     pairs: DataFrame,
@@ -356,8 +358,6 @@ def adamic_adar_pairs(
             F.array_sort(F.collect_set("__u")).alias("__us"),
         )
     )
-    from flight_radar_pipeline_spark.functions.text import pair_combinations
-
     pairs = pair_combinations(F.col("__us"))
     return (
         sets.select(F.explode(pairs).alias("__p"), "__d")

@@ -50,17 +50,21 @@ def basket_association_rules(
     baskets = clean.groupBy("__basket").agg(
         F.array_sort(F.collect_set("__item")).alias("items")
     )
-    emit_expr = (
-        "concat("
-        " array(struct('' as item_a, '' as item_b)),"
-        " transform(items, x -> struct(x as item_a, '' as item_b)),"
-        " transform(items, x -> struct('' as item_a, x as item_b)),"
-        " flatten(transform(items, (x, i) -> "
-        "   transform(slice(items, i + 2, size(items)), "
-        "   y -> struct(x as item_a, y as item_b)))))"
+    from flight_radar_pipeline_spark.functions.text import pair_combinations
+
+    its = F.col("items")
+    emit = F.concat(
+        F.array(F.struct(F.lit("").alias("item_a"), F.lit("").alias("item_b"))),
+        F.transform(
+            its, lambda x: F.struct(x.alias("item_a"), F.lit("").alias("item_b"))
+        ),
+        F.transform(
+            its, lambda x: F.struct(F.lit("").alias("item_a"), x.alias("item_b"))
+        ),
+        pair_combinations(its, "item_a", "item_b"),
     )
     counts = (
-        baskets.select(F.explode(F.expr(emit_expr)).alias("p"))
+        baskets.select(F.explode(emit).alias("p"))
         .select("p.*")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("cnt"))
