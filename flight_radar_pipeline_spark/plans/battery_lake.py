@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1000,17 +1002,29 @@ def orders_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("o_totalprice") + 2000).alias("o_totalprice"),
                  F.lit(_S2_T2).alias("eff"))),
     ]
+    # independent single-task write jobs — overlap them (guide §2.6)
+    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
+        list(
+            pool.map(
+                lambda iw: iw[1]
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(work, f"w{iw[0]}")),
+                enumerate(waves),
+            )
+        )
     for i, w in enumerate(waves):
         wdir = os.path.join(work, f"w{i}")
-        w.coalesce(1).write.mode("overwrite").parquet(wdir)
         for fname in sorted(os.listdir(wdir)):
             if fname.endswith(".parquet"):
                 dst = os.path.join(stage, f"{i:03d}.parquet")
                 os.symlink(os.path.join(wdir, fname), dst)
                 # ascending mtimes bias the file source toward wave order
-                # (the per-batch ts loop below makes any order correct)
-                os.utime(dst, (1000000000 + i * 100, 1000000000 + i * 100),
-                         follow_symlinks=False)
+                # (the per-batch ts loop below makes any order correct);
+                # stamp the TARGET — the file source stats through the
+                # symlink, and the concurrent writes above land in
+                # arbitrary order
+                os.utime(dst, (1000000000 + i * 100, 1000000000 + i * 100))
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         effs = [r["eff"] for r in batch.select("eff").distinct().collect()]

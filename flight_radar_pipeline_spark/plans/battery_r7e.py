@@ -12,6 +12,8 @@ semantics independently. Registered into the shared REGISTRY on import
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -306,15 +308,30 @@ def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.to_date("ts") >= F.lit(cut2)),
     ]
     t0 = 1_700_000_000
+    # independent single-task write jobs — submit concurrently so the
+    # three wave scans overlap (optimization guide §2.6) instead of
+    # serializing three full passes; file bytes are unchanged
+    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
+        list(
+            pool.map(
+                lambda iw: iw[1]
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(work, f"b{iw[0]}")),
+                enumerate(waves),
+            )
+        )
     for i, wave in enumerate(waves):
         bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
         for f in sorted(os.listdir(bdir)):
             if f.endswith(".parquet"):
                 dst = os.path.join(flat, f"{i:03d}.parquet")
                 os.symlink(os.path.join(bdir, f), dst)
                 # pin trigger order: the file source picks oldest-first
-                os.utime(dst, (t0 + 60 * i, t0 + 60 * i), follow_symlinks=False)
+                # by the TARGET file's mtime (Hadoop stats through the
+                # symlink), so stamp the target — the concurrent wave
+                # writes above finish in arbitrary order
+                os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
 
     state_versions: list[str | None] = [None]
     ledger_dirs: list[str] = []

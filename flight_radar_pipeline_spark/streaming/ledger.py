@@ -32,8 +32,52 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _stage_waves(work: str, waves: list[DataFrame]) -> str:
+    """Write each wave as one parquet file and link them into a flat
+    replay dir named ``000.parquet``/``001.parquet``/… (FileStreamSource
+    order: mtime then path — sequential names keep replay chronological).
+
+    The per-wave writes are INDEPENDENT jobs over the same source scan,
+    so they are submitted from a small thread pool and run concurrently
+    (optimization guide §2.6 — Spark's scheduler overlaps them; a
+    ``coalesce(1)`` write is a single task, so sequential submission
+    left the rest of the machine idle three times over). Each wave's
+    file bytes are identical to the sequential version — only the wall
+    clock changes.
+
+    CRITICAL replay-order detail: the file source orders files by the
+    TARGET file's mtime (Hadoop's local FS stats through symlinks), and
+    sequential staging got ascending mtimes for free. Concurrent writes
+    finish in arbitrary order, so each target's mtime is pinned to an
+    ascending per-wave constant AFTER the pool joins — replay stays
+    chronological, byte-identical, and now also mtime-deterministic.
+    Returns the flat dir."""
+    flat = os.path.join(work, "flat")
+    os.makedirs(flat)
+
+    def _write(iw: tuple[int, DataFrame]) -> None:
+        i, wave = iw
+        bdir = os.path.join(work, f"b{i}")
+        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
+        for f in sorted(os.listdir(bdir)):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(bdir, f),
+                    os.path.join(flat, f"{i:03d}.parquet"),
+                )
+
+    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
+        list(pool.map(_write, enumerate(waves)))
+    t0 = 1_000_000_000
+    for i in range(len(waves)):
+        # utime follows the symlink: stamps the target parquet file
+        os.utime(os.path.join(flat, f"{i:03d}.parquet"), (t0 + 60 * i,) * 2)
+    return flat
 
 
 def fold_chronological_waves(
@@ -57,18 +101,8 @@ def fold_chronological_waves(
     if not waves:
         raise ValueError("fold_chronological_waves: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
     schema = waves[0].schema  # the schema actually written below
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(bdir, f),
-                    os.path.join(flat, f"{i:03d}.parquet"),
-                )
+    flat = _stage_waves(work, waves)
 
     state_versions: list[str | None] = [None]
 
@@ -123,18 +157,8 @@ def fold_chronological_waves_delta(
     if not waves:
         raise ValueError("fold_chronological_waves_delta: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
     schema = waves[0].schema
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(bdir, f),
-                    os.path.join(flat, f"{i:03d}.parquet"),
-                )
+    flat = _stage_waves(work, waves)
 
     deltas: list[str] = []
 
