@@ -289,6 +289,29 @@ def recommended_semantic_k(
     return max(floor, math.ceil(n_vectors / target_cell_size))
 
 
+def _arrow_pair_dot_udf(decimals: int):
+    """pandas UDF: rounded dot of two unit-vector columns — one numpy
+    elementwise-multiply + row sum per Arrow batch. The pair verify is
+    the dominant cost of the candidate pipelines (|pairs| · dims
+    multiply-adds, ~dims interpreted lambda calls per pair on the HOF
+    fold path); rounding is half-up via ``np_round_half_up`` and the
+    association-order delta (~1e-15) sits ten orders below the rounding
+    quantum — the ``_rounded_sims`` safety argument, equality with the
+    expression fold asserted in tests."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(ua, ub):
+        import numpy as np
+        import pandas as pd
+
+        x = np.array(ua.tolist(), dtype=np.float64)
+        y = np.array(ub.tolist(), dtype=np.float64)
+        return pd.Series(np_round_half_up((x * y).sum(axis=1), decimals))
+
+    return pair_dot
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -299,6 +322,7 @@ def cosine_near_dup_pairs(
     decimals: int = 6,
     n_dims: int | None = None,
     signature_storage: StorageLevel | None = StorageLevel.MEMORY_AND_DISK,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs → (id_a, id_b, cosine),
     id_a < id_b, cosine ≥ threshold, candidates from multi-table sign-LSH.
@@ -339,13 +363,14 @@ def cosine_near_dup_pairs(
     )
     va = unit.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
+    if impl == "arrow":
+        cos = _arrow_pair_dot_udf(decimals)(F.col("__va"), F.col("__vb"))
+    else:
+        cos = F.round(_dot(F.col("__va"), F.col("__vb")), decimals)
     return hold(
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cosine",
-            F.round(_dot(F.col("__va"), F.col("__vb")), decimals),
-        )
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine"),
         sigs,
@@ -683,6 +708,7 @@ def kmeans_cluster_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Nearest-centroid cluster table → (id, cell, cosine): each vector's
     assigned cell and its rounded cosine to that centroid.
@@ -693,7 +719,40 @@ def kmeans_cluster_assignments(
     the same shuffle-free inline-argmax plan shape as ``assign_cell``,
     here keeping the winning similarity alongside the cell id. At any
     corpus size the assignment stage is a pure projection over the scan.
+
+    ``impl="arrow"`` (default) computes the k rounded sims as one numpy
+    matmul per Arrow batch and argmaxes there — same tie-break (first
+    max = lowest cent_id) and the ``_rounded_sims`` association-order
+    safety argument; ``impl="expr"`` keeps the pure-expression form
+    (bit-portable to the SQL oracle's stated sum order). Equality
+    asserted in tests.
     """
+    if impl == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        cids, cmat, cnorm = _centroid_arrays(centroids)
+
+        @pandas_udf("struct<cell:bigint,cosine:double>")
+        def best_arrow(vecs):
+            import numpy as np
+            import pandas as pd
+
+            sims = _rounded_sims(vecs, cids, cmat, cnorm, decimals)
+            j = np.argmax(sims, axis=1)
+            return pd.DataFrame(
+                {
+                    "cell": cids[j].astype("int64"),
+                    "cosine": sims[np.arange(len(j)), j],
+                }
+            )
+
+        return df.select(
+            F.col(id_col), best_arrow(F.col(vec_col)).alias("__b")
+        ).select(
+            F.col(id_col),
+            F.col("__b.cell").alias("cell"),
+            F.col("__b.cosine").alias("cosine"),
+        )
     vd = F.col(vec_col).cast("array<double>")
     best = F.array_max(_centroid_sim_structs(vd, centroids, decimals))
     return df.select(
@@ -729,9 +788,18 @@ def semantic_dedup_decisions(
     """
     vd = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(_dot(vd, vd))
+    # cell assignment follows the impl switch too: with self-sized k the
+    # expr form inlines k·dims centroid literals (construction + planning
+    # cost grows with k; per-row cost is k interpreted HOF folds), while
+    # the arrow form is one numpy matmul per batch — same rounded-sim
+    # parity argument as _rounded_sims, equality asserted in tests.
+    if impl == "arrow":
+        cell_col = _arrow_cell_udf(centroids, decimals)(F.col(vec_col))
+    else:
+        cell_col = assign_cell(vd, centroids, decimals)
     assigned = df.select(
         F.col(id_col),
-        assign_cell(vd, centroids, decimals).cast("bigint").alias("cell"),
+        cell_col.cast("bigint").alias("cell"),
         F.transform(vd, lambda x: x / norm).alias("__unit"),
     )
     a = assigned.select(
@@ -741,24 +809,9 @@ def semantic_dedup_decisions(
         F.col(id_col).alias("id_b"), "cell", F.col("__unit").alias("__ub")
     )
     if impl == "arrow":
-        # numpy row-wise dot per Arrow batch — the pair verify is the
-        # dominant cost (|cell|²/2 dots of dim-length folds) and the
-        # interpreted HOF fold pays ~dim lambda calls per pair; same
-        # rounding (np_round_half_up) and association-order safety
-        # argument as _rounded_sims, equality asserted in tests.
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def pair_dot(ua, ub):
-            import numpy as np
-            import pandas as pd
-
-            x = np.array(ua.tolist(), dtype=np.float64)
-            y = np.array(ub.tolist(), dtype=np.float64)
-            d = (x * y).sum(axis=1)
-            return pd.Series(np_round_half_up(d, decimals))
-
-        cos = pair_dot(F.col("__ua"), F.col("__ub"))
+        # numpy row-wise dot per Arrow batch (shared _arrow_pair_dot_udf
+        # — the pair verify is the dominant cost: |cell|²/2 dots)
+        cos = _arrow_pair_dot_udf(decimals)(F.col("__ua"), F.col("__ub"))
     else:
         cos = F.round(_dot(F.col("__ua"), F.col("__ub")), decimals)
     near = (
@@ -900,6 +953,7 @@ def topk_neighbors_ivfpq(
     decimals: int = 6,
     codebooks: list | None = None,
     refine: int | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ ANN → (query_id, neighbor_id, cosine): the full
     compressed-index serving shape — coarse centroids route the search
@@ -928,6 +982,17 @@ def topk_neighbors_ivfpq(
     dots per query instead of |probed cells| (measured ladder in
     ``tests/test_recall.py``). The refined cosine is exact, so the
     column means the same thing the brute-force operator returns.
+
+    ``impl="arrow"`` (default) computes the coarse cell, the probe list,
+    and all m subspace codes as numpy matmuls per Arrow batch — the same
+    fast path (and the same rounded-sim association-order safety
+    argument) as ``topk_neighbors_ivf``; beyond the per-row arithmetic,
+    it also keeps the expression tree small (the expr form inlines
+    num_centroids·n + m·codebook_k·sub centroid literals into interpreted
+    HOF folds, whose construction and planning dominate wall time at toy
+    scale and whose per-row interpretation costs ~dims lambda calls per
+    centroid at any scale). ``impl="expr"`` keeps the pure-expression
+    form; both are asserted identical in ``tests/test_recall.py``.
     """
     n = _require_n_dims(n_dims, "topk_neighbors_ivfpq")
     sub = n // m
@@ -941,23 +1006,40 @@ def topk_neighbors_ivfpq(
     recon_parts = []
     for s in range(m):
         book = codebooks[s]
-        code = assign_cell(F.slice(vd, s * sub + 1, sub), book, decimals)
-        codewords = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in vec])
+        sub_slice = F.slice(vd, s * sub + 1, sub)
+        if impl == "arrow":
+            code = _arrow_cell_udf(book, decimals)(sub_slice)
+        else:
+            code = assign_cell(sub_slice, book, decimals)
+        # one parsed literal instead of codebook_k·sub F.lit py4j calls
+        # (identical Literal(double) nodes — repr round-trips exactly,
+        # the D suffix pins DoubleType against SQL's decimal default)
+        codewords = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in vec) + ")"
                 for _, vec in sorted(book)
-            ]
+            )
+            + ")"
         )
         recon_parts.append(F.element_at(codewords, code + 1))
+    if impl == "arrow":
+        cell_col = _arrow_cell_udf(coarse, decimals)(F.col(vec_col))
+        probe_col = F.explode(
+            _arrow_probes_udf(coarse, nprobe, decimals)(F.col(vec_col))
+        )
+    else:
+        cell_col = assign_cell(vd, coarse, decimals)
+        probe_col = F.explode(probe_cells(vd, coarse, nprobe, decimals))
     assign = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.concat(*recon_parts).alias("__recon"),
-        assign_cell(vd, coarse, decimals).alias("cell"),
+        cell_col.alias("cell"),
     )
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         vd.alias("__qvec"),
-        F.explode(probe_cells(vd, coarse, nprobe, decimals)).alias("cell"),
+        probe_col.alias("cell"),
     )
     scored = (
         probes.join(assign, "cell")

@@ -482,10 +482,10 @@ def embedding_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.collect_centroids(emb, 16)
+    # arrow fast path (one numpy matmul per batch) instead of the
+    # 16×64-literal expression argmax — same cells, asserted in tests
     assigned = emb.select(
-        S.assign_cell(F.col("embedding").cast("array<double>"), cents, 6).alias(
-            "cell"
-        )
+        S._arrow_cell_udf(cents, 6)(F.col("embedding")).alias("cell")
     )
     occ = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors")

@@ -300,3 +300,46 @@ def test_ivfpq_recall_ladder(emb, exact):
         S.topk_neighbors_ivfpq(emb, queries, refine=10_000, **kw)
     )
     assert full == ivf, "full refinement must equal plain IVF (routing-only loss)"
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_ivfpq_arrow_expr_impls_identical(emb):
+    """The Arrow (numpy matmul) coarse-cell / probe / subspace-code path
+    of IVF-PQ must produce exactly the expression path's results —
+    including the reconstruction cosines, which depend on every code
+    choice (rounding to 6dp absorbs matmul association-order noise; ties
+    break cid-asc in both)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    kw = dict(k=5, num_centroids=16, nprobe=2, m=4, codebook_k=8,
+              iters=2, n_dims=64)
+    a = S.topk_neighbors_ivfpq(emb, queries, impl="arrow", **kw)
+    e = S.topk_neighbors_ivfpq(emb, queries, impl="expr", **kw)
+    cols = ("query_id", "neighbor_id", "cosine")
+    assert _rows(a, *cols) == _rows(e, *cols)
+    ar = S.topk_neighbors_ivfpq(emb, queries, impl="arrow", refine=16, **kw)
+    er = S.topk_neighbors_ivfpq(emb, queries, impl="expr", refine=16, **kw)
+    assert _rows(ar, *cols) == _rows(er, *cols)
+
+
+def test_near_dup_pair_verify_impls_identical(emb):
+    """The Arrow pair-dot verify of cosine_near_dup_pairs must equal the
+    expression fold verify row-for-row including the rounded cosines
+    (threshold=-2 keeps every candidate, so every pair's value is
+    compared, not just the survivors)."""
+    cols = ("id_a", "id_b", "cosine")
+    a = S.cosine_near_dup_pairs(emb, threshold=-2.0, n_dims=64, impl="arrow")
+    e = S.cosine_near_dup_pairs(emb, threshold=-2.0, n_dims=64, impl="expr")
+    assert _rows(a, *cols) == _rows(e, *cols)
+
+
+def test_cluster_assignment_impls_identical(emb):
+    """kmeans_cluster_assignments' Arrow struct path must equal the
+    expression argmax path — cell ids AND winning cosines."""
+    cents = S.collect_centroids(emb, 16)
+    cols = ("vec_id", "cell", "cosine")
+    a = S.kmeans_cluster_assignments(emb, cents, impl="arrow")
+    e = S.kmeans_cluster_assignments(emb, cents, impl="expr")
+    assert _rows(a, *cols) == _rows(e, *cols)
