@@ -108,8 +108,16 @@ def pagerank(
     repartitioned on ``src`` ONCE and checkpointed, so every iteration's
     edge⋈rank join reuses that layout instead of re-shuffling edges; the
     rank and out-degree tables are node-sized. The contribution sum has
-    full map-side partial aggregation. No driver actions, no windows; the
-    only per-iteration driver work is assembling the next plan.
+    full map-side partial aggregation.
+
+    The node table is materialized once too (round-13 optimization):
+    every iteration's left join — and the teleport term — used to
+    re-derive ``nodes`` (two scans of the edge table + a distinct) and
+    the 1-row count aggregate per consumer, so the unrolled static plan
+    re-scanned edges ~2× per iteration just to rebuild the same node
+    set. One eager checkpoint + one bounded count action replaces those
+    subplans with a materialized leaf and a literal N (bit-identical
+    arithmetic: the same double division, now constant-folded).
     """
     dedup = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
@@ -131,11 +139,12 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    n_count = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    pr = nodes.crossJoin(F.broadcast(n_count)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
-    )
+    # bounded driver action (node count, one bigint) — the same double
+    # the old 1-row count aggregate carried, now a plan literal
+    n_lit = F.lit(float(nodes.count()))
+    pr = nodes.select("node", (F.lit(1.0) / n_lit).alias("pr"))
     for _ in range(iterations):
         contrib = (
             e.join(pr.withColumnRenamed("node", "src"), "src")
@@ -144,11 +153,10 @@ def pagerank(
         )
         pr = (
             nodes.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
-            .crossJoin(F.broadcast(n_count))
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("__n")
+                    (1.0 - damping) / n_lit
                     + damping * F.coalesce(F.col("__mass"), F.lit(0.0))
                 ).alias("pr"),
             )
@@ -273,10 +281,14 @@ def n_hop_reach(
     left-anti join against the visited set, so per-round cost tracks the
     frontier size, not the graph size. ``edges`` is repartitioned on
     ``src`` ONCE and cached so every hop reuses the same partitioning;
-    the visited set is localCheckpoint-ed per round to cut the growing
-    lineage (same posture as ``connected_components``). Hop count is a
-    fixed small constant — this is NOT transitive closure; unbounded
-    reachability wants ``connected_components_star``.
+    each hop's FRONTIER is localCheckpoint-ed (it feeds the next hop's
+    join and the final union), while the visited set stays a shallow
+    union of those materialized frontiers — checkpointing it too (the
+    pre-round-13 shape) re-materialized all prior hops once per hop, a
+    second eager driver action per round that bought nothing: the union
+    is already flat. Hop count is a fixed small constant — this is NOT
+    transitive closure; unbounded reachability wants
+    ``connected_components_star``.
     """
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     e = e.repartition("__src").cache()
@@ -293,7 +305,6 @@ def n_hop_reach(
         )
         nxt = nxt.localCheckpoint(eager=True)
         visited = visited.union(nxt.select("__node", F.lit(hop).alias("hop")))
-        visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     e.unpersist()
     return visited.select(F.col("__node").alias(node), "hop")
@@ -420,7 +431,6 @@ def time_respecting_reach(
         visited = visited.unionByName(
             nxt.select("__node", F.lit(hop).alias("hop"), "arrival")
         )
-        visited = visited.localCheckpoint(eager=True)
         frontier = nxt
     e.unpersist()
     return visited.select(
@@ -560,15 +570,29 @@ def hits_scores(
             .agg(F.sum("s").cast("long").alias("s"))
             .withColumnRenamed("src", "node")
         )
-    w_all = Window.partitionBy()
+    # the final authority table feeds BOTH output branches (directly, and
+    # through the last hub step) — materialize it once so the unrolled
+    # iteration chain doesn't execute under each branch (round-13
+    # optimization); node-sized, same class as the edge checkpoint above
+    a = a.localCheckpoint(eager=True)
+    h = (
+        e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.sum("s").cast("long").alias("s"))
+        .withColumnRenamed("src", "node")
+    )
     out = []
     for role, table in (("authority", a), ("hub", h)):
+        # L1 total via a 1-row aggregate broadcast back in — the empty
+        # window this replaces moved the whole node table to ONE
+        # partition to compute the same exact bigint sum
+        total = table.agg(F.sum("s").cast("long").alias("__tot"))
         out.append(
-            table.select(
+            table.crossJoin(F.broadcast(total)).select(
                 F.lit(role).alias("role"),
                 "node",
                 F.col("s").alias("paths"),
-                F.round(F.col("s") / F.sum("s").over(w_all), decimals).alias(
+                F.round(F.col("s") / F.col("__tot"), decimals).alias(
                     "score"
                 ),
             )

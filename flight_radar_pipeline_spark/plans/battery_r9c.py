@@ -124,8 +124,9 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage" question. Spark runs the loop driver-side with one
     anti-join + one aggregate + one 1-row collect per step (O(k) driver
     state — the IRLS discipline, `operators/mining.py` precedent); the
-    covered set stays distributed and localCheckpoint()s per step so
-    step i+1's plan doesn't re-derive steps 1..i. The oracle unrolls
+    covered set stays distributed as an isin-filter of the ONE
+    checkpointed pair table (parts of any picked supplier), so step
+    i+1's plan is flat without a per-step materialization. The oracle unrolls
     the same {k} steps as materialized CTEs. All counts are exact
     integers; the one division (coverage fraction) rounds at 6dp.
     At 100 TB the per-step cost is one shuffle of the (supp, part)
@@ -133,12 +134,20 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     but k is small and each step is a full-parallel aggregate."""
     pairs = _cover_pairs(spark, sf_dir).localCheckpoint()
     total = pairs.select("l_partkey").distinct().count()
-    covered = None
+    picked_keys: list[int] = []
     rows = []
     cum = 0
     for step in range(1, _COVER_STEPS + 1):
         cand = pairs
-        if covered is not None:
+        if picked_keys:
+            # the covered set IS "parts of any picked supplier" — an
+            # isin filter over the one checkpointed pair table, so each
+            # step's anti-join stays flat without materializing a
+            # growing covered chain (the pre-round-13 shape paid one
+            # localCheckpoint action per step for the same membership)
+            covered = pairs.filter(
+                F.col("l_suppkey").isin(picked_keys)
+            ).select("l_partkey")
             cand = pairs.join(covered, "l_partkey", "left_anti")
         picked = (
             cand.groupBy("l_suppkey")
@@ -150,14 +159,7 @@ def supplier_part_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not picked:  # universe exhausted before k steps (small SFs)
             break
         best = picked[0]
-        newly = cand.filter(F.col("l_suppkey") == best.l_suppkey).select(
-            "l_partkey"
-        )
-        covered = (
-            newly
-            if covered is None
-            else covered.unionByName(newly)
-        ).localCheckpoint()
+        picked_keys.append(int(best.l_suppkey))
         cum += best.gain
         rows.append((step, int(best.l_suppkey), int(best.gain), cum))
     out = spark.createDataFrame(
