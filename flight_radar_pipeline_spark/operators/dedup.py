@@ -397,11 +397,17 @@ def ngram_jaccard_pairs(
     """
     grams_arr = F.array_distinct(word_ngrams(tokens(text_col), n))
     g = df.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
-    # grams are per-doc distinct, so count(*) per gram == doc frequency
-    gram_df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    # grams are per-doc distinct, so count(*) per gram == doc frequency.
+    # A gram-partition window (one shuffle of the exploded rows) instead
+    # of the old agg + equi-join back: that shape shuffled the SAME
+    # exploded rows twice and ran the gram explode once per consumer —
+    # measured 3.47 -> 2.44 s median at sf0.1 on the standalone entry,
+    # results identical (round-13 optimization, guide §2.2).
+    g = g.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
     if maxdf is not None:
-        gram_df = gram_df.filter(F.col("__df") <= maxdf)
-    g = g.join(gram_df, "gram")
+        g = g.filter(F.col("__df") <= maxdf)
 
     if not prefix_filter:
         sizes = g.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))

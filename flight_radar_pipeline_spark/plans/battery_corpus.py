@@ -1335,15 +1335,26 @@ _E2E_ORACLE = rf"""
 """
 
 
-def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stages 1–5 of `corpus_training_manifest` — the corpus-sized
-    upstream (exact dedup → trigram near-dedup → decontamination →
-    quality gate → stratified sample) that the entry's lineage-
-    truncating `localCheckpoint()` hides from the final audited plan."""
+def _e2e_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–3a of `corpus_training_manifest` — exact dedup →
+    trigram near-dedup → train-slice filter, i.e. everything upstream of
+    the decontamination report. Split out (round-13 optimization) so the
+    composed funnel can materialize it ONCE: `train` feeds BOTH the
+    contamination report and the decontamination anti-join, and as one
+    fused lineage the whole dedup/near-dedup chain executed under each
+    consumer (measured: fused upstream 5.5 s warm vs 3.2 s staged at
+    sf0.1 — one extra near-dedup pass). Audited as the
+    `[grid:train_funnel]` subplan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
 
-    # 1. exact dedup (content fingerprint, keep-min winner)
-    uniq = D.dedup_exact(docs).drop("dup_count")
+    # 1. exact dedup (content fingerprint, keep-min winner) —
+    # materialized once: three subplans consume it (the gram explode,
+    # the df join side, and the near-dedup anti-join left), and fused it
+    # re-executed its window dedup under each (audited as
+    # [grid:exact_dedup])
+    uniq = (
+        D.dedup_exact(docs).drop("dup_count").localCheckpoint(eager=True)
+    )
 
     # 2. near dedup: capped trigram-Jaccard pairs; greedy drop of id_b
     pairs = D.ngram_jaccard_pairs(
@@ -1355,9 +1366,26 @@ def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
 
-    # 3. decontamination vs the held-out slice of the RAW corpus
+    # 3a. the train slice (decontamination compares against the held-out
+    # eval slice of the RAW corpus, not of `near`)
     is_eval = T.hash_bucket("doc_id", 10) == 1
-    train = near.filter(~is_eval)
+    return near.filter(~is_eval)
+
+
+def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1–5 of `corpus_training_manifest` — the corpus-sized
+    upstream (exact dedup → trigram near-dedup → decontamination →
+    quality gate → stratified sample) that the entry's lineage-
+    truncating `localCheckpoint()` hides from the final audited plan.
+    The dedup chain (`_e2e_train`) is materialized once here — its two
+    consumers (contamination report + decontamination anti-join) used to
+    re-execute it each."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    train = _e2e_train(spark, sf_dir).localCheckpoint(eager=True)
+
+    # 3b. decontamination vs the held-out slice of the RAW corpus
+    is_eval = T.hash_bucket("doc_id", 10) == 1
     report = P.contamination_report(train, docs.filter(is_eval), n=3)
     contaminated = report.filter(
         F.col("contamination") >= _E2E_CONTAM_T
@@ -1389,7 +1417,16 @@ def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_grid_plans("corpus_training_manifest")
 def _e2e_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {"upstream_funnel": _e2e_upstream(spark, sf_dir)}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    return {
+        "upstream_funnel": _e2e_upstream(spark, sf_dir),
+        # the subplans the round-13 mid-funnel checkpoints truncate away
+        # — audited separately so the round-12 blind-spot closure holds
+        "train_funnel": _e2e_train(spark, sf_dir),
+        "exact_dedup": D.dedup_exact(docs).drop("dup_count"),
+    }
 
 
 @register("corpus_training_manifest", _E2E_ORACLE)
