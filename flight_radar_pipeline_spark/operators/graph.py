@@ -187,10 +187,14 @@ def star_contraction(
     each component's minimum id — reached in O(log n) practical rounds
     (O(log² n) worst case) versus diameter rounds for label propagation.
 
-    Scale: each round is two grouped ``min`` aggregates (full map-side
-    partials) + two equi-joins, all keyed on node id; ``localCheckpoint``
-    truncates lineage per round; convergence is a (count, xxhash64
-    checksum) comparison — one tiny aggregate, no edge-set subtract.
+    Scale: each round computes the per-node minima as WINDOW minima over
+    the same partitioning key the old groupBy+join-back pair used — one
+    shuffle of the adjacency per star step instead of an aggregate
+    exchange plus a join exchange (the round-13 `ngram_jaccard_pairs`
+    rewrite, guide §2.2: never aggregate and join back on the same key);
+    ``localCheckpoint`` truncates lineage per round; convergence is a
+    (count, xxhash64 checksum) comparison — one tiny aggregate, no
+    edge-set subtract.
     """
     e = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -215,22 +219,33 @@ def star_contraction(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # large-star over the bidirectional adjacency
+        # large-star over the bidirectional adjacency: the neighborhood
+        # minimum is a window min over u — same key, one shuffle, no
+        # join-back (m = min(Γ(u) ∪ {u}))
         adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = adj.groupBy("u").agg(F.min("v").alias("__mn"))
-        mins = mins.select("u", F.least("__mn", "u").alias("m"))
+        m_u = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
         large = (
-            adj.join(mins, "u")
+            adj.withColumn("m", m_u)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
             .distinct()
         )
-        # small-star over parent edges (u < v by construction: m < v)
-        sm = large.groupBy("v").agg(F.min("u").alias("m"))
+        # small-star over parent edges (u < v by construction: m < v):
+        # m = min(N⁻(v)) as a window min over v; every u re-points to m
+        # and v itself re-points to m (emitted per row — the final
+        # distinct collapses the per-group duplicates)
+        m_v = F.min("u").over(Window.partitionBy("v"))
         small = (
-            large.join(sm, "v")
-            .select(F.col("m").alias("a"), F.col("u").alias("b"))
-            .union(sm.select(F.col("m").alias("a"), F.col("v").alias("b")))
+            large.withColumn("m", m_v)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("m").alias("a"), F.col("u").alias("b")),
+                        F.struct(F.col("m").alias("a"), F.col("v").alias("b")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.a", "__e.b")
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
             .distinct()
@@ -607,6 +622,7 @@ def kcore_peel(
     src: str = "src",
     dst: str = "dst",
     symmetrize: bool = True,
+    pre_deduped: bool = False,
 ) -> list[DataFrame]:
     """Fixed-round k-core peeling → list of per-round surviving edge
     DataFrames (round 1..rounds): each round drops nodes with degree < k
@@ -617,10 +633,17 @@ def kcore_peel(
     Degree is computed from the src side, which is only correct on a
     symmetric edge set — so by default the operator symmetrizes the
     input itself (union with the reversed edges). ``symmetrize=False``
-    is for callers that already hold both directions. Either way the
-    edge set is deduplicated here: a multi-edge input would silently
-    inflate degrees and yield wrong cores, so the precondition is
-    enforced in code, not just the docstring.
+    is for callers that already hold both directions. The edge set is
+    deduplicated and materialized here by default: a multi-edge input
+    would silently inflate degrees and yield wrong cores, so the
+    precondition is enforced in code, not just the docstring.
+    ``pre_deduped=True`` (only with ``symmetrize=False``) skips that
+    dedup + checkpoint for callers whose edge table is ALREADY distinct
+    and materialized — re-deduplicating an eager-checkpointed distinct
+    edge list paid one full extra shuffle + copy of the largest table in
+    the loop for nothing (round-13, guide §2.1); the precondition moves
+    to the caller, so only pass it beside an explicit argument for why
+    the input is distinct.
 
     Scale posture: one map-side-combinable degree aggregate + two
     node-keyed semi-joins per round on a monotonically shrinking edge
@@ -630,7 +653,16 @@ def kcore_peel(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if symmetrize:
         e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = e.distinct().localCheckpoint(eager=True)
+    if pre_deduped:
+        if symmetrize:
+            raise ValueError(
+                "kcore_peel: pre_deduped=True requires symmetrize=False "
+                "(the symmetrizing union creates the duplicates the "
+                "dedup exists to remove)"
+            )
+        sym = e
+    else:
+        sym = e.distinct().localCheckpoint(eager=True)
     out: list[DataFrame] = []
     for _ in range(rounds):
         keep = (

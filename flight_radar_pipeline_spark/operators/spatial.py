@@ -215,6 +215,50 @@ def geo_nearest_within(
     )
 
 
+def dbscan_core_labels(
+    pairs: DataFrame,
+    sym: DataFrame,
+    ids: DataFrame,
+    min_pts: int,
+) -> DataFrame:
+    """The core-point labeling subplan of ``geo_dbscan_clusters`` —
+    degree filter → core–core CC (star contraction) → (id, cluster_id,
+    'core') — factored out so the entry's grid-audit row can restate the
+    plan that the operator's eager ``localCheckpoint`` hides from the
+    final audited plan (the round-12 blind-spot discipline).
+
+    Neighbor counts include the point itself (min_pts semantics match
+    scikit-learn). ``deg`` only holds points with >= 1 pair, so
+    ``min_pts <= 1`` short-circuits: every point (isolated ones
+    included) has itself in its eps-neighborhood and is a core
+    singleton."""
+    if min_pts <= 1:
+        core = ids
+    else:
+        deg = sym.groupBy(F.col("id_a").alias("id")).agg(
+            (F.count(F.lit(1)) + 1).alias("n_in_eps")
+        )
+        core = deg.filter(F.col("n_in_eps") >= min_pts).select("id")
+    core_edges = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    from flight_radar_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    # star contraction, not label propagation: geographic eps-graphs are
+    # long-diameter blobs (a connected coastline needs diameter rounds
+    # under label prop; star contraction converges in O(log n) rounds)
+    cc = connected_components_star(core_edges)  # (doc_id, cluster_id)
+    return core.join(cc.withColumnRenamed("doc_id", "id"), "id", "left").select(
+        "id",
+        F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+        F.lit("core").alias("role"),
+    )
+
+
 def geo_dbscan_clusters(
     points: DataFrame,
     id_col: str,
@@ -263,38 +307,13 @@ def geo_dbscan_clusters(
     sym = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    # neighbor counts (self counts toward min_pts, per scikit-learn).
-    # deg only holds points with >= 1 pair, so min_pts <= 1 must
-    # short-circuit: every point (isolated ones included) has itself in
-    # its eps-neighborhood and is a core singleton, matching sklearn.
-    if min_pts <= 1:
-        core = ids
-    else:
-        deg = sym.groupBy(F.col("id_a").alias("id")).agg(
-            (F.count(F.lit(1)) + 1).alias("n_in_eps")
-        )
-        core = deg.filter(F.col("n_in_eps") >= min_pts).select("id")
-    core_edges = (
-        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
-        .join(core.withColumnRenamed("id", "id_b"), "id_b")
-        .select("id_a", "id_b")
-    )
-    from flight_radar_pipeline_spark.operators.graph import (
-        connected_components_star,
-    )
-
-    # star contraction, not label propagation: geographic eps-graphs are
-    # long-diameter blobs (a connected coastline needs diameter rounds
-    # under label prop; star contraction converges in O(log n) rounds)
-    cc = connected_components_star(core_edges)  # (doc_id, cluster_id)
-    core_labeled = (
-        core.join(cc.withColumnRenamed("doc_id", "id"), "id", "left")
-        .select(
-            "id",
-            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
-            F.lit("core").alias("role"),
-        )
-    )
+    core_labeled = dbscan_core_labels(pairs, sym, ids, min_pts)
+    # three consumers below (border's lookup side, border's anti side,
+    # the labeled union) — node-sized, materialize once so the CC +
+    # degree pipeline doesn't execute under each branch (round-13,
+    # guide §2.1); the hidden subplan stays auditable via
+    # ``dbscan_core_labels`` in the entry's GRID_PLANS row
+    core_labeled = core_labeled.localCheckpoint(eager=True)
     border = (
         sym.withColumnRenamed("id_a", "id")
         .join(
@@ -309,11 +328,12 @@ def geo_dbscan_clusters(
         .select("id", "cluster_id", F.lit("border").alias("role"))
     )
     labeled = core_labeled.unionByName(border)
-    noise = ids.join(labeled.select("id"), "id", "left_anti").select(
+    # every id is labeled at most once (core ids are distinct, border
+    # excludes them and groups by id), so "noise = the unlabeled rest"
+    # is one left join with a coalesce — not an anti-join branch PLUS a
+    # union, which executed the labeled pipeline twice (round-13)
+    return ids.join(labeled, "id", "left").select(
         "id",
-        F.lit(None).cast(labeled.schema["cluster_id"].dataType).alias(
-            "cluster_id"
-        ),
-        F.lit("noise").alias("role"),
+        "cluster_id",
+        F.coalesce("role", F.lit("noise")).alias("role"),
     )
-    return labeled.unionByName(noise)

@@ -137,9 +137,16 @@ def entity_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = (deg_row.m + 2 * deg_row.v - 1) // (2 * deg_row.v)
     out = []
     for rnd, sym_r in enumerate(
-        # input is already symmetric + distinct by construction; the
-        # operator still dedupes internally (multi-edge guard)
-        kcore_peel(sym, k=k, rounds=_KCORE_ROUNDS, symmetrize=False), start=1
+        # input is symmetric + DISTINCT by construction (`pair` is a
+        # distinct customer–supplier set and the two union branches are
+        # disjoint: 'c…'→'s…' vs 's…'→'c…'), and the localCheckpoint
+        # above already materialized it — pre_deduped=True skips the
+        # operator's internal re-dedup + re-checkpoint, which re-shuffled
+        # and re-copied the full edge list once per call (round-13)
+        kcore_peel(
+            sym, k=k, rounds=_KCORE_ROUNDS, symmetrize=False, pre_deduped=True
+        ),
+        start=1,
     ):
         out.append(
             sym_r.agg(

@@ -323,15 +323,30 @@ def _dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dbscan_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """The grid-bucketed pair join `customer_geo_dbscan` checkpoints at
     build time (it feeds both the min_pts sizing count and the
-    clustering) — the fact-side subplan hidden from the final plan."""
-    from flight_radar_pipeline_spark.operators.spatial import geo_cell_pairs
+    clustering) — the fact-side subplan hidden from the final plan.
+    `core_labels` restates the degree-filter → core-CC → core-label
+    chain the operator materializes behind its round-13 eager
+    localCheckpoint (blind-spot discipline; min_pts pinned to the
+    sf-independent floor — the sizing rule only raises it, and the
+    subplan SHAPE is what the audit bans run against)."""
+    from flight_radar_pipeline_spark.operators.spatial import (
+        dbscan_core_labels,
+        geo_cell_pairs,
+    )
 
     pts = _dbscan_points(spark, sf_dir)
+    pairs = geo_cell_pairs(
+        pts, "id", "lat", "lon",
+        radius_km=_DB_EPS_KM, cell_deg=2.0, max_abs_lat=45.0,
+    )
+    p = pairs.select("id_a", "id_b")
+    sym = p.union(
+        p.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    ids = pts.select(F.col("id")).distinct()
     return {
-        "cell_pairs": geo_cell_pairs(
-            pts, "id", "lat", "lon",
-            radius_km=_DB_EPS_KM, cell_deg=2.0, max_abs_lat=45.0,
-        )
+        "cell_pairs": pairs,
+        "core_labels": dbscan_core_labels(p, sym, ids, min_pts=3),
     }
 
 

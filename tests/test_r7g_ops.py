@@ -93,6 +93,38 @@ def test_kcore_unsymmetrized_multiedge_input_is_sanitized(spark):
     assert rounds3[0].count() == 0
 
 
+def test_kcore_pre_deduped_matches_default_path(spark):
+    """Round-13: `pre_deduped=True` (the entry's fast path — skips the
+    internal re-dedup + re-checkpoint of an already-distinct symmetric
+    edge set) must peel identically to the guarded default."""
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
+    und = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "d")]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    pre = edges.localCheckpoint(eager=True)
+    for k in (2, 3):
+        fast = [
+            sorted((r.src, r.dst) for r in df.collect())
+            for df in kcore_peel(
+                pre, k=k, rounds=3, symmetrize=False, pre_deduped=True
+            )
+        ]
+        slow = [
+            sorted((r.src, r.dst) for r in df.collect())
+            for df in kcore_peel(edges, k=k, rounds=3, symmetrize=False)
+        ]
+        assert fast == slow
+
+
+def test_kcore_pre_deduped_with_symmetrize_raises(spark):
+    from flight_radar_pipeline_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="pre_deduped"):
+        kcore_peel(edges, k=2, rounds=1, symmetrize=True, pre_deduped=True)
+
+
 def test_hits_zero_iterations_raises(spark):
     from flight_radar_pipeline_spark.operators.graph import hits_scores
 
