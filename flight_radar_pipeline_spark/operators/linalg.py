@@ -68,15 +68,23 @@ def top_principal_component(
     iteration → (dim, loading), loadings rounded in-plan. Each round:
     broadcast the 1-row current vector, dot it against every row
     (``zip_with``/``aggregate`` fold), then one global aggregate of
-    ``n_dims`` sums re-assembles the next vector."""
+    ``n_dims`` sums re-assembles the next vector.
+
+    Construction-cost note (round-13, guide §1.3): the per-dimension sum
+    expressions are built as ONE parsed SQL string per iteration (the
+    codeword-table trick from the ANN family) instead of ``n_dims``
+    nested Column operations — the py4j round-trips of ~200 Column calls
+    per iteration dominated the entry's wall (3.2 s of pure plan
+    construction, 1 Spark job). The parsed expressions are identical, so
+    the evaluated plan — and every rounded loading — is unchanged."""
     x = vectors.select(
         F.transform(F.col(vec_col), lambda e: e.cast("double")).alias("x")
     )
     v = None
     for it in range(iterations):
         if it == 0:
-            vec = F.array(*[F.lit(c) for c in _seed_vector(n_dims)])
-            rows = x.select("x", vec.alias("v"))
+            seed_sql = ", ".join(f"{c!r}D" for c in _seed_vector(n_dims))
+            rows = x.select("x", F.expr(f"array({seed_sql})").alias("v"))
         else:
             rows = x.crossJoin(F.broadcast(v))
         dotted = rows.select(
@@ -87,17 +95,11 @@ def top_principal_component(
                 lambda acc, e: acc + e,
             ).alias("__dot"),
         )
-        c = dotted.agg(
-            *[
-                F.sum(F.col("x")[i] * F.col("__dot")).alias(f"__c{i}")
-                for i in range(n_dims)
-            ]
+        sums_sql = ", ".join(
+            f"sum(x[{i}] * __dot)" for i in range(n_dims)
         )
-        v = _normalize(
-            c.select(
-                F.array(*[F.col(f"__c{i}") for i in range(n_dims)]).alias("vraw")
-            )
-        )
+        c = dotted.agg(F.expr(f"array({sums_sql})").alias("vraw"))
+        v = _normalize(c)
     sgn = F.when(
         F.aggregate("v", F.lit(0.0), lambda acc, e: acc + e) < 0, F.lit(-1.0)
     ).otherwise(F.lit(1.0))

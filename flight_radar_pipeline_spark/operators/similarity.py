@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 
-from flight_radar_pipeline_spark.operators.lifecycle import hold, release
+from flight_radar_pipeline_spark.operators.lifecycle import hold
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -289,27 +289,143 @@ def recommended_semantic_k(
     return max(floor, math.ceil(n_vectors / target_cell_size))
 
 
-def _arrow_pair_dot_udf(decimals: int):
-    """pandas UDF: rounded dot of two unit-vector columns — one numpy
-    elementwise-multiply + row sum per Arrow batch. The pair verify is
-    the dominant cost of the candidate pipelines (|pairs| · dims
-    multiply-adds, ~dims interpreted lambda calls per pair on the HOF
-    fold path); rounding is half-up via ``np_round_half_up`` and the
-    association-order delta (~1e-15) sits ten orders below the rounding
-    quantum — the ``_rounded_sims`` safety argument, equality with the
-    expression fold asserted in tests."""
-    from pyspark.sql.functions import pandas_udf
+def _bucket_pair_dots(
+    rows: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    unit_col: str,
+    decimals: int,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Bucket-local pair verify → (id_a, id_b, cosine), id_a < id_b,
+    one row per within-bucket pair (cross-bucket duplicates are the
+    caller's concern), optionally pre-filtered to ``cosine >=
+    threshold`` INSIDE the worker.
 
-    @pandas_udf("double")
-    def pair_dot(ua, ub):
+    The round-13 Python-boundary fix (guide §4): the join-shaped verify
+    shipped BOTH unit vectors of every candidate pair through Arrow —
+    |pairs| × 2 × dims doubles (≈0.5 GB at sf0.1 for the all-candidate
+    mutual-NN feed) — where grouping by bucket ships each vector ONCE
+    per table (|corpus| × tables × dims) and enumerates the pairs with
+    ``np.triu_indices`` inside the worker. Arithmetic is bit-identical
+    to the pairwise Arrow dot it replaces: the same
+    ``(U[ia] * U[ib]).sum(axis=1)`` elementwise-multiply + row reduction
+    on float64, the same half-up rounding; chunked so peak memory tracks
+    the chunk, not the bucket
+    pair count. Bucket sizes are bounded by the callers' self-sizing
+    (LSH plane counts / k-means k), which is what bounds the quadratic
+    enumeration — the same contract the join form relied on.
+
+    Rounding is half-up via ``np_round_half_up`` and the float64
+    association-order delta vs the expression fold (~1e-15) sits ten
+    orders below the rounding quantum — the ``_rounded_sims`` safety
+    argument; equality with the expression fold is asserted in tests.
+    """
+    id_type = dict(rows.dtypes)[id_col]
+    schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def pair_dots(pdf):
         import numpy as np
         import pandas as pd
 
-        x = np.array(ua.tolist(), dtype=np.float64)
-        y = np.array(ub.tolist(), dtype=np.float64)
-        return pd.Series(np_round_half_up((x * y).sum(axis=1), decimals))
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": ids[:0],
+                    "id_b": ids[:0],
+                    "cosine": np.empty(0, dtype=np.float64),
+                }
+            )
+        mat = np.array(pdf[unit_col].to_numpy()[order].tolist(), dtype=np.float64)
+        ia, ib = np.triu_indices(n, 1)
+        outs_a, outs_b, outs_c = [], [], []
+        step = 1 << 18
+        for s in range(0, len(ia), step):
+            sa, sb = ia[s : s + step], ib[s : s + step]
+            d = np_round_half_up((mat[sa] * mat[sb]).sum(axis=1), decimals)
+            if threshold is not None:
+                keep = d >= threshold
+                sa, sb, d = sa[keep], sb[keep], d[keep]
+            outs_a.append(ids[sa])
+            outs_b.append(ids[sb])
+            outs_c.append(d)
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(outs_a),
+                "id_b": np.concatenate(outs_b),
+                "cosine": np.concatenate(outs_c),
+            }
+        )
 
-    return pair_dot
+    return rows.groupBy(*group_cols).applyInPandas(pair_dots, schema)
+
+
+def _bucket_best_neighbor(
+    rows: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    unit_col: str,
+    decimals: int,
+) -> DataFrame:
+    """Per-bucket nearest neighbor → (src, dst, cosine): every bucket
+    member's best bucket-mate under (cosine desc, id asc). The argmax
+    decomposes over any partition of the candidate set, so a global
+    ``max(struct(cosine, −dst))`` over these per-bucket bests equals the
+    argmax over the union of all bucket pairs — which lets the mutual-NN
+    pipeline emit |corpus| × tables rows from the workers instead of
+    every candidate pair (round-13, guide §2.2/§4). Same float64 pair
+    arithmetic and rounding as ``_bucket_pair_dots``."""
+    id_type = dict(rows.dtypes)[id_col]
+    schema = f"src {id_type}, dst {id_type}, cosine double"
+
+    def best_neighbor(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "src": ids[:0],
+                    "dst": ids[:0],
+                    "cosine": np.empty(0, dtype=np.float64),
+                }
+            )
+        mat = np.array(pdf[unit_col].to_numpy()[order].tolist(), dtype=np.float64)
+        ia, ib = np.triu_indices(n, 1)
+        # running best per member position: max cosine, tie → min
+        # neighbor POSITION (ids are sorted ascending, so position
+        # order IS id order)
+        best_c = np.full(n, -np.inf)
+        best_j = np.full(n, n, dtype=np.int64)
+        step = 1 << 18
+        for s in range(0, len(ia), step):
+            sa, sb = ia[s : s + step], ib[s : s + step]
+            d = np_round_half_up((mat[sa] * mat[sb]).sum(axis=1), decimals)
+            for idx, nb in ((sa, sb), (sb, sa)):
+                # reduce the chunk to one candidate per idx: sort by
+                # (idx, -d, nb) and keep each idx's first row
+                o = np.lexsort((nb, -d, idx))
+                first = np.ones(len(o), dtype=bool)
+                first[1:] = idx[o][1:] != idx[o][:-1]
+                ri, rd, rj = idx[o][first], d[o][first], nb[o][first]
+                upd = (rd > best_c[ri]) | (
+                    (rd == best_c[ri]) & (rj < best_j[ri])
+                )
+                best_c[ri[upd]] = rd[upd]
+                best_j[ri[upd]] = rj[upd]
+        return pd.DataFrame(
+            {"src": ids, "dst": ids[best_j], "cosine": best_c}
+        )
+
+    return rows.groupBy(*group_cols).applyInPandas(best_neighbor, schema)
 
 
 def cosine_near_dup_pairs(
@@ -332,25 +448,28 @@ def cosine_near_dup_pairs(
     cross product never materializes. Recall rises with ``num_tables``
     (union of candidates) — the knob a 100 TB embedding-dedup job tunes.
 
-    ``signature_storage`` materializes the signature table once — both
-    sides of the candidate self-join consume it, and signature dots are
-    the expensive expression (tables × planes × dims multiply-adds per
-    row). Same knob semantics as the dedup operators: ``DISK_ONLY`` at
-    corpus scale (a real pipeline writes signatures to storage), ``None``
-    to recompute per consumer.
+    ``impl="arrow"`` (default, the production path) verifies pairs
+    BUCKET-LOCALLY: the signature table joins the unit vectors once and
+    an ``applyInPandas`` per (table, signature) bucket enumerates and
+    dots the within-bucket pairs — each vector crosses the Python
+    boundary once per table instead of once per candidate pair (the
+    round-13 guide-§4 fix; ``_bucket_pair_dots`` states the
+    bit-identity argument vs the pairwise Arrow dot), the threshold
+    filter runs inside the worker, and the candidate self-join
+    disappears — the cross-table duplicate collapse is one ``distinct``
+    over the surviving (id_a, id_b, cosine) rows. ``impl="expr"`` keeps
+    the join-shaped candidate pipeline with the bit-portable expression
+    fold verify (the engine-parity reference; equality asserted in
+    tests).
+
+    ``signature_storage`` (expr path only — the arrow path consumes the
+    signature table exactly once) materializes the signature table for
+    its two self-join sides. Same knob semantics as the dedup
+    operators: ``DISK_ONLY`` at corpus scale, ``None`` to recompute per
+    consumer.
     """
     sigs = multitable_signatures(
         df, num_tables, planes_per_table, id_col, vec_col, n_dims
-    )
-    if signature_storage is not None:
-        sigs = sigs.persist(signature_storage)
-    left = sigs.select(F.col(id_col).alias("id_a"), "table", "signature")
-    right = sigs.select(F.col(id_col).alias("id_b"), "table", "signature")
-    cands = (
-        left.join(right, ["table", "signature"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
     # normalize once per vector (one corpus pass), so the per-pair verify
     # is a single dot product instead of dot + two norms — the candidate
@@ -361,12 +480,29 @@ def cosine_near_dup_pairs(
         F.col(id_col),
         F.transform(vd, lambda x: x / norm).alias("__unit"),
     )
+    if impl == "arrow":
+        rows = sigs.join(unit, id_col)
+        return _bucket_pair_dots(
+            rows,
+            ["table", "signature"],
+            id_col,
+            "__unit",
+            decimals,
+            threshold=threshold,
+        ).distinct()
+    if signature_storage is not None:
+        sigs = sigs.persist(signature_storage)
+    left = sigs.select(F.col(id_col).alias("id_a"), "table", "signature")
+    right = sigs.select(F.col(id_col).alias("id_b"), "table", "signature")
+    cands = (
+        left.join(right, ["table", "signature"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     va = unit.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__va"))
     vb = unit.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__vb"))
-    if impl == "arrow":
-        cos = _arrow_pair_dot_udf(decimals)(F.col("__va"), F.col("__vb"))
-    else:
-        cos = F.round(_dot(F.col("__va"), F.col("__vb")), decimals)
+    cos = F.round(_dot(F.col("__va"), F.col("__vb")), decimals)
     return hold(
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -802,18 +938,43 @@ def semantic_dedup_decisions(
         cell_col.cast("bigint").alias("cell"),
         F.transform(vd, lambda x: x / norm).alias("__unit"),
     )
+    if impl == "arrow":
+        # bucket-local pair verify (round-13, guide §4): one
+        # applyInPandas per cell enumerates + dots the in-cell pairs —
+        # each unit vector crosses the Python boundary once instead of
+        # once per pair, the threshold rides inside the worker, and the
+        # cell self-join disappears (cells are disjoint, so no
+        # cross-bucket duplicates exist and no distinct is needed).
+        # `assigned` then has two remaining consumers (the pair feed and
+        # the output's id/cell base) — persist it so the quantizer
+        # assignment UDF runs once; released via the returned frame's
+        # `hold` tag or the session's ContextCleaner.
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        near = (
+            _bucket_pair_dots(
+                assigned, ["cell"], id_col, "__unit", decimals,
+                threshold=threshold,
+            )
+            .groupBy("id_b")
+            .agg(F.count(F.lit(1)).alias("n_lower_dups"))
+            .withColumnRenamed("id_b", id_col)
+        )
+        out = assigned.drop("__unit").join(near, id_col, "left").select(
+            F.col(id_col),
+            "cell",
+            F.coalesce("n_lower_dups", F.lit(0)).cast("bigint").alias(
+                "n_lower_dups"
+            ),
+            F.col("n_lower_dups").isNull().alias("kept"),
+        )
+        return hold(out, assigned)
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cell", F.col("__unit").alias("__ua")
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"), "cell", F.col("__unit").alias("__ub")
     )
-    if impl == "arrow":
-        # numpy row-wise dot per Arrow batch (shared _arrow_pair_dot_udf
-        # — the pair verify is the dominant cost: |cell|²/2 dots)
-        cos = _arrow_pair_dot_udf(decimals)(F.col("__ua"), F.col("__ub"))
-    else:
-        cos = F.round(_dot(F.col("__ua"), F.col("__ub")), decimals)
+    cos = F.round(_dot(F.col("__ua"), F.col("__ub")), decimals)
     near = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -849,57 +1010,60 @@ def mutual_nn_pairs(
 
     Candidates come from the same multi-table sign-LSH as
     ``cosine_near_dup_pairs`` (no corpus cross product; self-size
-    ``planes_per_table`` via ``recommended_planes``); the argmax per id
-    is a window over each id's candidate list (bounded by bucket
-    occupancy), and reciprocity is one self-equi-join of the nn table on
-    the reversed pair. Ties break toward the smaller neighbor id on both
-    engines."""
-    scored = cosine_near_dup_pairs(
-        df,
-        threshold=-2.0,  # keep every candidate; reciprocity is the filter
-        num_tables=num_tables,
-        planes_per_table=planes_per_table,
-        id_col=id_col,
-        vec_col=vec_col,
-        decimals=decimals,
-        n_dims=n_dims,
-        signature_storage=signature_storage,
+    ``planes_per_table`` via ``recommended_planes``). The per-id argmax
+    is computed in two exact levels (round-13): each LSH bucket emits
+    every member's best bucket-mate under (cosine desc, id asc) from the
+    bucket-local verify (``_bucket_best_neighbor`` — |corpus| × tables
+    rows leave the workers instead of every candidate pair), then ONE
+    map-side-combinable ``max(struct(cosine, −dst, dst))`` folds the
+    per-bucket bests; lexicographic max is associative over any
+    partition of the candidate set, so this equals the argmax over the
+    full candidate union (the pre-round-13 shape sort-shuffled the
+    ENTIRE verified candidate table through a row_number window).
+    Reciprocity is one self-equi-join of the materialized nn table on
+    the reversed pair. Ties break toward the smaller neighbor id on
+    both engines (the negated-id struct field)."""
+    vd = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(_dot(vd, vd))
+    unit = df.select(
+        F.col(id_col),
+        F.transform(vd, lambda x: x / norm).alias("__unit"),
     )
-    # symmetrize with a row-local explode (NOT a self-union): the verify
-    # pipeline behind `scored` is the dominant cost and a union would
-    # compute it once per branch
-    sym = scored.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-                ),
-                F.struct(
-                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-                ),
-            )
-        ).alias("__e"),
-        "cosine",
-    ).select("__e.src", "__e.dst", "cosine")
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
-    nn = (
-        sym.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("src", "dst", "cosine")
+    sigs = multitable_signatures(
+        df, num_tables, planes_per_table, id_col, vec_col, n_dims
+    )
+    bucket_best = _bucket_best_neighbor(
+        sigs.join(unit, id_col),
+        ["table", "signature"],
+        id_col,
+        "__unit",
+        decimals,
+    )
+    # top-1 per src = max over (cosine desc, dst asc): lexicographic
+    # struct max on (cosine, -dst) with dst carried as a tiebreak-inert
+    # third field (rows equal on the first two fields share it)
+    best = F.max(
+        F.struct(
+            F.col("cosine").alias("c"),
+            (-F.col("dst")).alias("negd"),
+            F.col("dst").alias("d"),
+        )
+    ).alias("__best")
+    nn = bucket_best.groupBy("src").agg(best).select(
+        "src",
+        F.col("__best.d").alias("dst"),
+        F.col("__best.c").alias("cosine"),
     )
     if signature_storage is not None:
         # both sides of the reciprocity join consume nn; without
         # materialization the whole candidate-generation + verify
         # pipeline runs twice. An eager localCheckpoint (not persist)
-        # makes the operator self-contained: the checkpoint action
-        # consumes `scored` HERE, so its upstream signature cache can be
-        # released before returning, and the nn blocks are owned by the
-        # returned plan — reclaimed by the ContextCleaner when the
+        # makes the operator self-contained: the nn blocks are owned by
+        # the returned plan — reclaimed by the ContextCleaner when the
         # DataFrame is dropped. A default call holds ZERO entries in the
         # SQL cache manager (tests/test_lifecycle.py pins this); no
         # clearCache contract needed.
         nn = nn.localCheckpoint(eager=True)
-        release(scored)
     fwd = nn.select(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b"), "cosine"
     ).filter(F.col("id_a") < F.col("id_b"))
@@ -919,23 +1083,33 @@ def train_pq_codebooks(
     """The PQ index build: one deterministic spherical k-means per
     subspace (seeds ``pq{s}`` — the same books ``pq_reconstruction_error``
     audits), returned as m driver-side codeword lists so callers can
-    train ONCE per corpus and share across audit and search."""
+    train ONCE per corpus and share across audit and search.
+
+    The m subspace trainings are fully independent, so they run as
+    concurrent Spark jobs from a thread pool (round-13, guide §2.6 —
+    the wave-staging pattern): the driver-sync chain drops from
+    m × (iters + 1) sequential collect latencies to (iters + 1) waves,
+    and on a cluster the m per-iteration corpus scans overlap instead of
+    serializing. Per-subspace arithmetic, seeds, and rounding are
+    untouched — the books are bit-identical to the sequential build."""
+    from concurrent.futures import ThreadPoolExecutor
+
     n = _require_n_dims(n_dims, "train_pq_codebooks")
     sub = n // m
     vd = F.col(vec_col).cast("array<double>")
-    books = []
-    for s in range(m):
+
+    def _train(s: int) -> list[tuple[int, list[float]]]:
         subdf = corpus.select(
             F.col(id_col).alias("__id"),
             F.slice(vd, s * sub + 1, sub).alias("__v"),
         )
-        books.append(
-            kmeans_centroids(
-                subdf, k=codebook_k, iters=iters, id_col="__id",
-                vec_col="__v", n_dims=sub, seed=f"pq{s}",
-            )
+        return kmeans_centroids(
+            subdf, k=codebook_k, iters=iters, id_col="__id",
+            vec_col="__v", n_dims=sub, seed=f"pq{s}",
         )
-    return books
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(_train, range(m)))
 
 
 def topk_neighbors_ivfpq(

@@ -862,9 +862,12 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     k = S.recommended_semantic_k(emb.count(), target_cell_size=_SEM_TARGET_CELL)
     cents = _shared_kmeans_centroids(spark, sf_dir, k=k)
-    return S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T).orderBy(
-        "vec_id"
-    )
+    out = S.semantic_dedup_decisions(emb, cents, threshold=_SEM_T)
+    # re-tag the held assignment persist through the orderBy so library
+    # callers can release() it (bench clears the catalog cache per entry)
+    from flight_radar_pipeline_spark.operators.lifecycle import hold
+
+    return hold(out.orderBy("vec_id"), out)
 
 
 # --------------------------------------------------------------------------

@@ -975,35 +975,53 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
-    )
-    tf = tok.select(
-        "doc_id", T.hash_bucket("t", _HTF_D).alias("bucket")
-    ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    dense = (
-        tf.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bucket", "c"))
-            ).alias("m")
+
+    def _dense(d: DataFrame) -> DataFrame:
+        tok = d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("t")
         )
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_HTF_D - 1)),
-                lambda i: F.coalesce(
-                    F.element_at("m", i.cast("bigint")), F.lit(0)
-                ).cast("double"),
-            ).alias("tfv"),
+        tf = tok.select(
+            "doc_id", T.hash_bucket("t", _HTF_D).alias("bucket")
+        ).groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+        return (
+            tf.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "c"))
+                ).alias("m")
+            )
+            .select(
+                "doc_id",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_HTF_D - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at("m", i.cast("bigint")), F.lit(0)
+                    ).cast("double"),
+                ).alias("tfv"),
+            )
         )
+
+    # the first-K-by-id quantizer needs only the K smallest doc_ids with
+    # tokenizable text, and each doc's TF vector depends on its own text
+    # alone — featurize just those K docs for the centroid collect
+    # instead of running the full corpus TF chain at build time
+    # (round-13, guide §2.2: project/filter early). `dense` contains
+    # exactly the docs with non-null text (a present text always yields
+    # >= 1 split token), so the K-smallest filter commutes with the
+    # featurizer.
+    seed_docs = (
+        docs.filter(F.col("text").isNotNull())
+        .orderBy("doc_id")
+        .limit(_TOPIC_K)
+        .select("doc_id", "text")
     )
     cents = collect_centroids(
-        dense, num_centroids=_TOPIC_K, id_col="doc_id", vec_col="tfv"
+        _dense(seed_docs), num_centroids=_TOPIC_K, id_col="doc_id",
+        vec_col="tfv",
     )
     return (
         kmeans_cluster_assignments(
-            dense, cents, id_col="doc_id", vec_col="tfv"
+            _dense(docs), cents, id_col="doc_id", vec_col="tfv"
         )
         .select("doc_id", "cell", F.col("cosine"))
         .orderBy("doc_id")

@@ -75,10 +75,29 @@ def test_release_is_idempotent_and_transitive(spark):
     )
 
     spark.catalog.clearCache()
-    pairs = cosine_near_dup_pairs(_vectors(spark), threshold=0.0, n_dims=8)
+    # the expr path keeps the self-join candidate pipeline and its
+    # signature persist — the release/held machinery's exercise case
+    pairs = cosine_near_dup_pairs(
+        _vectors(spark), threshold=0.0, n_dims=8, impl="expr"
+    )
     assert len(held(pairs)) == 1  # the signature table
     pairs.count()
     release(pairs)
     assert _cache_manager_empty(spark)
     release(pairs)  # second release is a no-op
     assert held(pairs) == ()
+
+
+def test_bucket_verify_arrow_path_holds_no_cache(spark):
+    """Round-13: the arrow (production) path verifies pairs
+    bucket-locally — the signature table is consumed exactly once, so a
+    default call persists nothing and leaves the cache manager empty."""
+    from flight_radar_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    spark.catalog.clearCache()
+    pairs = cosine_near_dup_pairs(_vectors(spark), threshold=0.0, n_dims=8)
+    assert held(pairs) == ()
+    pairs.count()
+    assert _cache_manager_empty(spark)
