@@ -15,7 +15,6 @@ Registered into the shared REGISTRY on import (see __spark_entry__).
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1186,10 +1185,10 @@ def orders_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flight_radar_pipeline_spark.pipeline.silver import dedup_by_key
 
+    from flight_radar_pipeline_spark.streaming.ledger import stage_waves
+
     orders = load_table(spark, sf_dir, "orders")
     work = tempfile.mkdtemp(prefix="cdc_stream_")
-    stage = os.path.join(work, "log")
-    os.makedirs(stage)
     ins = orders.select(
         "o_orderkey", F.col("o_totalprice").alias("price"),
         F.lit(1).alias("seq"), F.lit("I").alias("op"),
@@ -1202,34 +1201,10 @@ def orders_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.lit(None).cast("double").alias("price"),
         F.lit(3).alias("seq"), F.lit("D").alias("op"),
     )
-    # three independent single-task write jobs — overlap them (guide §2.6)
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(
-            pool.map(
-                lambda ib: ib[1]
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(stage, f"b{ib[0]}")),
-                enumerate((ins, upd, dels)),
-            )
-        )
-    # flatten: the file source lists leaf files; one data file per batch dir
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
-    n = 0
-    for i in range(3):
-        bdir = os.path.join(stage, f"b{i}")
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{i:03d}.parquet")
-                os.symlink(os.path.join(bdir, f), dst)
-                # pin trigger order on the TARGET's mtime — the
-                # concurrent wave writes finish in arbitrary order (the
-                # seq-keyed fold is order-insensitive, but replay order
-                # should not depend on thread scheduling)
-                os.utime(dst, (1_000_000_000 + 60 * i,) * 2)
-                n += 1
-    assert n == 3, "expected exactly one data file per CDC batch"
+    # one wave-tagged write job, one file per batch, pinned ascending
+    # mtimes (the shared ledger staging — the seq-keyed fold is
+    # order-insensitive within a batch)
+    flat = stage_waves(work, [ins, upd, dels])
 
     schema = ins.schema
     log_stream = (

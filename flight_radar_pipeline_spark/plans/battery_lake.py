@@ -16,7 +16,6 @@ from __future__ import annotations
 import os
 import tempfile
 
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +27,7 @@ from flight_radar_pipeline_spark.operators.cdc import (
 )
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
+from flight_radar_pipeline_spark.streaming.ledger import stage_waves
 
 # --------------------------------------------------------------------------
 # snapshot diff (CDC between two table versions)
@@ -375,25 +375,63 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; this one does three scans total. Parent keys dedupe before
     the left joins so "unmatched" is exactly NOT EXISTS even under a
     (contract-violating) duplicate parent key; dims broadcast after the
-    tiny distinct; orders↔lineitem co-partitions on the join key. At
-    100 TB: one pass over each child table, full map-side combine."""
+    tiny distinct. Round-13 (guide §2.3, aggregate before you shuffle):
+    the one NON-broadcast join (lineitem→orders) no longer shuffles the
+    child at row grain — the child collapses to the FK's grain first
+    (count per l_orderkey, carrying the broadcast relations' orphan
+    counts as partial sums), so the only row-grain shuffle of the
+    biggest table becomes a key-grain one (~4× fewer, far narrower rows
+    on TPC-H; the same factor at 100 TB). n_orphan for the non-broadcast
+    relation is Σ cnt over unmatched keys — exactly the row count the
+    row-grain left join null-counted. At 100 TB: one pass over each
+    child table, full map-side combine, no fact-grain exchange."""
     def audited(child, joins):
-        """One scan of ``child``: left-join each (alias, parent_df, ck,
-        pk) with deduped parent keys, then one aggregate emitting
-        n_child plus per-relation orphan counts, exploded to rows."""
+        """One scan of ``child``: left-join each broadcast (alias,
+        parent_df, ck, pk) with deduped parent keys; if one join is
+        non-broadcast, pre-aggregate the child to that FK's grain before
+        it; then one aggregate emitting n_child plus per-relation orphan
+        counts, exploded to rows."""
         c = load_table(spark, sf_dir, child)
-        for _rel, parent, ck, pk, bcast in joins:
+        bcast_joins = [j for j in joins if j[4]]
+        big_joins = [j for j in joins if not j[4]]
+        assert len(big_joins) <= 1, "one non-broadcast relation per child"
+        for _rel, parent, ck, pk, _b in bcast_joins:
             p = parent.select(pk).distinct()
-            c = c.join(
-                F.broadcast(p) if bcast else p, c[ck] == p[pk], "left"
+            c = c.join(F.broadcast(p), c[ck] == p[pk], "left")
+        if big_joins:
+            _rel, parent, ck, pk, _b = big_joins[0]
+            g = c.groupBy(ck).agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                *[
+                    F.count(F.when(F.col(bpk).isNull(), 1)).alias(
+                        f"__o_{bpk}"
+                    )
+                    for _r, _p, _c, bpk, _ in bcast_joins
+                ],
             )
-        agg = c.agg(
-            F.count(F.lit(1)).alias("n_child"),
-            *[
-                F.count(F.when(F.col(pk).isNull(), 1)).alias(f"__o_{pk}")
-                for _rel, _p, _ck, pk, _b in joins
-            ],
-        )
+            p = parent.select(pk).distinct()
+            agg = g.join(p, g[ck] == p[pk], "left").agg(
+                F.sum("__cnt").alias("n_child"),
+                F.sum(
+                    F.when(F.col(pk).isNull(), F.col("__cnt")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias(f"__o_{pk}"),
+                *[
+                    F.sum(f"__o_{bpk}").alias(f"__o_{bpk}")
+                    for _r, _p, _c, bpk, _ in bcast_joins
+                ],
+            )
+        else:
+            agg = c.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                *[
+                    F.count(F.when(F.col(pk).isNull(), 1)).alias(
+                        f"__o_{pk}"
+                    )
+                    for _rel, _p, _ck, pk, _b in joins
+                ],
+            )
         return agg.select(
             F.explode(
                 F.array(
@@ -990,8 +1028,6 @@ def orders_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("valid_to"),
     ).write.mode("overwrite").parquet(versions[0])
 
-    stage = os.path.join(work, "updates")
-    os.makedirs(stage)
     waves = [
         (orders.filter(F.col("o_orderkey") % 10 == 0)
          .select("o_orderkey",
@@ -1002,29 +1038,11 @@ def orders_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("o_totalprice") + 2000).alias("o_totalprice"),
                  F.lit(_S2_T2).alias("eff"))),
     ]
-    # independent single-task write jobs — overlap them (guide §2.6)
-    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
-        list(
-            pool.map(
-                lambda iw: iw[1]
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(work, f"w{iw[0]}")),
-                enumerate(waves),
-            )
-        )
-    for i, w in enumerate(waves):
-        wdir = os.path.join(work, f"w{i}")
-        for fname in sorted(os.listdir(wdir)):
-            if fname.endswith(".parquet"):
-                dst = os.path.join(stage, f"{i:03d}.parquet")
-                os.symlink(os.path.join(wdir, fname), dst)
-                # ascending mtimes bias the file source toward wave order
-                # (the per-batch ts loop below makes any order correct);
-                # stamp the TARGET — the file source stats through the
-                # symlink, and the concurrent writes above land in
-                # arbitrary order
-                os.utime(dst, (1000000000 + i * 100, 1000000000 + i * 100))
+    # one wave-tagged write job, one file per wave, pinned ascending
+    # mtimes (the shared ledger staging); the per-batch ts loop below
+    # makes ANY replay order correct, and scd2_apply is key-joined, so
+    # within-file row order is immaterial
+    stage = stage_waves(work, waves)
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         effs = [r["eff"] for r in batch.select("eff").distinct().collect()]

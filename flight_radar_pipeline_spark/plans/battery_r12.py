@@ -449,7 +449,12 @@ def corpus_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["st"]
     )
     # same compact-side redistribution as the NB tokenizer: the ~|text|×
-    # shingle fan-out must not inherit a one-file input's single task
+    # shingle fan-out must not inherit a one-file input's single task.
+    # (Round-13 optimization pass: a row-local array_distinct before the
+    # explode was tried — min(doc_id) per term is invariant to within-doc
+    # duplicates — and measured: this corpus re-mints only 7% of shingles
+    # within a document (1.45M → 1.35M rows at sf0.1), so the per-row
+    # hash-set cost isn't paid back; left on the plain explode.)
     shingles = docs.repartition("doc_id").select(
         "doc_id",
         F.explode(

@@ -12,7 +12,6 @@ semantics independently. Registered into the shared REGISTRY on import
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -289,6 +288,8 @@ def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     from datetime import timedelta
 
+    from flight_radar_pipeline_spark.streaming.ledger import stage_waves
+
     ev = load_table(spark, sf_dir, "events")
     lohi = ev.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
@@ -298,8 +299,6 @@ def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
 
     work = tempfile.mkdtemp(prefix="growth_stream_")
-    flat = os.path.join(work, "flat")
-    os.makedirs(flat)
     waves = [
         ev.filter(F.to_date("ts") < F.lit(cut1)),
         ev.filter(
@@ -307,31 +306,11 @@ def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ev.filter(F.to_date("ts") >= F.lit(cut2)),
     ]
-    t0 = 1_700_000_000
-    # independent single-task write jobs — submit concurrently so the
-    # three wave scans overlap (optimization guide §2.6) instead of
-    # serializing three full passes; file bytes are unchanged
-    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
-        list(
-            pool.map(
-                lambda iw: iw[1]
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(work, f"b{iw[0]}")),
-                enumerate(waves),
-            )
-        )
-    for i, wave in enumerate(waves):
-        bdir = os.path.join(work, f"b{i}")
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                dst = os.path.join(flat, f"{i:03d}.parquet")
-                os.symlink(os.path.join(bdir, f), dst)
-                # pin trigger order: the file source picks oldest-first
-                # by the TARGET file's mtime (Hadoop stats through the
-                # symlink), so stamp the target — the concurrent wave
-                # writes above finish in arbitrary order
-                os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    # one wave-tagged write job (parallel scan, one file per wave, pinned
+    # ascending mtimes) — the shared ledger staging; the fold below is
+    # keyed (distinct + per-user windows), so within-file row order is
+    # immaterial
+    flat = stage_waves(work, waves)
 
     state_versions: list[str | None] = [None]
     ledger_dirs: list[str] = []

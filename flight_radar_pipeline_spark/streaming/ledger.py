@@ -18,13 +18,12 @@ parquet's. Under the int64-nanos timestamp generation that
 physical-schema readStream would fail on the re-written waves.
 
 File ordering: Spark's FileStreamSource takes new files by modification
-time with path as the tiebreak. The waves are written sequentially and
-named ``000.parquet``/``001.parquet``/…, so replay order is
-chronological without any mtime stamping (an earlier version stamped
-symlink mtimes via ``os.utime(..., follow_symlinks=False)``, which the
-JVM's stat — it follows symlinks — never saw; the stamps were dead
-code). The ledgers' correctness never depended on it: integer partials
-merge to the same state under ANY batch order.
+time with path as the tiebreak. The waves land in one write job whose
+task completion order is arbitrary, so each flat symlink's TARGET file
+gets an explicitly pinned ascending mtime (a follow-symlink ``utime`` —
+the JVM's stat follows symlinks) and replay order is deterministic and
+chronological. The ledgers' correctness never depended on it: integer
+partials merge to the same state under ANY batch order.
 """
 
 from __future__ import annotations
@@ -32,52 +31,69 @@ from __future__ import annotations
 import os
 import tempfile
 from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def _stage_waves(work: str, waves: list[DataFrame]) -> str:
+def stage_waves(work: str, waves: list[DataFrame]) -> str:
     """Write each wave as one parquet file and link them into a flat
     replay dir named ``000.parquet``/``001.parquet``/… (FileStreamSource
     order: mtime then path — sequential names keep replay chronological).
 
-    The per-wave writes are INDEPENDENT jobs over the same source scan,
-    so they are submitted from a small thread pool and run concurrently
-    (optimization guide §2.6 — Spark's scheduler overlaps them; a
-    ``coalesce(1)`` write is a single task, so sequential submission
-    left the rest of the machine idle three times over). Each wave's
-    file bytes are identical to the sequential version — only the wall
-    clock changes.
+    All waves are written by ONE job (round-13 optimization, guide
+    §2.3/§2.4): each wave is tagged with its index, the union is
+    hash-repartitioned on the tag (every wave's rows land in exactly one
+    task), and a ``partitionBy`` write emits exactly one data file per
+    wave. The previous shape ran one ``coalesce(1)`` write job per wave
+    — a SINGLE-TASK full pass over the source per wave (overlapped via a
+    thread pool, but still 3 single-task scans; at real wave sizes a
+    non-partitionable stage). Now the source branches are scanned with
+    full parallelism inside one job and only the wave-tagged rows cross
+    one small exchange. Within-file ROW ORDER changes versus the
+    sequential writer (shuffle fetch order); every consumer folds each
+    batch through keyed aggregations, so the folded state — and every
+    entry's result — is unchanged (the oracle sweep asserts it).
 
     CRITICAL replay-order detail: the file source orders files by the
-    TARGET file's mtime (Hadoop's local FS stats through symlinks), and
-    sequential staging got ascending mtimes for free. Concurrent writes
-    finish in arbitrary order, so each target's mtime is pinned to an
-    ascending per-wave constant AFTER the pool joins — replay stays
-    chronological, byte-identical, and now also mtime-deterministic.
+    TARGET file's mtime (Hadoop's local FS stats through symlinks), so
+    each target's mtime is pinned to an ascending per-wave constant —
+    replay stays chronological and mtime-deterministic.
     Returns the flat dir."""
     flat = os.path.join(work, "flat")
     os.makedirs(flat)
 
-    def _write(iw: tuple[int, DataFrame]) -> None:
-        i, wave = iw
-        bdir = os.path.join(work, f"b{i}")
-        wave.coalesce(1).write.mode("overwrite").parquet(bdir)
-        for f in sorted(os.listdir(bdir)):
-            if f.endswith(".parquet"):
-                os.symlink(
-                    os.path.join(bdir, f),
-                    os.path.join(flat, f"{i:03d}.parquet"),
-                )
-
-    with ThreadPoolExecutor(max_workers=len(waves)) as pool:
-        list(pool.map(_write, enumerate(waves)))
+    tagged = waves[0].withColumn("__wave", F.lit(0))
+    for i, wave in enumerate(waves[1:], start=1):
+        tagged = tagged.unionByName(wave.withColumn("__wave", F.lit(i)))
+    staged = os.path.join(work, "staged")
+    (
+        tagged.repartition(len(waves), "__wave")
+        .write.mode("overwrite")
+        .partitionBy("__wave")
+        .parquet(staged)
+    )
     t0 = 1_000_000_000
     for i in range(len(waves)):
+        wdir = os.path.join(staged, f"__wave={i}")
+        if not os.path.isdir(wdir):
+            # empty wave: the dynamic-partition write emits nothing for
+            # absent values — write the 0-row file the sequential staging
+            # produced, so the replay still sees one batch per wave
+            waves[i].limit(0).coalesce(1).write.mode("overwrite").parquet(
+                wdir
+            )
+        files = [f for f in sorted(os.listdir(wdir)) if f.endswith(".parquet")]
+        # all rows of a wave hash to one task, so exactly one data file
+        assert len(files) == 1, f"wave {i}: expected 1 file, got {files}"
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        os.symlink(os.path.join(wdir, files[0]), dst)
         # utime follows the symlink: stamps the target parquet file
-        os.utime(os.path.join(flat, f"{i:03d}.parquet"), (t0 + 60 * i,) * 2)
+        os.utime(dst, (t0 + 60 * i,) * 2)
     return flat
+
+
+_stage_waves = stage_waves  # internal alias (pre-round-13 name)
 
 
 def fold_chronological_waves(
@@ -102,7 +118,7 @@ def fold_chronological_waves(
         raise ValueError("fold_chronological_waves: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
     schema = waves[0].schema  # the schema actually written below
-    flat = _stage_waves(work, waves)
+    flat = stage_waves(work, waves)
 
     state_versions: list[str | None] = [None]
 
@@ -158,7 +174,7 @@ def fold_chronological_waves_delta(
         raise ValueError("fold_chronological_waves_delta: `waves` is empty")
     work = tempfile.mkdtemp(prefix=prefix)
     schema = waves[0].schema
-    flat = _stage_waves(work, waves)
+    flat = stage_waves(work, waves)
 
     deltas: list[str] = []
 

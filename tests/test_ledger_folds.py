@@ -62,3 +62,33 @@ def test_delta_fold_single_wave_degenerate(spark):
     )
     direct = sorted(tuple(r) for r in _increment(ev).collect())
     assert sorted(tuple(r) for r in out.collect()) == direct
+
+
+def test_stage_waves_one_file_per_wave_mtimes_ascending(spark, tmp_path):
+    """The round-13 single-job staging must keep the replay contract:
+    exactly one data file per wave, flat names 000.parquet…, strictly
+    ascending TARGET mtimes, and per-wave contents identical (as sets)
+    to the wave frames — including a 0-row wave, which the dynamic
+    partition write would otherwise drop from the replay."""
+    import os
+
+    from flight_radar_pipeline_spark.streaming.ledger import stage_waves
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_type")
+    waves = [
+        ev.filter(F.col("user_id") % 3 == 0),
+        ev.filter(F.lit(False)),  # empty wave
+        ev.filter(F.col("user_id") % 3 != 0),
+    ]
+    flat = stage_waves(str(tmp_path), waves)
+    names = sorted(os.listdir(flat))
+    assert names == ["000.parquet", "001.parquet", "002.parquet"]
+    mtimes = [os.stat(os.path.join(flat, n)).st_mtime for n in names]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    for i, n in enumerate(names):
+        got = spark.read.parquet(os.path.join(flat, n))
+        assert got.schema == waves[i].schema
+        assert (
+            got.exceptAll(waves[i]).count() == 0
+            and waves[i].exceptAll(got).count() == 0
+        )
