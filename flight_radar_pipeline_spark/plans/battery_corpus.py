@@ -380,10 +380,27 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of word trigrams that repeat an
     earlier trigram — the corpus-cleaning signal that catches boilerplate,
     keyword stuffing, and degenerate generations. Pure array exprs, scan
-    speed at any scale."""
+    speed at any scale.
+
+    Round-13 (the lambda-CSE house rule, guide §1.3): the token and gram
+    arrays are hoisted into their own projections — the fused
+    ``repetition_ratio`` column referenced the interpreted zip_with gram
+    build twice (and each build re-ran the regex split n times), so every
+    row paid 2 gram builds + 6 splits; multi-referenced non-cheap aliases
+    block CollapseProject, so each now evaluates once per row. Identical
+    arithmetic, measured ~2× on the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", T.repetition_ratio("text", n=_REP_N).alias("rep_ratio")
+    toks = docs.select("doc_id", T.tokens("text").alias("__toks"))
+    grams = toks.select(
+        "doc_id", T.word_ngrams(F.col("__toks"), _REP_N).alias("__grams")
+    )
+    total = F.size("__grams")
+    rep = total - F.size(F.array_distinct("__grams"))
+    return grams.select(
+        "doc_id",
+        F.round(
+            rep.cast("double") / F.greatest(total, F.lit(1)).cast("double"), 4
+        ).alias("rep_ratio"),
     ).orderBy("doc_id")
 
 
