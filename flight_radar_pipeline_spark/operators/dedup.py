@@ -175,17 +175,15 @@ def minhash_signatures(
     base = shingle_df.select(
         F.col(id_col), _hex_prefix_long(F.md5(F.col("shingle"))).alias("__H")
     )
-    mins = [
-        F.min((F.lit(a) * F.col("__H") + F.lit(b)) % MINHASH_P).alias(f"__mh{s}")
-        for s, (a, b) in enumerate(minhash_constants(num_hashes))
-    ]
-    return (
-        base.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[F.col(f"__mh{s}") for s in range(num_hashes)]).alias("minhashes"),
-        )
+    # all num_hashes min-aggregates built as ONE parsed SQL array
+    # literal (round-13, guide §1.3 construction fix — identical
+    # expressions, no per-member py4j Column round-trips)
+    mins_sql = ", ".join(
+        f"min(({a} * __H + {b}) % {MINHASH_P})"
+        for a, b in minhash_constants(num_hashes)
+    )
+    return base.groupBy(id_col).agg(
+        F.expr(f"array({mins_sql})").alias("minhashes")
     )
 
 
@@ -555,23 +553,34 @@ def simhash(
         _hex_to_long(F.md5(F.col("token")), 9, 8).alias("__h2"),
     )
     # one weighted-sum aggregate per output bit k (MSB-first): vote(k) =
-    # Σ w · (2·bit − 1), bit = (half >> (31 − k%32)) & 1
-    votes = []
-    for k in range(num_bits):
-        half = F.col("__h1") if k < 32 else F.col("__h2")
-        bit = F.shiftright(half, 31 - (k % 32)).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.col("w") * (bit * 2 - 1)).alias(f"__v{k}"))
-    agg = hashed.groupBy(id_col).agg(*votes)
-    # reassemble: nibble value = Σ (vote>0) << (3−bp), then hex-char lookup
-    hex_chars = []
+    # Σ w · (2·bit − 1), bit = (half >> (31 − k%32)) & 1. All num_bits
+    # vote sums are built as ONE parsed SQL array literal (round-13,
+    # guide §1.3 — the linalg/codeword-table construction trick): the
+    # previous per-bit Column loop paid ~6 py4j round-trips per bit of
+    # pure plan construction; the parsed expressions are identical.
+    votes_sql = ", ".join(
+        f"sum(w * ((shiftright(__h{1 if k < 32 else 2},"
+        f" {31 - (k % 32)}) & 1) * 2 - 1))"
+        for k in range(num_bits)
+    )
+    agg = hashed.groupBy(id_col).agg(
+        F.expr(f"array({votes_sql})").alias("__v")
+    )
+    # reassemble: nibble value = Σ (vote>0) << (3−bp), then hex-char
+    # lookup — same single-parse construction
+    nib_sql = []
     for np_ in range(nibbles):
-        nv = F.lit(0)
-        for bp in range(4):
-            nv = nv + (F.col(f"__v{np_ * 4 + bp}") > 0).cast("int") * (1 << (3 - bp))
-        hex_chars.append(
-            F.substr(F.lit("0123456789abcdef"), (nv + 1).cast("int"), F.lit(1))
+        terms = " + ".join(
+            f"(cast(__v[{np_ * 4 + bp}] > 0 as int) * {1 << (3 - bp)})"
+            for bp in range(4)
         )
-    return agg.select(F.col(id_col), F.concat(*hex_chars).alias("simhash"))
+        nib_sql.append(
+            f"substr('0123456789abcdef', cast(({terms}) + 1 as int), 1)"
+        )
+    return agg.select(
+        F.col(id_col),
+        F.expr("concat(" + ", ".join(nib_sql) + ")").alias("simhash"),
+    )
 
 
 def _hex_to_long(col: Column, start: int, length: int) -> Column:

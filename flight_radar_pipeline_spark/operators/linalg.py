@@ -136,13 +136,18 @@ def int8_quantization_error(
     Degenerate dimensions (min == max) quantize to level 0 and contribute
     zero error on both engines.
     """
+    # both per-dim range arrays built as parsed SQL literals (round-13,
+    # guide §1.3 construction fix — identical expressions, no per-dim
+    # py4j Column round-trips)
+    mins_sql = ", ".join(
+        f"min(cast({vec_col}[{i}] as double))" for i in range(n_dims)
+    )
+    maxs_sql = ", ".join(
+        f"max(cast({vec_col}[{i}] as double))" for i in range(n_dims)
+    )
     stats = vectors.agg(
-        F.array(
-            *[F.min(F.col(vec_col)[i].cast("double")) for i in range(n_dims)]
-        ).alias("__mn"),
-        F.array(
-            *[F.max(F.col(vec_col)[i].cast("double")) for i in range(n_dims)]
-        ).alias("__mx"),
+        F.expr(f"array({mins_sql})").alias("__mn"),
+        F.expr(f"array({maxs_sql})").alias("__mx"),
     )
     x = vectors.select(
         F.col(id_col),
@@ -496,18 +501,27 @@ def jl_project(
     generating loop code instead of a 64-term expression per component
     (measured: the unrolled form paid ~2× in codegen at 16×64)."""
     signs = jl_sign_matrix(n_dims, out_dims, salt)
-    v = F.col(vec_col).cast("array<double>")
     scale = 1.0 / math.sqrt(out_dims)
-    comps = []
-    for j in range(out_dims):
-        srow = F.array(*[F.lit(float(x)) for x in signs[j]])
-        dot = F.aggregate(
-            F.zip_with(v, srow, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, e: acc + e,
+    # all out_dims signed-sum folds built as ONE parsed SQL array
+    # literal (round-13, guide §1.3 construction fix): the per-component
+    # Column loop paid ~n_dims py4j literal round-trips per component
+    # (out_dims × n_dims total) of pure plan construction. The parsed
+    # expressions are identical — same zip_with/aggregate fold, same
+    # strict left-to-right order, same single ×scale — so every output
+    # double is bit-identical.
+    scale_lit = f"{scale!r}D"
+    comps_sql = ", ".join(
+        "aggregate(zip_with(cast({v} as array<double>), array({row}),"
+        " (x, y) -> x * y), 0.0D, (acc, e) -> acc + e) * {s}".format(
+            v=vec_col,
+            row=", ".join(f"{float(x)!r}D" for x in signs[j]),
+            s=scale_lit,
         )
-        comps.append(dot * F.lit(scale))
+        for j in range(out_dims)
+    )
     # append out_col, preserving every input column (Catalyst prunes the
     # unused ones, so callers that select a subset pay nothing extra)
     keep = [F.col(c) for c in df.columns if c != out_col]
-    return df.select(*keep, F.array(*comps).alias(out_col))
+    return df.select(
+        *keep, F.expr(f"array({comps_sql})").alias(out_col)
+    )

@@ -306,27 +306,32 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before quantizer training. Shuffle-free shape: 64 paired aggregates
     over one corpus scan (each dimension a separate partial-aggregated
     column — no posexplode of corpus × dims rows), unpivoted to
-    (dim, mean, std) AFTER the aggregate, when the frame is 1 row."""
+    (dim, mean, std) AFTER the aggregate, when the frame is 1 row.
+    The 128 aggregate expressions are built as TWO parsed SQL array
+    literals (round-13, guide §1.3 — the linalg construction trick):
+    the per-dimension Column loop paid ~5 py4j round-trips per
+    aggregate of pure plan construction; the parsed expressions are
+    identical, so the evaluated plan and every rounded value are
+    unchanged."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vd = F.col("embedding").cast("array<double>")
-    aggs = []
-    for d in range(_EMB_DIMS):
-        aggs.append(F.round(F.avg(vd[d]), 6).alias(f"m{d}"))
-        aggs.append(F.round(F.stddev_pop(vd[d]), 6).alias(f"s{d}"))
-    wide = emb.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("bigint").alias("dim"),
-                F.col(f"m{d}").alias("mean"),
-                F.col(f"s{d}").alias("std"),
-            )
-            for d in range(_EMB_DIMS)
-        ]
+    x = emb.select(F.col("embedding").cast("array<double>").alias("__x"))
+    means_sql = ", ".join(
+        f"round(avg(__x[{d}]), 6)" for d in range(_EMB_DIMS)
+    )
+    stds_sql = ", ".join(
+        f"round(stddev_pop(__x[{d}]), 6)" for d in range(_EMB_DIMS)
+    )
+    wide = x.agg(
+        F.expr(f"array({means_sql})").alias("__m"),
+        F.expr(f"array({stds_sql})").alias("__s"),
     )
     return (
-        wide.select(F.explode(rows).alias("r"))
-        .select("r.dim", "r.mean", "r.std")
+        wide.select(F.posexplode("__m").alias("dim", "mean"), "__s")
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "mean",
+            F.element_at("__s", F.col("dim").cast("int") + 1).alias("std"),
+        )
         .orderBy("dim")
     )
 
@@ -398,25 +403,24 @@ def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates keyed by label, so the corpus is scanned once, partials
     combine map-side, and the shuffle carries only |labels| × 64 cells —
     never a posexplode of corpus × dims rows. Unpivot to (label, dim,
-    mean_val) happens after the aggregate, at |labels| rows."""
+    mean_val) happens after the aggregate, at |labels| rows. The 64
+    aggregates are built as ONE parsed SQL array literal (round-13,
+    guide §1.3 — the same construction fix as ``embedding_dim_stats``);
+    the parsed expressions are identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vd = F.col("embedding").cast("array<double>")
     n_dims = 64
-    wide = emb.groupBy("label").agg(
-        *[F.round(F.avg(vd[d]), 6).alias(f"m{d}") for d in range(n_dims)]
+    x = emb.select(
+        "label", F.col("embedding").cast("array<double>").alias("__x")
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(d).cast("bigint").alias("dim"),
-                F.col(f"m{d}").alias("mean_val"),
-            )
-            for d in range(n_dims)
-        ]
+    means_sql = ", ".join(f"round(avg(__x[{d}]), 6)" for d in range(n_dims))
+    wide = x.groupBy("label").agg(
+        F.expr(f"array({means_sql})").alias("__m")
     )
     return (
-        wide.select("label", F.explode(rows).alias("r"))
-        .select("label", "r.dim", "r.mean_val")
+        wide.select("label", F.posexplode("__m").alias("dim", "mean_val"))
+        .select(
+            "label", F.col("dim").cast("bigint").alias("dim"), "mean_val"
+        )
         .orderBy("label", "dim")
     )
 
