@@ -1276,26 +1276,33 @@ def mmr_rerank(
     relevance top-k returns near-duplicate neighbors; MMR trades
     relevance for coverage of the shortlist's distinct regions.
 
-    Greedy selection is inherently sequential, so the k rounds are
-    UNROLLED over the shortlist — a bounded relation (``shortlist_n``
-    rows per query) that lives in one broadcastable DataFrame; each round
-    is an aggregate + argmax join on it, never touching the corpus again.
+    Greedy selection is inherently sequential in k; the shortlist and
+    its pair-similarity matrix are BOUNDED relations (``shortlist_n``
+    and ``shortlist_n``² rows per query — parameter-sized, like a
+    codebook), so the greedy path runs on the DRIVER over two bounded
+    collects (round-13, guide §5: the previous form unrolled the k
+    rounds as k−1 eagerly-checkpointed argmax-join subplans — ~46
+    sequential Spark jobs for k = 5 — to pick ids a few-hundred-row
+    greedy loop decides; each driver sync is the scaling hazard, not
+    the data). The driver mirror uses the EXACT Spark arithmetic:
+    IEEE lam·rel − (1−lam)·max_sim in the same operation order over the
+    engine-rounded inputs, and decimal HALF_UP rounding identical to
+    ``F.round`` on DoubleType (BigDecimal-exact, via ``decimal.Decimal``
+    on the exact binary double — the Bradley–Terry / greedy-set-cover
+    bounded-result discipline). Relevance and pair sims are the
+    engine-computed rounded values straight from the collects; only the
+    two-term score expression is mirrored, and the oracle (which unrolls
+    the same greedy CTE chain) hash-checks every value.
+
     Scale: one corpus scan builds the shortlist (same posture as
     ``topk_neighbors_bruteforce``); everything after is
     O(k · shortlist_n²) on query-bounded data. The first pick is the
     pure-relevance argmax (the MMR base case). Scores are rounded before
     every argmax so the greedy path is engine-portable; ties break on
     neighbor_id.
-
-    The shortlist, pair matrix, and each round's accumulated selection
-    are ``localCheckpoint``ed (eager): without the truncation every
-    round's plan re-derives all previous rounds from the corpus scan —
-    O(k²) recomputed sub-DAGs and a several-hundred-stage job for k = 5.
-    Checkpointing makes each greedy round a constant-size job over
-    materialized shortlist-bounded data (the ``_PAIR_CACHE`` discipline;
-    blocks are owned by the returned plan and freed by the
-    ContextCleaner when the DataFrame is garbage-collected).
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
     shortlist = topk_neighbors_bruteforce(
         corpus, queries, k=shortlist_n, id_col=id_col, vec_col=vec_col,
         decimals=decimals,
@@ -1330,55 +1337,50 @@ def mmr_rerank(
         )
         .localCheckpoint(eager=True)
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.desc("relevance"), F.asc("neighbor_id")
+
+    # bounded driver collects (queries × n and queries × n·(n−1) rows)
+    rel_by_q: dict = {}
+    for r in short.select("query_id", "neighbor_id", "relevance").collect():
+        rel_by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r[
+            "relevance"
+        ]
+    sim_by_pair: dict = {}
+    for r in pairs.collect():
+        sim_by_pair[(r["query_id"], r["ia"], r["ib"])] = r["sim"]
+
+    lam_f = float(lam)
+    one_minus = 1.0 - lam_f  # the exact double F.lit(1.0 - lam) carried
+    quantum = Decimal(1).scaleb(-score_decimals)
+
+    def _round_hu(x: float) -> float:
+        # F.round on DoubleType: exact BigDecimal(double) → HALF_UP
+        return float(Decimal(x).quantize(quantum, rounding=ROUND_HALF_UP))
+
+    rows: list[tuple] = []  # (query_id, rank, neighbor_id, rel, score)
+    for q in rel_by_q:
+        cands = rel_by_q[q]
+        first = min(cands.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        sel = [first]
+        rows.append(
+            (q, 1, first, cands[first], _round_hu(lam_f * cands[first]))
+        )
+        for step in range(2, k + 1):
+            best_key, best_id, best_score = None, None, None
+            for nid, rv in cands.items():
+                if nid in sel:
+                    continue
+                ms = max(sim_by_pair[(q, nid, s)] for s in sel)
+                score = _round_hu(lam_f * rv - one_minus * ms)
+                key = (-score, nid)
+                if best_key is None or key < best_key:
+                    best_key, best_id, best_score = key, nid, score
+            if best_id is None:
+                break  # shortlist exhausted (k > shortlist size)
+            sel.append(best_id)
+            rows.append((q, step, best_id, cands[best_id], best_score))
+
+    return corpus.sparkSession.createDataFrame(
+        rows,
+        "query_id long, rank int, neighbor_id long,"
+        " relevance double, mmr_score double",
     )
-    selected = (
-        short.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).alias("rank"),
-            "neighbor_id",
-            "relevance",
-            F.round(F.lit(float(lam)) * F.col("relevance"), score_decimals)
-            .alias("mmr_score"),
-        )
-    )
-    for step in range(2, k + 1):
-        sel_ids = selected.select("query_id", F.col("neighbor_id").alias("ib"))
-        cand = short.join(
-            selected.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        ).select("query_id", "neighbor_id", "relevance")
-        maxsim = (
-            pairs.join(sel_ids, ["query_id", "ib"])
-            .groupBy("query_id", F.col("ia").alias("neighbor_id"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        ws = Window.partitionBy("query_id").orderBy(
-            F.desc("mmr_score"), F.asc("neighbor_id")
-        )
-        pick = (
-            cand.join(maxsim, ["query_id", "neighbor_id"])
-            .withColumn(
-                "mmr_score",
-                F.round(
-                    F.lit(float(lam)) * F.col("relevance")
-                    - F.lit(1.0 - float(lam)) * F.col("max_sim"),
-                    score_decimals,
-                ),
-            )
-            .withColumn("__rn", F.row_number().over(ws))
-            .filter(F.col("__rn") == 1)
-            .select(
-                "query_id",
-                F.lit(step).alias("rank"),
-                "neighbor_id",
-                "relevance",
-                "mmr_score",
-            )
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected

@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
 from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.operators.similarity import mmr_rerank
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import (
+    register,
+    register_grid_plans,
+)
 from flight_radar_pipeline_spark.plans.battery_prep import _unit_hash_sql
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -596,3 +599,43 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         emb, queries, shortlist_n=_MMR_N, k=_MMR_K, lam=_MMR_LAM
     ).orderBy("query_id", "rank")
+
+
+@register_grid_plans("embedding_mmr_topk")
+def _mmr_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Build-time subplans of the round-13 driver-greedy mmr_rerank —
+    the checkpointed shortlist and pair matrix the bounded collects
+    read — registered so the corpus-sized work stays plan-audited."""
+    from flight_radar_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        topk_neighbors_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    shortlist = topk_neighbors_bruteforce(
+        emb, queries, k=_MMR_N
+    ).withColumnRenamed("cosine", "relevance")
+    vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__v")
+    )
+    short = shortlist.join(vecs, "neighbor_id").select(
+        "query_id", "neighbor_id", "relevance", "__v"
+    )
+    a = short.select(
+        "query_id", F.col("neighbor_id").alias("ia"), F.col("__v").alias("__va")
+    )
+    b = short.select(
+        "query_id", F.col("neighbor_id").alias("ib"), F.col("__v").alias("__vb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "query_id")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "query_id", "ia", "ib",
+            F.round(
+                cosine_similarity(F.col("__va"), F.col("__vb")), 6
+            ).alias("sim"),
+        )
+    )
+    return {"shortlist": short, "pair_matrix": pairs}

@@ -127,6 +127,8 @@ GRID_ALLOWED_BNLJ = {
     ("doc_domain_classifier_gd", "features"),   # 1-row standardization stats
     ("doc_domain_classifier_gd", "grad_step"),  # derives from features
     ("embedding_jl_distortion", "candidate_pairs"),  # bounded query bcast, != cond
+    ("embedding_mmr_topk", "shortlist"),  # bounded query bcast, != cond
+    ("embedding_mmr_topk", "pair_matrix"),  # shortlist-bounded self-pairs
 }
 
 
