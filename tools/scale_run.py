@@ -262,6 +262,16 @@ EXTRA_FAMILIES_R13 = [
     "doc_nb_unlearn_erasure",
     # fourth round-13 POST_FREEZE addition (measured on registration)
     "doc_coverage_stream_index",
+    # round-13 OPTIMIZATION session 4 plan changes (OPTIMIZATION_r13.md
+    # #16-#21): fact-side pre-aggregation, single-pass novelty window,
+    # gram-array hoist, driver-greedy MMR, one-job wave staging
+    # (event_psi_stream_ledger refreshed as the staged-replay
+    # representative)
+    "referential_integrity_audit",
+    "doc_ngram_novelty",
+    "doc_repetition_ratio",
+    "embedding_mmr_topk",
+    "event_psi_stream_ledger",
 ]
 
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
