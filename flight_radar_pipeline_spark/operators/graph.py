@@ -567,6 +567,11 @@ def hits_scores(
     dedup = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct()
+    # The edge dedup is the one fact-sized shuffle — checkpoint it once,
+    # clustered on src (measured round-14: a fully-lazy e re-executed the
+    # join+distinct under every iteration join — exchange reuse did NOT
+    # close over the branches — 11.2 s for the output union vs ~2.5 s
+    # with the checkpoint).
     e = dedup.repartition("src").localCheckpoint(eager=True)
     h = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1).cast("long").alias("s")
@@ -585,34 +590,39 @@ def hits_scores(
             .agg(F.sum("s").cast("long").alias("s"))
             .withColumnRenamed("src", "node")
         )
-    # the final authority table feeds BOTH output branches (directly, and
-    # through the last hub step) — materialize it once so the unrolled
-    # iteration chain doesn't execute under each branch (round-13
-    # optimization); node-sized, same class as the edge checkpoint above
-    a = a.localCheckpoint(eager=True)
-    h = (
-        e.join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy("src")
-        .agg(F.sum("s").cast("long").alias("s"))
-        .withColumnRenamed("src", "node")
+    # ONE materialization of both role tables in a single action —
+    # node-sized. (Round-14 rework of the round-13 shape, which eagerly
+    # checkpointed the authority AND hub tables and built a broadcast
+    # total per branch: 5 sequential driver actions whose per-action
+    # scheduling latency dominated the node-sized data — 6.9 s at sf0.1
+    # vs 2.6 s for the r12 single-plan form. One action executes the
+    # iteration chain over the checkpointed edges exactly once; the two
+    # branches share everything up to the last authority table.)
+    both = (
+        a.select(F.lit("authority").alias("role"), "node", "s")
+        .unionByName(h.select(F.lit("hub").alias("role"), "node", "s"))
+        .localCheckpoint(eager=True)
     )
-    out = []
-    for role, table in (("authority", a), ("hub", h)):
-        # L1 total via a 1-row aggregate broadcast back in — the empty
-        # window this replaces moved the whole node table to ONE
-        # partition to compute the same exact bigint sum
-        total = table.agg(F.sum("s").cast("long").alias("__tot"))
-        out.append(
-            table.crossJoin(F.broadcast(total)).select(
-                F.lit(role).alias("role"),
-                "node",
-                F.col("s").alias("paths"),
-                F.round(F.col("s") / F.col("__tot"), decimals).alias(
-                    "score"
-                ),
-            )
-        )
-    return out[0].unionByName(out[1])
+    # L1 totals: one bounded 2-row collect over the checkpoint, inlined
+    # as plan literals (the pagerank count-literal pattern) — the same
+    # exact long/long double division the 1-row crossJoin(broadcast)
+    # carried, without the per-branch broadcast build jobs
+    tots = {
+        r["role"]: int(r["t"])
+        for r in both.groupBy("role")
+        .agg(F.sum("s").cast("long").alias("t"))
+        .collect()
+    }
+    total = F.when(
+        F.col("role") == "authority",
+        F.lit(tots.get("authority", 0)).cast("long"),
+    ).otherwise(F.lit(tots.get("hub", 0)).cast("long"))
+    return both.select(
+        "role",
+        "node",
+        F.col("s").alias("paths"),
+        F.round(F.col("s") / total, decimals).alias("score"),
+    )
 
 
 def kcore_peel(

@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 from .rounding import np_round_half_up
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for interpolation into parsed SQL
+    fragments — embedded backticks double, per the SQL parser's escape —
+    so caller-provided column names that need quoting (spaces, hyphens,
+    keywords) behave exactly as ``F.col(name)`` did before the round-13
+    parsed-SQL construction rewrites (round-14 ADVICE)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _seed_vector(n_dims: int, salt: str = "pca") -> list[float]:
     """Deterministic unit-norm init: component i is the first md5 nibble
     of ``{salt}-{i}`` centered at 7.5 — reproducible in any engine with
@@ -138,12 +147,15 @@ def int8_quantization_error(
     """
     # both per-dim range arrays built as parsed SQL literals (round-13,
     # guide §1.3 construction fix — identical expressions, no per-dim
-    # py4j Column round-trips)
+    # py4j Column round-trips); the interpolated identifier is
+    # backtick-quoted so names F.col handled (spaces, keywords) keep
+    # working (round-14 ADVICE)
+    vq = _bq(vec_col)
     mins_sql = ", ".join(
-        f"min(cast({vec_col}[{i}] as double))" for i in range(n_dims)
+        f"min(cast({vq}[{i}] as double))" for i in range(n_dims)
     )
     maxs_sql = ", ".join(
-        f"max(cast({vec_col}[{i}] as double))" for i in range(n_dims)
+        f"max(cast({vq}[{i}] as double))" for i in range(n_dims)
     )
     stats = vectors.agg(
         F.expr(f"array({mins_sql})").alias("__mn"),
@@ -513,7 +525,7 @@ def jl_project(
     comps_sql = ", ".join(
         "aggregate(zip_with(cast({v} as array<double>), array({row}),"
         " (x, y) -> x * y), 0.0D, (acc, e) -> acc + e) * {s}".format(
-            v=vec_col,
+            v=_bq(vec_col),
             row=", ".join(f"{float(x)!r}D" for x in signs[j]),
             s=scale_lit,
         )

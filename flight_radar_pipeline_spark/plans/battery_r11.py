@@ -164,8 +164,19 @@ def event_type_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded grid (O(k²) driver state by house discipline — the
     markov-stationary precedent), with every game count an exact
     bigint."""
-    rows = _bt_duel_grid(spark, sf_dir).collect()  # bounded: ≤ |types|² ordered pairs — the ONE
-    # fact-side job; wins/games/pi/score/rank all derive from this grid
+    # bounded: ≤ |types|² ordered pairs — the ONE fact-side job;
+    # wins/games/pi/score/rank all derive from this grid. The limit
+    # sentinel makes an unexpectedly large type universe fail loudly
+    # instead of OOMing the driver (round-14, verdict item 7 — same
+    # guard class as mmr_rerank's collect_cap; limit+collect runs the
+    # same single job, just capped).
+    _cap = 65_536  # |types|² at |types| ≤ 256 — parameter-sized by contract
+    rows = _bt_duel_grid(spark, sf_dir).limit(_cap + 1).collect()
+    if len(rows) > _cap:
+        raise ValueError(
+            f"event_type_bradley_terry: duel grid exceeds {_cap} rows — "
+            "the driver-side MM loop assumes a parameter-sized type set"
+        )
     sym: dict[tuple[str, str], tuple[int, int]] = {}
     for r in rows:
         sym[(r.ta, r.tb)] = (r.w_ab, r.n_dec)

@@ -605,37 +605,21 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _mmr_grid_plans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Build-time subplans of the round-13 driver-greedy mmr_rerank —
     the checkpointed shortlist and pair matrix the bounded collects
-    read — registered so the corpus-sized work stays plan-audited."""
+    read — registered so the corpus-sized work stays plan-audited.
+    Built by the SAME helpers the operator executes
+    (``similarity._mmr_shortlist`` / ``_mmr_pair_matrix``), so the
+    audited subplans cannot desynchronize from the operator's internals
+    (round-14, ADVICE fix — this function previously restated the
+    construction by hand)."""
     from flight_radar_pipeline_spark.operators.similarity import (
-        cosine_similarity,
-        topk_neighbors_bruteforce,
+        _mmr_pair_matrix,
+        _mmr_shortlist,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 4)
-    shortlist = topk_neighbors_bruteforce(
-        emb, queries, k=_MMR_N
-    ).withColumnRenamed("cosine", "relevance")
-    vecs = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__v")
+    short = _mmr_shortlist(
+        emb, queries, _MMR_N, "vec_id", "embedding", decimals=6
     )
-    short = shortlist.join(vecs, "neighbor_id").select(
-        "query_id", "neighbor_id", "relevance", "__v"
-    )
-    a = short.select(
-        "query_id", F.col("neighbor_id").alias("ia"), F.col("__v").alias("__va")
-    )
-    b = short.select(
-        "query_id", F.col("neighbor_id").alias("ib"), F.col("__v").alias("__vb")
-    )
-    pairs = (
-        a.join(F.broadcast(b), "query_id")
-        .filter(F.col("ia") != F.col("ib"))
-        .select(
-            "query_id", "ia", "ib",
-            F.round(
-                cosine_similarity(F.col("__va"), F.col("__vb")), 6
-            ).alias("sim"),
-        )
-    )
+    pairs = _mmr_pair_matrix(short, decimals=6)
     return {"shortlist": short, "pair_matrix": pairs}

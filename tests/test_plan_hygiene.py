@@ -91,10 +91,9 @@ ALLOWED_BNLJ = {
     "part_revenue_abc",            # 1-row bucket-bounds + totals bcasts
     "part_price_size_skyline",     # 1-row bucket-bounds bcast (running max)
     "order_price_stump_split",     # 1-row bucket-bounds + totals bcasts
-    # round-13: hits_scores' single-partition L1 windows became 1-row
-    # exact-total broadcasts (operators/graph.py::hits_scores) — the same
-    # class as entity_pagerank's node-count broadcast above
-    "entity_hits_scores",          # 1-row L1-totals broadcast (hub+auth)
+    # (round-14: entity_hits_scores left this list — its round-13 1-row
+    # L1-total crossJoin(broadcast) became two bounded 1-row collects
+    # inlined as literals, so the plan holds no BNLJ at all)
 }
 
 

@@ -160,3 +160,39 @@ def test_benford_second_digit_drops_single_digit_cents(spark):
     rows = benford_second_digit_fit(df, "amount").collect()
     assert sum(r.n_obs for r in rows) == 1  # only 1.23 (cents=123) counts
     assert rows[0].digit == 2  # second digit of '123'
+
+
+def test_parsed_sql_sites_backtick_quote_vec_col(spark):
+    """The parsed-SQL construction rewrites (round 13) interpolate
+    ``vec_col`` into SQL fragments; a column name needing quoting must
+    keep working exactly as the F.col form did (round-14 ADVICE)."""
+    from flight_radar_pipeline_spark.operators.linalg import (
+        int8_quantization_error,
+    )
+
+    rows = [(0, [1.0, -1.0]), (1, [0.5, 0.25]), (2, [2.0, 0.0])]
+    odd = spark.createDataFrame(
+        rows, "`the id` long, `my vec` array<double>"
+    )
+    plain = spark.createDataFrame(rows, "vid long, v array<double>")
+    got = {
+        r[0]: r[1]
+        for r in int8_quantization_error(
+            odd, vec_col="my vec", id_col="the id", n_dims=2
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in int8_quantization_error(
+            plain, vec_col="v", id_col="vid", n_dims=2
+        ).collect()
+    }
+    assert got == want
+
+    out = jl_project(
+        spark.createDataFrame(rows, "vid long, `my vec` array<double>"),
+        2,
+        4,
+        vec_col="my vec",
+    )
+    assert len(out.collect()) == 3

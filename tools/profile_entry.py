@@ -49,7 +49,7 @@ def profile(names: list[str], dump_plans: bool = False) -> None:
     plan_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r14"),
     )
     if dump_plans:
         os.makedirs(plan_dir, exist_ok=True)
