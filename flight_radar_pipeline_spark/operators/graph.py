@@ -30,8 +30,6 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from flight_radar_pipeline_spark.functions.text import pair_combinations
-
 
 def connected_components(
     pairs: DataFrame,
@@ -347,23 +345,24 @@ def adamic_adar_pairs(
     restate the same cap). Degree-1 items can't form pairs and are
     dropped with the same filter.
 
-    Pair generation is the a-priori array-combinations device (the
-    `session_event_type_lift` trick), not an item-keyed self-join: the
-    degree-capped membership groups to one sorted user SET per item
-    (bounded at ``maxdf`` elements by the cap applied upstream, so the
-    aggregation buffer is bounded at any scale), and every (a < b)
-    combination explodes out of the array with the item's 1/ln(deg)
-    weight attached — round-13 exchange sweep: the self-join's second
-    exchange, its join, and the two-consumer persist all disappear
-    (the set aggregate reuses the cap join's item partitioning), 16 → 7
-    exchanges on the `customer_adamic_adar` plan, hash-identical.
-    ``storage`` is kept for signature compatibility; the single-pass
-    shape has no shared subtree left to persist. NOTE the per-item
-    combinations array cell is O(maxdf²) structs (built before the
-    explode): at the default maxdf=1000 a full-degree item holds a
-    ~500k-struct (~8 MB) cell — bounded and spill-safe, but size
-    ``maxdf`` deliberately; the self-join this replaced streamed the
-    same pairs without the cell (review note, round 13).
+    Pair generation is a-priori over the per-item sorted user SET, not
+    an item-keyed self-join: the degree-capped membership groups to one
+    sorted set per item (bounded at ``maxdf`` elements by the cap
+    applied upstream, so the aggregation buffer is bounded at any
+    scale), and every (a < b) combination is emitted by TWO codegen'd
+    Generate steps — ``posexplode`` of the set, then ``explode`` of the
+    tail ``slice`` past each element (round-14; the round-13 form built
+    the O(maxdf²)-struct ``pair_combinations`` cell through nested
+    CodegenFallback HOF lambdas before a single flatten-explode — every
+    pair paid an interpreted lambda call plus a struct allocation, and
+    the whole cell materialized per item). Round-13 exchange sweep
+    still holds: the self-join's second exchange, its join, and the
+    two-consumer persist are gone (the set aggregate reuses the cap
+    join's item partitioning), 16 → 7 exchanges on the
+    `customer_adamic_adar` plan, hash-identical. ``storage`` is kept
+    for signature compatibility; the single-pass shape has no shared
+    subtree left to persist. Per-row transient state is one O(maxdf)
+    slice copy per lead element — no quadratic cell.
     """
     del storage  # single-consumer plan: nothing left worth persisting
     m = membership.select(
@@ -384,10 +383,29 @@ def adamic_adar_pairs(
             F.array_sort(F.collect_set("__u")).alias("__us"),
         )
     )
-    pairs = pair_combinations(F.col("__us"))
+    # pair emission as TWO Generate steps (posexplode the sorted set,
+    # then explode the tail slice per element) instead of the
+    # pair_combinations flattened struct cell (round-14): the nested
+    # transform/flatten HOF is CodegenFallback — every pair costs an
+    # interpreted lambda call plus a named_struct allocation, and the
+    # whole O(d²)-struct cell materializes per item before the explode.
+    # posexplode+slice emit the identical (x before y) pairs through
+    # codegen'd Generates, longs only, no struct cell. Same rows, same
+    # aggregate, bit-identical scores.
+    lead = sets.select(
+        "__d",
+        "__us",
+        F.posexplode("__us").alias("__pos", "id_a"),
+    )
     return (
-        sets.select(F.explode(pairs).alias("__p"), "__d")
-        .groupBy("__p.id_a", "__p.id_b")
+        lead.select(
+            "__d",
+            "id_a",
+            F.explode(
+                F.slice(F.col("__us"), F.col("__pos") + 2, F.size("__us"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("__d"))), 4).alias("adamic_adar"),
