@@ -1404,25 +1404,32 @@ def _e2e_upstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     train = _e2e_train(spark, sf_dir).localCheckpoint(eager=True)
 
-    # 3b. decontamination vs the held-out slice of the RAW corpus
-    is_eval = T.hash_bucket("doc_id", 10) == 1
-    report = P.contamination_report(train, docs.filter(is_eval), n=3)
-    contaminated = report.filter(
-        F.col("contamination") >= _E2E_CONTAM_T
-    ).select("doc_id")
-    clean = train.join(contaminated, "doc_id", "left_anti")
-
-    # 4. quality gate (row-local shape heuristics, funnel parameters)
+    # 4→3b. quality gate COMMUTED ahead of decontamination (round-14,
+    # verdict item 6): the gate is row-local and a doc's contamination
+    # depends only on its own grams vs the broadcast eval universe, so
+    #   (train ∖ contaminated) ∩ qual  ≡  (train ∩ qual) ∖ contaminated
+    # exactly — gating first drops the failing docs BEFORE the expensive
+    # decontamination gram explode + per-doc aggregate instead of after
+    # it (one fewer corpus-scale pass over the gate's rejects; the
+    # oracle's stage order is unchanged because the result set is).
     toks = T.tokens("text")
     ntok = F.size(toks)
     ndist = F.size(F.array_distinct(toks))
     nonws = F.length(F.regexp_replace("text", r"\s", ""))
-    qual = clean.filter(
+    qual_train = train.filter(
         F.col("lang").isin(*_E2E_LANGS)
         & ntok.between(20, 1000)
         & (ndist >= 0.3 * ntok)
         & nonws.between(3 * ntok, 12 * ntok)
     )
+
+    # 3b. decontamination vs the held-out slice of the RAW corpus
+    is_eval = T.hash_bucket("doc_id", 10) == 1
+    report = P.contamination_report(qual_train, docs.filter(is_eval), n=3)
+    contaminated = report.filter(
+        F.col("contamination") >= _E2E_CONTAM_T
+    ).select("doc_id")
+    qual = qual_train.join(contaminated, "doc_id", "left_anti")
 
     # 5. stratified per-language sample (exact quotas, reproducible order)
     w = Window.partitionBy("lang").orderBy(

@@ -25,6 +25,7 @@ from flight_radar_pipeline_spark.operators.temporal import interval_overlap_pair
 from flight_radar_pipeline_spark.operators.prefix import ranged_cumulative
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
+from flight_radar_pipeline_spark.streaming.ledger import scratch_dir
 
 # --------------------------------------------------------------------------
 # grid-cell proximity self-join (bucketed vs naive-oracle)
@@ -1188,7 +1189,7 @@ def orders_cdc_stream_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_radar_pipeline_spark.streaming.ledger import stage_waves
 
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="cdc_stream_")
+    work = scratch_dir("cdc_stream_")
     ins = orders.select(
         "o_orderkey", F.col("o_totalprice").alias("price"),
         F.lit(1).alias("seq"), F.lit("I").alias("op"),
@@ -1930,7 +1931,7 @@ def user_kmv_stream_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="kmv_stream_")
+    work = scratch_dir("kmv_stream_")
     stage = os.path.join(work, "in")
     os.makedirs(stage)
     for i in range(3):
@@ -2265,7 +2266,7 @@ def event_drift_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="drift_stream_")
+    work = scratch_dir("drift_stream_")
     stage = os.path.join(work, "in")
     os.makedirs(stage)
     for i in range(3):
@@ -3386,7 +3387,7 @@ def event_hist_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="hist_stream_")
+    work = scratch_dir("hist_stream_")
     flat = os.path.join(work, "in")
     os.makedirs(flat)
     for i in range(3):

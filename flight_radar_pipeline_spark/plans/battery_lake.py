@@ -27,7 +27,7 @@ from flight_radar_pipeline_spark.operators.cdc import (
 )
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
-from flight_radar_pipeline_spark.streaming.ledger import stage_waves
+from flight_radar_pipeline_spark.streaming.ledger import scratch_dir, stage_waves
 
 # --------------------------------------------------------------------------
 # snapshot diff (CDC between two table versions)
@@ -270,7 +270,7 @@ def orders_scd1_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_radar_pipeline_spark.pipeline import merge_snapshot
 
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="scd1_stream_")
+    work = scratch_dir("scd1_stream_")
     versions = [os.path.join(work, "v0")]
     orders.write.mode("overwrite").parquet(versions[0])
 
@@ -691,7 +691,7 @@ def daily_rollup_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="rollup_stream_")
+    work = scratch_dir("rollup_stream_")
     feed = read_events_stream(spark, f"{sf_dir}/events.parquet")
 
     def delta_agg(batch: DataFrame) -> DataFrame:
@@ -916,7 +916,7 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicitly once the table is wide enough that footer sampling
     matters."""
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="evolve_")
+    work = scratch_dir("evolve_")
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_orderstatus"
     )
@@ -1016,7 +1016,7 @@ def orders_scd2_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flight_radar_pipeline_spark.pipeline import scd2_apply
 
     orders = load_table(spark, sf_dir, "orders")
-    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    work = scratch_dir("scd2_stream_")
     versions = [os.path.join(work, "v0")]
     orders.select(
         "o_orderkey",

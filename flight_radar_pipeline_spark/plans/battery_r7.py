@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.sources.readers import load_table
+from flight_radar_pipeline_spark.streaming.ledger import scratch_dir
 
 # --------------------------------------------------------------------------
 # chi-square independence: order priority × order status
@@ -860,7 +861,7 @@ def orders_scd3_stream_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus"
     )
-    work = tempfile.mkdtemp(prefix="scd3_stream_")
+    work = scratch_dir("scd3_stream_")
     versions = [os.path.join(work, "v0")]
     orders.withColumn("prev_status", F.lit(None).cast("string")).write.mode(
         "overwrite"

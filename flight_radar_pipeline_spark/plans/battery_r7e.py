@@ -20,6 +20,7 @@ from flight_radar_pipeline_spark.operators import similarity as S
 from flight_radar_pipeline_spark.plans.battery import register
 from flight_radar_pipeline_spark.plans.battery_text import EMB_DIMS, _nibble_case
 from flight_radar_pipeline_spark.sources.readers import load_table
+from flight_radar_pipeline_spark.streaming.ledger import scratch_dir
 
 # --------------------------------------------------------------------------
 # nDCG@10 of the sign-LSH ANN ranking vs exact-cosine gains
@@ -298,7 +299,7 @@ def user_growth_stream_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut1 = lohi.lo + timedelta(days=max(total // 3, 1))
     cut2 = lohi.lo + timedelta(days=max(2 * total // 3, 2))
 
-    work = tempfile.mkdtemp(prefix="growth_stream_")
+    work = scratch_dir("growth_stream_")
     waves = [
         ev.filter(F.to_date("ts") < F.lit(cut1)),
         ev.filter(

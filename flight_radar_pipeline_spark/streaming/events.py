@@ -100,7 +100,9 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """
     physical = spark.read.parquet(path).schema
     if os.path.isfile(path):
-        stage = tempfile.mkdtemp(prefix="events_stream_")
+        from flight_radar_pipeline_spark.streaming.ledger import scratch_dir
+
+        stage = scratch_dir("events_stream_")
         os.symlink(os.path.abspath(path), os.path.join(stage, os.path.basename(path)))
         path = stage
     stream = spark.readStream.schema(physical).parquet(path)
