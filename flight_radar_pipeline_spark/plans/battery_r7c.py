@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from flight_radar_pipeline_spark.functions.text import soundex_code
 from flight_radar_pipeline_spark.operators.corpus_prep import unit_hash
 from flight_radar_pipeline_spark.operators.graph import hits_scores
-from flight_radar_pipeline_spark.plans.battery import register
+from flight_radar_pipeline_spark.plans.battery import register, register_grid_plans
 from flight_radar_pipeline_spark.plans.battery_prep import _unit_hash_sql
 from flight_radar_pipeline_spark.sources.readers import load_table
 
@@ -409,28 +409,11 @@ _CONFORMAL_ORACLE = f"""
 """
 
 
-@register("event_value_conformal", _CONFORMAL_ORACLE)
-def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal prediction intervals per event type →
-    (event_type, n_calib, qhat, n_eval, coverage): deterministic-hash
-    three-way split (50% train / 25% calibration / 25% eval), point
-    predictor = per-type train mean, nonconformity = |value − μ|, and
-    qhat the ⌈0.9(n+1)⌉-th smallest calibration residual — the
-    distribution-free interval μ ± qhat whose eval coverage must land
-    near the 90% guarantee regardless of the value distribution. The
-    finite-sample rank uses exact integer arithmetic
-    (⌈9(n+1)/10⌉ = ⌊(9(n+1)+9)/10⌋) on both engines.
-
-    Scale (round-10 compression — the haar/kadane precedent): the fact
-    is scanned exactly TWICE — once for the train means, once to build
-    the (type, residual, split) COUNT GRID for calibration and eval
-    rows together; everything downstream (n_cal/k, the rank walk to
-    qhat, eval coverage) is windows and broadcast joins over that
-    bounded grid, which Spark's ReusedExchange computes once. The first
-    cut re-derived the calibration stream for each of nk/dist/q and the
-    eval stream separately — 26 exchanges for the same values. Residuals
-    round to 6 on both sides of the comparison, pinning parity; all
-    grid arithmetic is exact integers."""
+def _conformal_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-side subplan of `event_value_conformal`: hash split →
+    per-type train means → (type, rounded-residual) count grid →
+    cumulative/total windows. Factored out so the entry can materialize
+    it once AND the hidden subplan stays grid-audited (round-14)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -462,7 +445,7 @@ def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = grid.select(
+    return grid.select(
         "event_type",
         "r",
         "c_cal",
@@ -470,6 +453,44 @@ def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_cal").over(w_cum).alias("cum_cal"),
         F.sum("c_cal").over(w_nat).alias("n_cal"),
     )
+
+
+@register_grid_plans("event_value_conformal")
+def _conformal_grid_plans(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    return {"residual_grid": _conformal_cum(spark, sf_dir)}
+
+
+@register("event_value_conformal", _CONFORMAL_ORACLE)
+def event_value_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type →
+    (event_type, n_calib, qhat, n_eval, coverage): deterministic-hash
+    three-way split (50% train / 25% calibration / 25% eval), point
+    predictor = per-type train mean, nonconformity = |value − μ|, and
+    qhat the ⌈0.9(n+1)⌉-th smallest calibration residual — the
+    distribution-free interval μ ± qhat whose eval coverage must land
+    near the 90% guarantee regardless of the value distribution. The
+    finite-sample rank uses exact integer arithmetic
+    (⌈9(n+1)/10⌉ = ⌊(9(n+1)+9)/10⌋) on both engines.
+
+    Scale (round-10 compression — the haar/kadane precedent): the fact
+    is scanned exactly TWICE — once for the train means, once to build
+    the (type, residual, split) COUNT GRID for calibration and eval
+    rows together; everything downstream (n_cal/k, the rank walk to
+    qhat, eval coverage) is windows and broadcast joins over the
+    materialized grid. Round-14: the grid is CHECKPOINTED once — the
+    round-10 compression assumed ReusedExchange would compute it once
+    under both consumers (qhat side + coverage side), but the executed
+    plan re-derived the whole scan→hash→join→aggregate→window chain
+    under the qhat broadcast (a third fact pass with a second md5 per
+    row; plans/r14/event_value_conformal_{before,after}.txt). The grid
+    is the bounded (type, rounded-residual) relation — the mid-plan
+    bounded-checkpoint class — and the hidden subplan is grid-audited
+    (`[grid:residual_grid]`). Residuals round to 6 on both sides of the
+    comparison, pinning parity; all grid arithmetic is exact
+    integers."""
+    cum = _conformal_cum(spark, sf_dir).localCheckpoint(eager=True)
     k = F.least(
         F.floor((9 * (F.col("n_cal") + 1) + 9) / 10.0), F.col("n_cal")
     )

@@ -25,12 +25,23 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    extra = {"spark.sql.warehouse.dir": "/tmp/frp-warehouse"}
+    for kv in os.environ.get("FRP_TEST_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
+    # local[8] (was local[4]): measured round-14 — the heavy reference
+    # tests (IRLS/brute-force comparisons) run −30% wall at 8 cores on
+    # the 32-core harness hosts, and the driver's verify budget is the
+    # binding gate (its round-13 run timed out at 88%). Result-identical
+    # by construction (shuffle width stays pinned separately below);
+    # override with FRP_TEST_MASTER / FRP_TEST_SHUFFLE / FRP_TEST_CONF.
     s = get_spark_session(
         app_name="frp-spark-tests",
-        master="local[4]",
-        shuffle_partitions=4,
+        master=os.environ.get("FRP_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("FRP_TEST_SHUFFLE", "4")),
         timezone="UTC",
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/frp-warehouse"},
+        extra_conf=extra,
     )
     yield s
     s.stop()

@@ -86,8 +86,13 @@ def test_quantile_regression_orders_and_converges(spark):
     )
     fits = {}
     for tau in (0.1, 0.5, 0.9):
+        # 100 steps (was 200): the assertions are unchanged and all pass
+        # with margin at 100 — the test got stricter per step, not
+        # weaker — while halving the 3×steps sequential aggregate jobs
+        # that made this the suite's slowest test (99 s, round-14
+        # durations profile; the driver's verify budget is the gate)
         w, losses = quantile_regression_gd(
-            df, ["z"], "y", tau=tau, steps=200, lr=1.0
+            df, ["z"], "y", tau=tau, steps=100, lr=1.0
         )
         fits[tau] = w
         assert min(losses[-5:]) <= min(losses[:5])
