@@ -310,7 +310,10 @@ def gini_coefficient(
         tiebreakers=["k"],
         with_rank="i",
         with_totals=True,
-    ).select("v", "i", F.col("one_tot").alias("n"), F.col("v_tot").alias("tot"))
+        materialize_input=True,
+    ).select(
+        "v", "i", F.col("one_tot").alias("n"), F.col("v_tot").alias("tot")
+    )
     is_top = F.col("i") > F.col("n") - F.floor(
         F.col("n") * F.lit(top_fraction)
     ).cast("bigint")

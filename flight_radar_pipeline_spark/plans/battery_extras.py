@@ -2768,6 +2768,7 @@ def part_revenue_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ascending=False,
         tiebreakers=["partkey"],
         with_totals=True,
+        materialize_input=True,
     ).select(
         "partkey",
         "rev_cents",

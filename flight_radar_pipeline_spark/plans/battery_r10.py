@@ -198,9 +198,9 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("smax")
     )
-    m = ranged_cumulative(g, "price", [], max_cols=["smax"]).select(
-        "price", "smax", F.col("smax_runmax_prev").alias("m1")
-    )
+    m = ranged_cumulative(
+        g, "price", [], max_cols=["smax"], materialize_input=True
+    ).select("price", "smax", F.col("smax_runmax_prev").alias("m1"))
     return (
         part.join(m, part["p_retailprice"] == m["price"])
         .filter(

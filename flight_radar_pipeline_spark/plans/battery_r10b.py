@@ -122,7 +122,14 @@ def order_price_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = orders.groupBy("thr").agg(
         F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
     )
-    c = ranged_cumulative(grid, "thr", ["cnt", "pos"], with_totals=True)
+    # materialize_input (round-14): the threshold grid is NOT
+    # exchange-reused in practice — the executed plan scanned orders 8×
+    # across the device's three consumers (bounds probe, bucketed frame,
+    # offsets broadcast); the lazy checkpoint collapses that to one
+    # computation (interleaved A/B 3.04/2.67 → 2.46/2.24 s warm)
+    c = ranged_cumulative(
+        grid, "thr", ["cnt", "pos"], with_totals=True, materialize_input=True
+    )
     nl, pl = F.col("cnt_cum"), F.col("pos_cum")
     n, p = F.col("cnt_tot"), F.col("pos_tot")
     nr, pr = n - nl, p - pl

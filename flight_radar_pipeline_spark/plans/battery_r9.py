@@ -438,7 +438,12 @@ def event_wasserstein_stream_ledger(
     # partials + broadcast-offsets rewrite is an identity on the exact
     # bigint counts — oracle unchanged (still the batch oracle verbatim)
     c = ranged_cumulative(
-        d, "value", ["cr", "cc"], with_lead=True, with_totals=True
+        d,
+        "value",
+        ["cr", "cc"],
+        with_lead=True,
+        with_totals=True,
+        materialize_input=True,
     ).select(
         "value",
         F.col("cr_cum").alias("crt"),
