@@ -274,6 +274,28 @@ EXTRA_FAMILIES_R13 = [
     "event_psi_stream_ledger",
 ]
 
+# round-14 refresh (--extras-r14, appended as r14_*): every entry whose
+# plan changed this optimization round — the single-action HITS build
+# with literal totals, the codegen'd adamic-adar pair Generates, the
+# checkpointed conformal residual grid, the five materialize_input
+# flips of the ranged-cumulative device, the manifest quality-gate
+# commute, and the RAM-scratch stream staging (psi ledger + nb stream
+# as the replay representatives).
+EXTRA_FAMILIES_R14 = [
+    "entity_hits_scores",
+    "customer_adamic_adar",
+    "event_value_conformal",
+    "order_price_stump_split",
+    "part_revenue_abc",
+    "part_price_size_skyline",
+    "event_wasserstein_stream_ledger",
+    "customer_revenue_gini",
+    "corpus_training_manifest",
+    "embedding_mmr_topk",
+    "event_psi_stream_ledger",
+    "doc_nb_stream_train",
+]
+
 # round-9 additions, measured separately (--extras-r9), appended as r9_*
 EXTRA_FAMILIES_R10 = [
     # the two new round-10 families
@@ -350,7 +372,7 @@ def run_extras(sf01: str, sf1: str, only: set[str] | None = None,
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] in (
         "--extras", "--extras-r7", "--extras-r8", "--extras-r9",
-        "--extras-r10", "--extras-r12", "--extras-r13",
+        "--extras-r10", "--extras-r12", "--extras-r13", "--extras-r14",
     ):
         sf01 = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
         sf1 = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
@@ -373,6 +395,9 @@ def main() -> int:
         if sys.argv[1] == "--extras-r13":
             return run_extras(sf01, sf1, only,
                               families=EXTRA_FAMILIES_R13, prefix="r13_")
+        if sys.argv[1] == "--extras-r14":
+            return run_extras(sf01, sf1, only,
+                              families=EXTRA_FAMILIES_R14, prefix="r14_")
         return run_extras(sf01, sf1, only)
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
